@@ -1,0 +1,142 @@
+"""Ray-scene intersection kernels (brute force; BVH path in ops.bvh).
+
+Replaces OptiX hardware traversal (optixTrace, OptixRender.cu:120-129) with
+vectorized wavefront x primitive tests. The brute-force path streams triangle
+blocks through a lax.scan keeping a running closest hit per ray — it is the
+correctness oracle for the BVH path and the fast path for small scenes
+(N_rays x block_T elementwise VPU work, fully fused by XLA).
+
+Also hosts offset_ray, the exact port of the Ray Tracing Gems self-
+intersection offset (OptixRender_radiance_closest_hit.cu:218-233).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from strelka_tpu.render.device_scene import DeviceScene
+
+_BIG = jnp.float32(1e16)
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # [N] f32, 1e16 = miss
+    prim: jnp.ndarray  # [N] int32, -1 = miss
+    u: jnp.ndarray  # [N] f32 barycentric (reference: attr weight of v1)
+    v: jnp.ndarray  # [N] f32
+
+
+def offset_ray(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact port of offset_ray (RT Gems ch.6), cu:218-233. p,n: [...,3]."""
+    origin = jnp.float32(1.0 / 32.0)
+    float_scale = jnp.float32(1.0 / 65536.0)
+    int_scale = jnp.float32(256.0)
+    of_i = (int_scale * n).astype(jnp.int32)
+    p_i_bits = p.view(jnp.int32) + jnp.where(p < 0, -of_i, of_i)
+    p_i = p_i_bits.view(jnp.float32)
+    return jnp.where(jnp.abs(p) < origin, p + float_scale * n, p_i)
+
+
+def _ray_tri_block(o, d, v0, e1, e2, tmin, tmax):
+    """Moller-Trumbore: rays [N,3] x tris [B,3] -> t,u,v,hit [N,B]."""
+    # pvec = d x e2 : [N,B,3]
+    pvec = jnp.cross(d[:, None, :], e2[None, :, :])
+    det = jnp.einsum("bk,nbk->nb", e1, pvec)
+    # backface culling OFF (OptiX default w/o flags): accept |det| > eps
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o[:, None, :] - v0[None, :, :]
+    u = jnp.einsum("nbk,nbk->nb", tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    vv = jnp.einsum("nk,nbk->nb", d, qvec) * inv_det
+    t = jnp.einsum("bk,nbk->nb", e2, qvec) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (vv >= 0.0)
+        & (u + vv <= 1.0)
+        & (t > tmin[:, None])
+        & (t < tmax[:, None])
+    )
+    return t, u, vv, hit
+
+
+def intersect_closest_bruteforce(
+    scene: DeviceScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    active: jnp.ndarray | None = None,
+    block: int = 512,
+) -> Hit:
+    """Closest hit over all triangles whose geom_mask intersects ray_mask.
+
+    origins/directions: [N,3]; tmin/tmax: [N]; active: [N] bool or None.
+    """
+    n = origins.shape[0]
+    num_tri = scene.v0.shape[0]
+    block = min(block, num_tri)
+    num_blocks = (num_tri + block - 1) // block
+    if active is None:
+        active = jnp.ones(n, bool)
+
+    def body(carry, bi):
+        best_t, best_prim, best_u, best_v = carry
+        start = bi * block
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, block, axis=0)
+        t, u, v, hit = _ray_tri_block(origins, directions, sl(scene.v0), sl(scene.e1), sl(scene.e2), tmin, tmax)
+        mask_ok = (sl(scene.geom_mask) & ray_mask) != 0
+        hit = hit & mask_ok[None, :] & active[:, None]
+        t = jnp.where(hit, t, _BIG)
+        arg = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        t_blk = t[rows, arg]
+        better = t_blk < best_t
+        best_prim = jnp.where(better, (start + arg).astype(jnp.int32), best_prim)
+        best_u = jnp.where(better, u[rows, arg], best_u)
+        best_v = jnp.where(better, v[rows, arg], best_v)
+        best_t = jnp.where(better, t_blk, best_t)
+        return (best_t, best_prim, best_u, best_v), None
+
+    init = (
+        jnp.full(n, _BIG),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+    )
+    (t, prim, u, v), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+    return Hit(t=t, prim=prim, u=u, v=v)
+
+
+def intersect_any_bruteforce(
+    scene: DeviceScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    active: jnp.ndarray | None = None,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Any-hit (occlusion) query -> [N] bool. Shadow rays use RAY_MASK_SHADOW."""
+    n = origins.shape[0]
+    num_tri = scene.v0.shape[0]
+    block = min(block, num_tri)
+    num_blocks = (num_tri + block - 1) // block
+    if active is None:
+        active = jnp.ones(n, bool)
+
+    def body(occluded, bi):
+        start = bi * block
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, block, axis=0)
+        _, _, _, hit = _ray_tri_block(origins, directions, sl(scene.v0), sl(scene.e1), sl(scene.e2), tmin, tmax)
+        mask_ok = (sl(scene.geom_mask) & ray_mask) != 0
+        hit = hit & mask_ok[None, :] & active[:, None]
+        return occluded | jnp.any(hit, axis=1), None
+
+    occluded, _ = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(num_blocks))
+    return occluded

@@ -1,0 +1,289 @@
+"""Device scene arrays: host Scene -> jit-consumable SoA pytrees.
+
+This is the TPU equivalent of the reference's GPU scene upload + acceleration
+structure build (OptixRender.cpp:1059-1175: vertex/index/light buffers, GAS
+per mesh, IAS over instances). Instead of a two-level BVH with per-instance
+transforms baked into hardware traversal, instances are FLATTENED into a
+world-space triangle soup at build time — the idiomatic TPU choice: a single
+flat primitive array gives dense, coalesced HBM reads and one single-level
+BVH, at the cost of duplicating geometry per instance (cheap in HBM GBs).
+
+Geometry masks mirror OptixRenderParams.h:9-17: radiance rays intersect
+triangles|curves|lights, shadow rays intersect triangles|curves only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strelka_tpu import log
+from strelka_tpu.materials import MaterialManager, MaterialTable
+from strelka_tpu.scene.scene import InstanceType, Scene
+
+GEOMETRY_MASK_TRIANGLE = 1
+GEOMETRY_MASK_CURVE = 2
+GEOMETRY_MASK_LIGHT = 4
+RAY_MASK_PRIMARY = GEOMETRY_MASK_TRIANGLE | GEOMETRY_MASK_CURVE | GEOMETRY_MASK_LIGHT
+RAY_MASK_SHADOW = GEOMETRY_MASK_TRIANGLE | GEOMETRY_MASK_CURVE
+
+
+class DeviceLights(NamedTuple):
+    """SoA mirror of UniformLight (include/render/Lights.h:5-14)."""
+
+    points: jnp.ndarray  # [L,4,3]
+    color: jnp.ndarray  # [L,3]
+    normal: jnp.ndarray  # [L,3]
+    type: jnp.ndarray  # [L] int32
+    half_angle: jnp.ndarray  # [L] f32
+
+
+class DeviceCurves(NamedTuple):
+    """Cubic B-spline segments, world space (one record per curve segment)."""
+
+    p0: jnp.ndarray  # [S,3] control points
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    p3: jnp.ndarray
+    w0: jnp.ndarray  # [S] per-control-point widths (radius)
+    w1: jnp.ndarray
+    w2: jnp.ndarray
+    w3: jnp.ndarray
+    material_id: jnp.ndarray  # [S] int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """Flattened world-space scene, ready for the integrator.
+
+    num_lights/num_triangles are STATIC metadata (baked into the jit trace);
+    everything else is device data.
+    """
+
+    # triangles: v0 + edges for Moller-Trumbore
+    v0: jnp.ndarray  # [T,3]
+    e1: jnp.ndarray  # [T,3] v1-v0
+    e2: jnp.ndarray  # [T,3] v2-v0
+    # shading attributes per corner
+    n0: jnp.ndarray  # [T,3]
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    t0: jnp.ndarray  # [T,3] tangents
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    uv0: jnp.ndarray  # [T,2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material_id: jnp.ndarray  # [T] int32
+    light_id: jnp.ndarray  # [T] int32, -1 unless emissive light proxy
+    geom_mask: jnp.ndarray  # [T] int32
+    lights: DeviceLights
+    materials: MaterialTable  # jnp-ified
+    curves: Optional[DeviceCurves]
+    num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def num_curve_segments(self) -> int:
+        return 0 if self.curves is None else int(self.curves.p0.shape[0])
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    """Pad leading dim to n (TPU-friendly static shapes, lanes of 128)."""
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad_block], axis=0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m if n > 0 else m
+
+
+def build_device_lights(scene: Scene) -> DeviceLights:
+    lights = scene.lights
+    if not lights:
+        # keep a one-entry dummy so shapes stay static; num_lights=0 guards use
+        return DeviceLights(
+            points=jnp.zeros((1, 4, 3), jnp.float32),
+            color=jnp.zeros((1, 3), jnp.float32),
+            normal=jnp.zeros((1, 3), jnp.float32),
+            type=jnp.zeros((1,), jnp.int32),
+            half_angle=jnp.zeros((1,), jnp.float32),
+        )
+    return DeviceLights(
+        points=jnp.asarray(np.stack([l.points[:, :3] for l in lights]), jnp.float32),
+        color=jnp.asarray(np.stack([l.color[:3] for l in lights]), jnp.float32),
+        normal=jnp.asarray(np.stack([l.normal[:3] for l in lights]), jnp.float32),
+        type=jnp.asarray(np.array([l.type for l in lights], np.int32)),
+        half_angle=jnp.asarray(np.array([l.half_angle for l in lights], np.float32)),
+    )
+
+
+def flatten_scene_geometry(scene: Scene):
+    """Bake instance transforms into a world-space triangle soup (numpy)."""
+    positions, normals, tangents, uvs, indices = scene.vertex_pools()
+    tri_chunks = []
+    for inst in scene.instances:
+        if inst.type == InstanceType.eCurve:
+            continue
+        mesh = scene.meshes[inst.geom_id]
+        tri = indices[mesh.index : mesh.index + mesh.count].reshape(-1, 3).astype(np.int64)
+        tri = tri + mesh.vb_offset
+        m = inst.transform
+        rot = m[:3, :3]
+        inv_t = np.linalg.inv(rot).T if abs(np.linalg.det(rot)) > 1e-12 else rot
+        p = positions[tri.reshape(-1)].astype(np.float64) @ rot.T + m[:3, 3]
+        n = normals[tri.reshape(-1)].astype(np.float64) @ inv_t.T
+        t = tangents[tri.reshape(-1)].astype(np.float64) @ rot.T
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-20)
+        uv = uvs[tri.reshape(-1)]
+        ntri = tri.shape[0]
+        is_light = inst.type == InstanceType.eLight
+        chunk = {
+            "p": p.reshape(ntri, 3, 3).astype(np.float32),
+            "n": n.reshape(ntri, 3, 3).astype(np.float32),
+            "t": t.reshape(ntri, 3, 3).astype(np.float32),
+            "uv": uv.reshape(ntri, 3, 2).astype(np.float32),
+            "material_id": np.full(ntri, max(inst.material_id, 0), np.int32),
+            "light_id": np.full(ntri, inst.light_id if is_light else -1, np.int32),
+            "geom_mask": np.full(
+                ntri, GEOMETRY_MASK_LIGHT if is_light else GEOMETRY_MASK_TRIANGLE, np.int32
+            ),
+        }
+        tri_chunks.append(chunk)
+
+    if tri_chunks:
+        cat = {k: np.concatenate([c[k] for c in tri_chunks]) for k in tri_chunks[0]}
+    else:
+        cat = {
+            "p": np.zeros((0, 3, 3), np.float32),
+            "n": np.zeros((0, 3, 3), np.float32),
+            "t": np.zeros((0, 3, 3), np.float32),
+            "uv": np.zeros((0, 3, 2), np.float32),
+            "material_id": np.zeros(0, np.int32),
+            "light_id": np.zeros(0, np.int32),
+            "geom_mask": np.zeros(0, np.int32),
+        }
+    return cat
+
+
+def flatten_scene_curves(scene: Scene) -> Optional[dict]:
+    """World-space cubic B-spline segments from curve instances."""
+    segs = {k: [] for k in ("p0", "p1", "p2", "p3", "w0", "w1", "w2", "w3", "material_id")}
+    any_seg = False
+    for inst in scene.instances:
+        if inst.type != InstanceType.eCurve:
+            continue
+        curve = scene.curves[inst.geom_id]
+        pts_all = np.concatenate(scene.curve_points) if scene.curve_points else np.zeros((0, 3), np.float32)
+        wid_all = np.concatenate(scene.curve_widths) if scene.curve_widths else np.zeros(0, np.float32)
+        cnt_all = (
+            np.concatenate(scene.curve_vertex_counts) if scene.curve_vertex_counts else np.zeros(0, np.uint32)
+        )
+        counts = cnt_all[
+            curve.vertex_counts_start : curve.vertex_counts_start + curve.vertex_counts_count
+        ]
+        m = inst.transform
+        base = curve.points_start
+        wbase = curve.widths_start
+        # uniform scale factor for widths
+        s = float(np.cbrt(abs(np.linalg.det(m[:3, :3])))) or 1.0
+        for c in counts:
+            c = int(c)
+            pts = pts_all[base : base + c].astype(np.float64) @ m[:3, :3].T + m[:3, 3]
+            if wbase >= 0 and curve.widths_count > 0:
+                ws = wid_all[wbase : wbase + c] * s
+                wbase += c
+            else:
+                ws = np.full(c, 0.1 * s, np.float32)
+            base += c
+            # sliding window of 4 control points per segment (cubic B-spline)
+            for i in range(c - 3):
+                any_seg = True
+                for j in range(4):
+                    segs[f"p{j}"].append(pts[i + j].astype(np.float32))
+                    segs[f"w{j}"].append(np.float32(ws[i + j]))
+                segs["material_id"].append(np.int32(max(inst.material_id, 0)))
+    if not any_seg:
+        return None
+    return {k: np.stack(v) if v and np.ndim(v[0]) else np.array(v) for k, v in segs.items()}
+
+
+def build_device_scene(
+    scene: Scene,
+    material_manager: Optional[MaterialManager] = None,
+    pad_multiple: int = 128,
+) -> DeviceScene:
+    """Full host->device build: flatten, compile materials, pad, upload."""
+    cat = flatten_scene_geometry(scene)
+    num_tri = int(cat["p"].shape[0])
+    padded = _round_up(num_tri, pad_multiple)
+    # padding triangles are degenerate (zero-area at origin) with mask 0
+    p = _pad_to(cat["p"], padded)
+    n = _pad_to(cat["n"], padded)
+    t = _pad_to(cat["t"], padded)
+    uv = _pad_to(cat["uv"], padded)
+    material_id = _pad_to(cat["material_id"], padded)
+    light_id = _pad_to(cat["light_id"], padded, fill=-1)
+    geom_mask = _pad_to(cat["geom_mask"], padded, fill=0)
+
+    mm = material_manager or MaterialManager()
+    compiled = mm.compile_scene_materials(scene.materials)
+    table = mm.generate_target_code(compiled)
+    table = MaterialTable(*[jnp.asarray(x) for x in table])
+
+    curves_np = flatten_scene_curves(scene)
+    curves = None
+    if curves_np is not None:
+        ns = int(curves_np["p0"].shape[0])
+        nsp = _round_up(ns, pad_multiple)
+        curves = DeviceCurves(
+            p0=jnp.asarray(_pad_to(curves_np["p0"], nsp)),
+            p1=jnp.asarray(_pad_to(curves_np["p1"], nsp)),
+            p2=jnp.asarray(_pad_to(curves_np["p2"], nsp)),
+            p3=jnp.asarray(_pad_to(curves_np["p3"], nsp)),
+            w0=jnp.asarray(_pad_to(curves_np["w0"], nsp)),
+            w1=jnp.asarray(_pad_to(curves_np["w1"], nsp)),
+            w2=jnp.asarray(_pad_to(curves_np["w2"], nsp)),
+            w3=jnp.asarray(_pad_to(curves_np["w3"], nsp)),
+            material_id=jnp.asarray(_pad_to(curves_np["material_id"], nsp)),
+        )
+        log.info("Device scene: {} curve segments ({} padded)", ns, nsp)
+
+    log.info(
+        "Device scene: {} triangles ({} padded), {} lights, {} materials",
+        num_tri,
+        padded,
+        len(scene.lights),
+        len(compiled),
+    )
+    return DeviceScene(
+        v0=jnp.asarray(p[:, 0]),
+        e1=jnp.asarray(p[:, 1] - p[:, 0]),
+        e2=jnp.asarray(p[:, 2] - p[:, 0]),
+        n0=jnp.asarray(n[:, 0]),
+        n1=jnp.asarray(n[:, 1]),
+        n2=jnp.asarray(n[:, 2]),
+        t0=jnp.asarray(t[:, 0]),
+        t1=jnp.asarray(t[:, 1]),
+        t2=jnp.asarray(t[:, 2]),
+        uv0=jnp.asarray(uv[:, 0]),
+        uv1=jnp.asarray(uv[:, 1]),
+        uv2=jnp.asarray(uv[:, 2]),
+        material_id=jnp.asarray(material_id),
+        light_id=jnp.asarray(light_id),
+        geom_mask=jnp.asarray(geom_mask),
+        lights=build_device_lights(scene),
+        materials=table,
+        curves=curves,
+        num_lights=len(scene.lights),
+        num_triangles=num_tri,
+    )

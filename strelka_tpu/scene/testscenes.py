@@ -1,0 +1,165 @@
+"""Built-in analytic test scenes (Cornell box & friends).
+
+The reference validates visually against checked-in renders (images/); these
+scenes are our deterministic equivalents for golden tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from strelka_tpu.scene.camera import Camera
+from strelka_tpu.scene.scene import (
+    InstanceType,
+    MaterialDescription,
+    Scene,
+    UniformLightDesc,
+)
+from strelka_tpu.utils import math3d as m3
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles for corners given CCW (normal = right-hand rule)."""
+    pos = np.array([p0, p1, p2, p3], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    n = np.cross(pos[1] - pos[0], pos[2] - pos[0])
+    n = n / np.linalg.norm(n)
+    normals = np.tile(n[None, :], (4, 1)).astype(np.float32)
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return pos, idx, normals, uvs
+
+
+def _box(center, size):
+    """Axis-aligned box as 12 triangles with outward normals."""
+    c = np.asarray(center, np.float64)
+    h = np.asarray(size, np.float64) / 2
+    # 6 faces
+    faces = []
+    x, y, z = h
+    # +x, -x, +y, -y, +z, -z
+    quads = [
+        ([x, -y, -z], [x, y, -z], [x, y, z], [x, -y, z]),
+        ([-x, -y, z], [-x, y, z], [-x, y, -z], [-x, -y, -z]),
+        ([-x, y, -z], [-x, y, z], [x, y, z], [x, y, -z]),
+        ([-x, -y, z], [-x, -y, -z], [x, -y, -z], [x, -y, z]),
+        ([-x, -y, z], [x, -y, z], [x, y, z], [-x, y, z]),
+        ([x, -y, -z], [-x, -y, -z], [-x, y, -z], [x, y, -z]),
+    ]
+    all_pos, all_idx, all_n, all_uv = [], [], [], []
+    ofs = 0
+    for q in quads:
+        pos, idx, nrm, uv = _quad(*[np.asarray(p) + c for p in q])
+        all_pos.append(pos)
+        all_idx.append(idx + ofs)
+        all_n.append(nrm)
+        all_uv.append(uv)
+        ofs += 4
+    return (
+        np.concatenate(all_pos),
+        np.concatenate(all_idx),
+        np.concatenate(all_n),
+        np.concatenate(all_uv),
+    )
+
+
+def _diffuse_material(name: str, color) -> MaterialDescription:
+    return MaterialDescription(
+        type="mdl",
+        file="default.mdl",
+        name=name,
+        has_color=True,
+        color=np.asarray(color, np.float32),
+    )
+
+
+def cornell_box(
+    light_intensity: float = 10.0,
+    with_boxes: bool = True,
+    glass_sphere: bool = False,
+    metal_box: bool = False,
+) -> Scene:
+    """Classic Cornell box: x in [-1,1], y in [0,2], z in [-1,1].
+
+    Camera at (0, 1, 3.9) looking down -z; rect light at the ceiling
+    emitting -y (reference light convention: emits along local -Z,
+    Lights.h:54-64, so the light xform rotates +Z to world +Y).
+    """
+    scene = Scene()
+    white = scene.add_material(_diffuse_material("white", [0.73, 0.73, 0.73]))
+    red = scene.add_material(_diffuse_material("red", [0.65, 0.05, 0.05]))
+    green = scene.add_material(_diffuse_material("green", [0.12, 0.45, 0.15]))
+
+    def add_quad(mat, *pts):
+        pos, idx, nrm, uv = _quad(*pts)
+        mesh = scene.create_mesh(pos, idx, normals=nrm, uvs=uv)
+        scene.create_instance(InstanceType.eMesh, mesh, mat, m3.identity4())
+
+    # inward normals: floor +y, ceiling -y, back wall +z, left red +x, right green -x
+    add_quad(white, [-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1])
+    add_quad(white, [-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1])
+    add_quad(white, [-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1])
+    add_quad(red, [-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1])
+    add_quad(green, [1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1])
+
+    if with_boxes:
+        tall_mat = white
+        if metal_box:
+            tall = MaterialDescription(
+                type="mdl", file="OmniPBR.mdl", name="metal", has_color=True, color=[0.8, 0.8, 0.9]
+            )
+            tall.params = {"metallic_constant": 1.0, "reflection_roughness_constant": 0.15}
+            tall_mat = scene.add_material(tall)
+        pos, idx, nrm, uv = _box([0, 0, 0], [0.6, 1.2, 0.6])
+        mesh = scene.create_mesh(pos, idx, normals=nrm, uvs=uv)
+        xf = m3.translate([-0.35, 0.6, -0.35]) @ m3.quat_to_mat4(
+            m3.quat_axis_angle([0, 1, 0], np.radians(18))
+        )
+        scene.create_instance(InstanceType.eMesh, mesh, tall_mat, xf)
+        pos, idx, nrm, uv = _box([0, 0, 0], [0.6, 0.6, 0.6])
+        mesh2 = scene.create_mesh(pos, idx, normals=nrm, uvs=uv)
+        xf2 = m3.translate([0.4, 0.3, 0.35]) @ m3.quat_to_mat4(
+            m3.quat_axis_angle([0, 1, 0], np.radians(-15))
+        )
+        scene.create_instance(InstanceType.eMesh, mesh2, white, xf2)
+
+    if glass_sphere:
+        glass = MaterialDescription(type="mdl", file="OmniGlass.mdl", name="glass")
+        glass.params = {"ior": 1.5}
+        gid = scene.add_material(glass)
+        sphere_mesh = scene._get_sphere_light_mesh()  # reuse unit sphere geometry
+        xf = m3.translate([0.4, 0.35, 0.35]) @ m3.scale(0.35)
+        scene.create_instance(InstanceType.eMesh, sphere_mesh, gid, xf)
+
+    # ceiling rect light, emits -y (local -Z -> world -Y via euler x=-90)
+    scene.create_light(
+        UniformLightDesc(
+            type=0,
+            position=np.array([0.0, 1.99, 0.0]),
+            orientation=np.array([-90.0, 0.0, 0.0]),
+            color=np.array([1.0, 0.85, 0.7]),
+            intensity=light_intensity,
+            width=0.9,
+            height=0.9,
+        )
+    )
+
+    cam = Camera(name="Main", fov=45.0, aspect=1.0)
+    cam.set_position([0.0, 1.0, 3.9])
+    scene.add_camera(cam)
+    scene.model_path = "builtin://cornell_box"
+    return scene
+
+
+def furnace_scene(albedo: float = 1.0, radius: float = 1.0) -> Scene:
+    """White furnace: a diffuse sphere in a uniform environment is invisible.
+
+    Used by BSDF energy-conservation tests (bg acts as the uniform emitter).
+    """
+    scene = Scene()
+    mat = scene.add_material(_diffuse_material("furnace", [albedo] * 3))
+    sphere = scene._get_sphere_light_mesh()
+    scene.create_instance(InstanceType.eMesh, sphere, mat, m3.scale(radius))
+    cam = Camera(name="Main", fov=45.0, aspect=1.0)
+    cam.set_position([0.0, 0.0, 4.0])
+    scene.add_camera(cam)
+    return scene
