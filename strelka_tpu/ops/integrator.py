@@ -36,8 +36,8 @@ from strelka_tpu.ops import sampler as S
 from strelka_tpu.ops import tonemap as TM
 from strelka_tpu.ops.intersect import (
     Hit,
-    intersect_any_bruteforce,
-    intersect_closest_bruteforce,
+    intersect_any,
+    intersect_closest,
     offset_ray,
 )
 from strelka_tpu.render.device_scene import (
@@ -186,7 +186,7 @@ def trace_paths(
 
     for depth in range(max_depth):
         rnd = lambda dim: S.random_dim(sample_idx, depth, dim)
-        hit = intersect_closest_bruteforce(
+        hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY, active=alive
         )
         missed = alive & (hit.prim < 0)
@@ -267,7 +267,7 @@ def trace_paths(
             li_all_nonzero = jnp.all(lcol != 0.0, axis=-1)
             geom_ok = (_dot(frame.normal, to_light) > 0.0) & (-_dot(to_light, ls.normal) > 0.0) & li_all_nonzero
             shadow_org = offset_ray(position, frame.geom_normal)
-            occluded = intersect_any_bruteforce(
+            occluded = intersect_any(
                 scene,
                 shadow_org,
                 to_light,

@@ -12,12 +12,15 @@ intersection offset (OptixRender_radiance_closest_hit.cu:218-233).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import TYPE_CHECKING, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from strelka_tpu.render.device_scene import DeviceScene
+if TYPE_CHECKING:  # break render<->ops import cycle; type-only use
+    from strelka_tpu.render.device_scene import DeviceScene
+else:
+    DeviceScene = "DeviceScene"
 
 _BIG = jnp.float32(1e16)
 
@@ -63,6 +66,67 @@ def _ray_tri_block(o, d, v0, e1, e2, tmin, tmax):
     return t, u, vv, hit
 
 
+def intersect_closest(
+    scene: DeviceScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    active: jnp.ndarray | None = None,
+) -> Hit:
+    """Dispatch: BVH traversal when the scene has one, else brute force."""
+    if scene.bvh is not None:
+        from strelka_tpu.ops.bvh import intersect_bvh
+
+        t, prim, u, v = intersect_bvh(
+            scene.bvh,
+            scene.v0,
+            scene.e1,
+            scene.e2,
+            scene.geom_mask,
+            origins,
+            directions,
+            tmin,
+            tmax,
+            ray_mask,
+            active=active,
+        )
+        return Hit(t=t, prim=prim, u=u, v=v)
+    return intersect_closest_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active)
+
+
+def intersect_any(
+    scene: DeviceScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    active: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Occlusion dispatch -> [N] bool."""
+    if scene.bvh is not None:
+        from strelka_tpu.ops.bvh import intersect_bvh
+
+        _, prim, _, _ = intersect_bvh(
+            scene.bvh,
+            scene.v0,
+            scene.e1,
+            scene.e2,
+            scene.geom_mask,
+            origins,
+            directions,
+            tmin,
+            tmax,
+            ray_mask,
+            active=active,
+            any_hit=True,
+        )
+        return prim >= 0
+    return intersect_any_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active)
+
+
 def intersect_closest_bruteforce(
     scene: DeviceScene,
     origins: jnp.ndarray,
@@ -83,13 +147,23 @@ def intersect_closest_bruteforce(
     num_blocks = (num_tri + block - 1) // block
     if active is None:
         active = jnp.ones(n, bool)
+    # pad to a block multiple: dynamic_slice clamps at the array end, which
+    # would re-test a shifted window and mis-number prims
+    pad = num_blocks * block - num_tri
+    tri_v0, tri_e1, tri_e2, tri_mask = scene.v0, scene.e1, scene.e2, scene.geom_mask
+    if pad:
+        z = jnp.zeros((pad, 3), tri_v0.dtype)
+        tri_v0 = jnp.concatenate([tri_v0, z])
+        tri_e1 = jnp.concatenate([tri_e1, z])
+        tri_e2 = jnp.concatenate([tri_e2, z])
+        tri_mask = jnp.concatenate([tri_mask, jnp.zeros(pad, tri_mask.dtype)])
 
     def body(carry, bi):
         best_t, best_prim, best_u, best_v = carry
         start = bi * block
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, block, axis=0)
-        t, u, v, hit = _ray_tri_block(origins, directions, sl(scene.v0), sl(scene.e1), sl(scene.e2), tmin, tmax)
-        mask_ok = (sl(scene.geom_mask) & ray_mask) != 0
+        t, u, v, hit = _ray_tri_block(origins, directions, sl(tri_v0), sl(tri_e1), sl(tri_e2), tmin, tmax)
+        mask_ok = (sl(tri_mask) & ray_mask) != 0
         hit = hit & mask_ok[None, :] & active[:, None]
         t = jnp.where(hit, t, _BIG)
         arg = jnp.argmin(t, axis=1)
@@ -129,12 +203,20 @@ def intersect_any_bruteforce(
     num_blocks = (num_tri + block - 1) // block
     if active is None:
         active = jnp.ones(n, bool)
+    pad = num_blocks * block - num_tri
+    tri_v0, tri_e1, tri_e2, tri_mask = scene.v0, scene.e1, scene.e2, scene.geom_mask
+    if pad:
+        z = jnp.zeros((pad, 3), tri_v0.dtype)
+        tri_v0 = jnp.concatenate([tri_v0, z])
+        tri_e1 = jnp.concatenate([tri_e1, z])
+        tri_e2 = jnp.concatenate([tri_e2, z])
+        tri_mask = jnp.concatenate([tri_mask, jnp.zeros(pad, tri_mask.dtype)])
 
     def body(occluded, bi):
         start = bi * block
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, block, axis=0)
-        _, _, _, hit = _ray_tri_block(origins, directions, sl(scene.v0), sl(scene.e1), sl(scene.e2), tmin, tmax)
-        mask_ok = (sl(scene.geom_mask) & ray_mask) != 0
+        _, _, _, hit = _ray_tri_block(origins, directions, sl(tri_v0), sl(tri_e1), sl(tri_e2), tmin, tmax)
+        mask_ok = (sl(tri_mask) & ray_mask) != 0
         hit = hit & mask_ok[None, :] & active[:, None]
         return occluded | jnp.any(hit, axis=1), None
 

@@ -85,6 +85,7 @@ class DeviceScene:
     lights: DeviceLights
     materials: MaterialTable  # jnp-ified
     curves: Optional[DeviceCurves]
+    bvh: Optional[object] = None  # BvhNodes (triangles reordered leaf-contiguous)
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -221,10 +222,28 @@ def build_device_scene(
     scene: Scene,
     material_manager: Optional[MaterialManager] = None,
     pad_multiple: int = 128,
+    use_bvh: Optional[bool] = None,
 ) -> DeviceScene:
-    """Full host->device build: flatten, compile materials, pad, upload."""
+    """Full host->device build: flatten, compile materials, build BVH
+    (the optixAccelBuild analog), reorder leaf-contiguous, pad, upload.
+
+    use_bvh None = auto (BVH for scenes above the brute-force win threshold).
+    """
     cat = flatten_scene_geometry(scene)
     num_tri = int(cat["p"].shape[0])
+
+    if use_bvh is None:
+        use_bvh = num_tri > 1024
+    bvh_nodes = None
+    if use_bvh and num_tri > 0:
+        from strelka_tpu.ops.bvh import BvhNodes, build_bvh_sah
+
+        p = cat["p"]
+        nodes, perm = build_bvh_sah(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        for k in cat:
+            cat[k] = cat[k][perm]
+        bvh_nodes = BvhNodes(*[jnp.asarray(np.asarray(x)) for x in nodes])
+        log.info("BVH built: {} nodes over {} triangles", len(np.asarray(nodes.count)), num_tri)
     padded = _round_up(num_tri, pad_multiple)
     # padding triangles are degenerate (zero-area at origin) with mask 0
     p = _pad_to(cat["p"], padded)
@@ -284,6 +303,7 @@ def build_device_scene(
         lights=build_device_lights(scene),
         materials=table,
         curves=curves,
+        bvh=bvh_nodes,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
     )
