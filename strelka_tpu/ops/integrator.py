@@ -150,6 +150,36 @@ def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
     )
 
 
+def _apply_textures(scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFrame, prim, uv):
+    """Texture lookups modulating material params + normal mapping.
+
+    The tex_lookup path of the MDL runtime (texture_support_cuda.h:287-528):
+    diffuse texture replaces the constant color, roughness/metallic textures
+    override their scalars (R channel), normal map perturbs the frame.
+    """
+    from strelka_tpu.textures import apply_normal_map, sample_bilinear
+
+    mid = jnp.maximum(scene.material_id[jnp.maximum(prim, 0)], 0)
+    m = scene.materials
+    uv_t = uv * m.uv_scale[mid] + m.uv_offset[mid]
+    d_id = m.diffuse_tex[mid]
+    diff = sample_bilinear(scene.textures, d_id, uv_t)
+    mat = mat._replace(
+        diffuse_color=jnp.where((d_id >= 0)[:, None], diff[..., :3], mat.diffuse_color)
+    )
+    r_id = m.roughness_tex[mid]
+    rough = sample_bilinear(scene.textures, r_id, uv_t)
+    mat = mat._replace(roughness=jnp.where(r_id >= 0, rough[..., 0], mat.roughness))
+    mt_id = m.metallic_tex[mid]
+    metal = sample_bilinear(scene.textures, mt_id, uv_t)
+    mat = mat._replace(metallic=jnp.where(mt_id >= 0, metal[..., 0], mat.metallic))
+    n_id = m.normal_tex[mid]
+    n_map = apply_normal_map(frame.normal, frame.tangent_u, frame.tangent_v, sample_bilinear(scene.textures, n_id, uv_t)[..., :3])
+    new_n = jnp.where((n_id >= 0)[:, None], n_map, frame.normal)
+    frame = frame._replace(normal=new_n, tangent_v=jnp.cross(new_n, frame.tangent_u))
+    return mat, frame
+
+
 def _gather_light(scene: DeviceScene, light_id):
     lid = jnp.clip(light_id, 0, scene.lights.points.shape[0] - 1)
     L = scene.lights
@@ -217,6 +247,8 @@ def trace_paths(
         # ---- __closesthit__radiance (surface shading)
         position, uv, frame = _gather_surface(scene, hit, direction, inside)
         mat = _gather_material(scene, hit.prim)
+        if scene.textures is not None:
+            mat, frame = _apply_textures(scene, mat, frame, hit.prim, uv)
 
         if debug == 1:
             normals_col = (frame.normal + 1.0) * 0.5

@@ -86,6 +86,7 @@ class DeviceScene:
     materials: MaterialTable  # jnp-ified
     curves: Optional[DeviceCurves]
     bvh: Optional[object] = None  # BvhNodes (triangles reordered leaf-contiguous)
+    textures: Optional[object] = None  # TextureAtlas
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -255,9 +256,14 @@ def build_device_scene(
     geom_mask = _pad_to(cat["geom_mask"], padded, fill=0)
 
     mm = material_manager or MaterialManager()
+    if mm.texture_manager is None:
+        from strelka_tpu.textures import TextureManager
+
+        mm.texture_manager = TextureManager(search_path=scene.get_scene_dir())
     compiled = mm.compile_scene_materials(scene.materials)
     table = mm.generate_target_code(compiled)
     table = MaterialTable(*[jnp.asarray(x) for x in table])
+    atlas = mm.texture_manager.build_atlas()
 
     curves_np = flatten_scene_curves(scene)
     curves = None
@@ -304,6 +310,7 @@ def build_device_scene(
         materials=table,
         curves=curves,
         bvh=bvh_nodes,
+        textures=atlas,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
     )
