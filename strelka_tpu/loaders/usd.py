@@ -1,0 +1,523 @@
+"""USD scene ingestion — the HdStrelka render-delegate capability without pxr.
+
+Replicates what the reference's Hydra stack bakes into oka::Scene
+(HdStrelka/RenderPass.cpp:132-289 _BakeMeshes + the prim Sync methods):
+
+  * Mesh prims: triangulation (fan, HdMeshUtil-equivalent), vertex/faceVarying
+    normals + primvars:st, smooth-normal fallback (Mesh.cpp:205-303)
+  * Xform composition incl. matrix ops (USD row-vector matrices transposed
+    into our column-vector convention)
+  * Cameras: focal length + apertures -> fov, world-transform decompose with
+    conjugated quaternion (Camera.cpp:44-105)
+  * UsdLux lights: rect/disk/sphere/distant with intensity * 2^exposure,
+    color temperature via the Catmull-Rom blackbody table (Light.cpp:32-103),
+    distant-light normalization /(pi sin^2 theta) (Light.cpp:206)
+  * UsdPreviewSurface material networks incl. UsdUVTexture file inputs
+    (Material.cpp:52-163 + MaterialNetworkTranslator param mapping)
+  * BasisCurves -> scene curves (BasisCurves.cpp:5-160)
+  * references/payloads to sibling usda layers (flattened subset)
+
+Binary .usdc is not parseable without pxr — load fails with a clear message
+(the capability surface is USD-scene rendering; author flattened .usda).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from strelka_tpu import log
+from strelka_tpu.loaders.usda_parser import Attr, Prim, parse_usda
+from strelka_tpu.scene.camera import Camera
+from strelka_tpu.scene.scene import (
+    CurveType,
+    InstanceType,
+    MaterialDescription,
+    Scene,
+    UniformLightDesc,
+)
+from strelka_tpu.utils import math3d as m3
+
+# Blackbody table from HdStrelka/Light.cpp:32-56 (public UsdLux-derived data)
+_BLACKBODY_RGB = np.array(
+    [
+        [1.000000, 0.027490, 0.000000],
+        [1.000000, 0.027490, 0.000000],
+        [1.000000, 0.149664, 0.000000],
+        [1.000000, 0.256644, 0.008095],
+        [1.000000, 0.372033, 0.067450],
+        [1.000000, 0.476725, 0.153601],
+        [1.000000, 0.570376, 0.259196],
+        [1.000000, 0.653480, 0.377155],
+        [1.000000, 0.726878, 0.501606],
+        [1.000000, 0.791543, 0.628050],
+        [1.000000, 0.848462, 0.753228],
+        [1.000000, 0.898581, 0.874905],
+        [1.000000, 0.942771, 0.991642],
+        [0.906947, 0.890456, 1.000000],
+        [0.828247, 0.841838, 1.000000],
+        [0.765791, 0.801896, 1.000000],
+        [0.715255, 0.768579, 1.000000],
+        [0.673683, 0.740423, 1.000000],
+        [0.638992, 0.716359, 1.000000],
+        [0.609681, 0.695588, 1.000000],
+        [0.609681, 0.695588, 1.000000],
+        [0.609681, 0.695588, 1.000000],
+    ]
+)
+
+_BASIS = np.array(
+    [[-0.5, 1.5, -1.5, 0.5], [1.0, -2.5, 2.0, -0.5], [-0.5, 0.0, 0.5, 0.0], [0.0, 1.0, 0.0, 0.0]]
+)
+
+
+def blackbody_temperature_as_rgb(temp: float) -> np.ndarray:
+    """Catmull-Rom blackbody spline, luma-normalized (Light.cpp:68-103)."""
+    num_knots = len(_BLACKBODY_RGB)
+    u = float(np.clip((temp - 1000.0) / 9000.0, 0.0, 1.0))
+    num_segs = num_knots - 4
+    x = u * num_segs
+    seg = int(np.floor(x))
+    useg = x - seg
+    k = _BLACKBODY_RGB[seg : seg + 4]
+    coeffs = _BASIS @ k
+    rgb = ((coeffs[0] * useg + coeffs[1]) * useg + coeffs[2]) * useg + coeffs[3]
+    luma = float(rgb @ [0.2126, 0.7152, 0.0722])
+    rgb = rgb / max(luma, 1e-9)
+    return np.maximum(rgb, 0.0)
+
+
+def _vec(v, n=3, default=0.0) -> np.ndarray:
+    if v is None:
+        return np.full(n, default)
+    if isinstance(v, (int, float)):
+        return np.full(n, float(v))
+    return np.asarray([float(x) for x in v], np.float64)[:n]
+
+
+def _attr_val(prim: Prim, name: str, default=None):
+    a = prim.attrs.get(name)
+    if a is None or a.value is None:
+        return default
+    return a.value
+
+
+def _usd_matrix_to_row_major(rows) -> np.ndarray:
+    """USD matrix4d (row-vector convention, translation in last row) ->
+    our row-major column-vector convention: transpose."""
+    m = np.asarray([[float(c) for c in row] for row in rows], np.float64)
+    return m.T
+
+
+def local_transform(prim: Prim) -> np.ndarray:
+    """Compose xformOps in xformOpOrder (column-vector convention)."""
+    order = _attr_val(prim, "xformOpOrder")
+    if order is None:
+        order = [k for k in prim.attrs if k.startswith("xformOp:")]
+    xf = m3.identity4()
+    for op_name in order:
+        if not isinstance(op_name, str):
+            continue
+        inverted = op_name.startswith("!invert!")
+        key = op_name.replace("!invert!", "")
+        a = prim.attrs.get(key)
+        if a is None or a.value is None:
+            continue
+        v = a.value
+        op = key.split(":")[1] if ":" in key else key
+        if op == "translate":
+            M = m3.translate(_vec(v))
+        elif op == "scale":
+            M = m3.scale(_vec(v, default=1.0))
+        elif op.startswith("rotateXYZ"):
+            r = np.radians(_vec(v))
+            M = (
+                m3.quat_to_mat4(m3.quat_axis_angle([1, 0, 0], r[0]))
+                @ m3.quat_to_mat4(m3.quat_axis_angle([0, 1, 0], r[1]))
+                @ m3.quat_to_mat4(m3.quat_axis_angle([0, 0, 1], r[2]))
+            )
+        elif op.startswith("rotateZYX"):
+            r = np.radians(_vec(v))
+            M = (
+                m3.quat_to_mat4(m3.quat_axis_angle([0, 0, 1], r[2]))
+                @ m3.quat_to_mat4(m3.quat_axis_angle([0, 1, 0], r[1]))
+                @ m3.quat_to_mat4(m3.quat_axis_angle([1, 0, 0], r[0]))
+            )
+        elif op.startswith("rotateX"):
+            M = m3.quat_to_mat4(m3.quat_axis_angle([1, 0, 0], np.radians(float(v))))
+        elif op.startswith("rotateY"):
+            M = m3.quat_to_mat4(m3.quat_axis_angle([0, 1, 0], np.radians(float(v))))
+        elif op.startswith("rotateZ"):
+            M = m3.quat_to_mat4(m3.quat_axis_angle([0, 0, 1], np.radians(float(v))))
+        elif op == "transform":
+            M = _usd_matrix_to_row_major(v)
+        elif op == "orient":
+            # quatf (w, x, y, z) in usda text is (w, x, y, z)? USD serializes (w, x, y, z)
+            q = _vec(v, 4)
+            M = m3.quat_to_mat4([q[0], q[1], q[2], q[3]])
+        else:
+            continue
+        if inverted:
+            M = np.linalg.inv(M)
+        xf = xf @ M
+    return xf
+
+
+def _triangulate(counts: List[int], indices: List[int], left_handed: bool) -> np.ndarray:
+    """Fan triangulation of n-gons (HdMeshUtil equivalent). Returns [F,3] of
+    face-vertex SLOT indices (positions into the flat faceVertexIndices)."""
+    tris = []
+    ofs = 0
+    for c in counts:
+        c = int(c)
+        for k in range(1, c - 1):
+            if left_handed:
+                tris.append((ofs, ofs + k + 1, ofs + k))
+            else:
+                tris.append((ofs, ofs + k, ofs + k + 1))
+        ofs += c
+    return np.asarray(tris, np.int64).reshape(-1, 3)
+
+
+class UsdLoader:
+    """Load a flattened .usda stage into a Scene."""
+
+    def __init__(self) -> None:
+        self._layer_cache: Dict[str, Prim] = {}
+        self._material_ids: Dict[str, int] = {}
+        self._base_dir = ""
+
+    def load(self, path: str, scene: Scene) -> bool:
+        if path.lower().endswith((".usdc", ".usd")):
+            # .usd may be text; sniff
+            with open(path, "rb") as f:
+                head = f.read(8)
+            if not head.startswith(b"#usda"):
+                log.error(
+                    "Binary usdc is not supported without pxr; flatten to .usda "
+                    "(usdcat --flatten scene.usd -o scene.usda)"
+                )
+                return False
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                text = f.read()
+            root = parse_usda(text)
+        except (OSError, ValueError, SyntaxError) as e:
+            log.error("USD parse failed for {}: {}", path, e)
+            return False
+        self._base_dir = os.path.dirname(os.path.abspath(path))
+        scene.model_path = path
+        self._resolve_references(root)
+        self._root = root
+        # bake pass (RenderPass._BakeMeshes equivalent)
+        for prim in root.children:
+            self._walk(prim, m3.identity4(), scene)
+        if not scene.cameras:
+            cam = Camera(name="default")
+            cam.set_position([0.0, 0.0, -10.0])
+            scene.add_camera(cam)
+        if not scene.lights:
+            log.warning("No lights in USD stage; adding default distant light")
+            scene.create_light(
+                UniformLightDesc(
+                    type=3,
+                    orientation=np.array([-45.0, 15.0, 0.0]),
+                    half_angle=np.radians(5.0),
+                    intensity=100000.0,
+                    color=np.ones(3),
+                )
+            )
+        if not scene.materials:
+            scene.add_material(MaterialDescription(type="mdl", file="default.mdl", name="default"))
+        return True
+
+    # ------------------------------------------------------------------
+    def _resolve_references(self, prim: Prim, depth: int = 0) -> None:
+        """Graft referenced/payloaded usda layers (flattened subset)."""
+        if depth > 16:
+            return
+        for key in ("references", "payload", "prepend references", "prepend payload"):
+            ref = prim.metadata.get(key)
+            if ref is None:
+                continue
+            refs = ref if isinstance(ref, list) else [ref]
+            for r in refs:
+                asset, target = None, None
+                if isinstance(r, tuple) and r and r[0] == "__asset__":
+                    asset = r[1]
+                elif isinstance(r, tuple) and len(r) == 2 and isinstance(r[0], tuple):
+                    if r[0][0] == "__asset__":
+                        asset = r[0][1]
+                    if isinstance(r[1], tuple) and r[1][0] == "__path__":
+                        target = r[1][1]
+                if not asset:
+                    continue
+                layer = self._load_layer(asset)
+                if layer is None:
+                    continue
+                src = None
+                if target:
+                    src = layer.find(target)
+                else:
+                    dp = layer.metadata.get("defaultPrim")
+                    if isinstance(dp, str):
+                        src = layer.find("/" + dp)
+                    elif layer.children:
+                        src = layer.children[0]
+                if src is not None:
+                    # graft: child prims + attrs (weaker than local opinions)
+                    for k, v in src.attrs.items():
+                        prim.attrs.setdefault(k, v)
+                    prim.children.extend(src.children)
+                    if not prim.type:
+                        prim.type = src.type
+        for c in prim.children:
+            self._resolve_references(c, depth + 1)
+
+    def _load_layer(self, asset: str) -> Optional[Prim]:
+        full = asset if os.path.isabs(asset) else os.path.join(self._base_dir, asset)
+        if full in self._layer_cache:
+            return self._layer_cache[full]
+        if not os.path.exists(full):
+            log.warning("Referenced layer not found: {}", asset)
+            return None
+        try:
+            with open(full, "r", encoding="utf-8") as f:
+                layer = parse_usda(f.read())
+        except (ValueError, SyntaxError) as e:
+            log.warning("Referenced layer parse failed {}: {}", asset, e)
+            return None
+        self._layer_cache[full] = layer
+        return layer
+
+    # ------------------------------------------------------------------
+    def _walk(self, prim: Prim, parent_xf: np.ndarray, scene: Scene) -> None:
+        if prim.metadata.get("active") is False:
+            return
+        xf = parent_xf @ local_transform(prim)
+        t = prim.type
+        if t == "Mesh":
+            self._bake_mesh(prim, xf, scene)
+        elif t == "Camera":
+            self._bake_camera(prim, xf, scene)
+        elif t in ("RectLight", "DiskLight", "SphereLight", "DistantLight"):
+            self._bake_light(prim, xf, scene, t)
+        elif t == "BasisCurves":
+            self._bake_curves(prim, xf, scene)
+        for c in prim.children:
+            self._walk(c, xf, scene)
+
+    # ------------------------------------------------------------------
+    def _bake_mesh(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
+        points = _attr_val(prim, "points")
+        fvi = _attr_val(prim, "faceVertexIndices")
+        fvc = _attr_val(prim, "faceVertexCounts")
+        if points is None or fvi is None or fvc is None:
+            return
+        pts = np.asarray([[float(c) for c in p] for p in points], np.float32)
+        fvi = np.asarray([int(i) for i in fvi], np.int64)
+        fvc = [int(c) for c in fvc]
+        left_handed = _attr_val(prim, "orientation") == "leftHanded"
+        tri_slots = _triangulate(fvc, fvi, left_handed)
+        if len(tri_slots) == 0:
+            return
+
+        # flatten to per-face-vertex arrays (Mesh.cpp:123-179)
+        slot_to_point = fvi
+        tri_pts = pts[slot_to_point[tri_slots]]
+
+        normals_attr = _attr_val(prim, "normals")
+        interp = None
+        if "normals:__interp__" in prim.attrs:
+            interp = prim.attrs["normals:__interp__"].value
+        if normals_attr is not None:
+            nrm = np.asarray([[float(c) for c in p] for p in normals_attr], np.float32)
+            if len(nrm) == len(pts) and interp in (None, "vertex", "varying"):
+                tri_nrm = nrm[slot_to_point[tri_slots]]
+            elif len(nrm) == len(fvi):  # faceVarying
+                tri_nrm = nrm[tri_slots]
+            else:
+                tri_nrm = None
+        else:
+            tri_nrm = None
+
+        st_attr = _attr_val(prim, "primvars:st") or _attr_val(prim, "primvars:uv")
+        tri_uv = None
+        if st_attr is not None:
+            st = np.asarray([[float(c) for c in p] for p in st_attr], np.float32)
+            st_interp = None
+            for key in ("primvars:st:__interp__", "primvars:uv:__interp__"):
+                if key in prim.attrs:
+                    st_interp = prim.attrs[key].value
+            idx_attr = _attr_val(prim, "primvars:st:indices")
+            if idx_attr is not None:
+                st = st[np.asarray([int(i) for i in idx_attr], np.int64)]
+            if len(st) == len(fvi) and st_interp != "vertex":
+                tri_uv = st[tri_slots]
+            elif len(st) == len(pts):
+                tri_uv = st[slot_to_point[tri_slots]]
+
+        nface = len(tri_slots)
+        flat_pos = tri_pts.reshape(-1, 3)
+        if tri_nrm is None:
+            # smooth-normal fallback per face (Mesh.cpp:241-255 equivalent)
+            fn = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+            fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+            flat_nrm = np.repeat(fn, 3, axis=0)
+        else:
+            flat_nrm = tri_nrm.reshape(-1, 3)
+        flat_uv = tri_uv.reshape(-1, 2) if tri_uv is not None else np.zeros((nface * 3, 2), np.float32)
+        indices = np.arange(nface * 3, dtype=np.uint32)
+        mesh_id = scene.create_mesh(flat_pos, indices, normals=flat_nrm, uvs=flat_uv)
+        mat_id = self._resolve_material(prim, scene)
+        scene.create_instance(InstanceType.eMesh, mesh_id, mat_id, xf)
+
+    # ------------------------------------------------------------------
+    def _bake_camera(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
+        """HdStrelka/Camera.cpp:44-105."""
+        focal = float(_attr_val(prim, "focalLength", 50.0))
+        v_ap = float(_attr_val(prim, "verticalAperture", 15.2908))
+        h_ap = float(_attr_val(prim, "horizontalAperture", 20.955))
+        fov = np.degrees(2.0 * np.arctan(v_ap / (2.0 * focal)))
+        clip = _attr_val(prim, "clippingRange", (0.1, 100000.0))
+        cam = Camera(
+            name=prim.name,
+            fov=float(fov),
+            aspect=h_ap / v_ap,
+            znear=float(clip[0]),
+            zfar=float(clip[1]),
+        )
+        rot = xf[:3, :3].copy()
+        sc = np.linalg.norm(rot, axis=0)
+        rot = rot / np.maximum(sc, 1e-20)
+        cam.orientation = m3.quat_conjugate(m3.quat_from_mat3(rot))
+        cam.position = xf[:3, 3]
+        cam.update_view_matrix()
+        scene.add_camera(cam)
+
+    # ------------------------------------------------------------------
+    def _bake_light(self, prim: Prim, xf: np.ndarray, scene: Scene, light_type: str) -> None:
+        """HdStrelkaLight::Sync (Light.cpp:113-209)."""
+        color = _vec(_attr_val(prim, "inputs:color", (1.0, 1.0, 1.0)))
+        if _attr_val(prim, "inputs:enableColorTemperature", False):
+            temp = _attr_val(prim, "inputs:colorTemperature")
+            if temp is not None:
+                color = color * blackbody_temperature_as_rgb(float(temp))
+        intensity = float(_attr_val(prim, "inputs:intensity", 1.0))
+        exposure = float(_attr_val(prim, "inputs:exposure", 0.0))
+        intensity *= 2.0 ** np.clip(exposure, -50.0, 50.0)
+
+        desc = UniformLightDesc(color=color, intensity=intensity, xform=xf, use_xform=True)
+        if light_type == "RectLight":
+            desc.type = 0
+            desc.width = float(_attr_val(prim, "inputs:width", 1.0))
+            desc.height = float(_attr_val(prim, "inputs:height", 1.0))
+            # update_light composes xform @ scale(width, height, 1) itself
+        elif light_type in ("DiskLight", "SphereLight"):
+            desc.type = 1 if light_type == "DiskLight" else 2
+            radius = float(_attr_val(prim, "inputs:radius", 0.5))
+            desc.radius = radius * float(xf[0, 0])  # uniform scale (Light.cpp:196)
+        elif light_type == "DistantLight":
+            desc.type = 3
+            angle = float(_attr_val(prim, "inputs:angle", 0.53))
+            desc.half_angle = angle * 0.5 * (np.pi / 180.0)
+            desc.intensity = desc.intensity / (np.pi * np.sin(desc.half_angle) ** 2)
+        scene.create_light(desc)
+
+    # ------------------------------------------------------------------
+    def _bake_curves(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
+        points = _attr_val(prim, "points")
+        counts = _attr_val(prim, "curveVertexCounts")
+        if points is None or counts is None:
+            return
+        pts = np.asarray([[float(c) for c in p] for p in points], np.float32)
+        counts = np.asarray([int(c) for c in counts], np.uint32)
+        widths = _attr_val(prim, "widths")
+        if widths is not None:
+            widths = np.asarray([float(w) for w in widths], np.float32) * 0.5  # width -> radius
+        curve_id = scene.create_curve(CurveType.eCubic, counts, pts, widths)
+        mat_id = self._resolve_material(prim, scene)
+        scene.create_instance(InstanceType.eCurve, curve_id, mat_id, xf)
+
+    # ------------------------------------------------------------------
+    def _resolve_material(self, prim: Prim, scene: Scene) -> int:
+        rel = prim.attrs.get("material:binding")
+        if rel is None or not rel.targets:
+            return self._default_material(scene)
+        target = rel.targets[0]
+        if target in self._material_ids:
+            return self._material_ids[target]
+        mat_prim = self._root.find(target)
+        if mat_prim is None:
+            return self._default_material(scene)
+        desc = self._material_from_network(mat_prim)
+        mid = scene.add_material(desc)
+        self._material_ids[target] = mid
+        return mid
+
+    def _material_from_network(self, mat_prim: Prim) -> MaterialDescription:
+        """UsdPreviewSurface network -> material description
+        (HdStrelkaMaterial::Sync param collection, Material.cpp:52-163)."""
+        desc = MaterialDescription(type="mtlx", name=mat_prim.name, file="OmniPBR.mdl")
+        # find surface shader
+        surf = mat_prim.attrs.get("outputs:surface")
+        shader = None
+        if surf is not None and surf.connect:
+            spath = surf.connect.split(".")[0]
+            shader = self._root.find(spath)
+        if shader is None:
+            for c in mat_prim.children:
+                if c.type == "Shader" and _attr_val(c, "info:id") == "UsdPreviewSurface":
+                    shader = c
+                    break
+        if shader is None:
+            return desc
+
+        def shader_input(name, default=None):
+            a = shader.attrs.get(f"inputs:{name}")
+            if a is None:
+                return default, None
+            if a.connect:
+                tex_prim = self._root.find(a.connect.split(".")[0])
+                if tex_prim is not None and _attr_val(tex_prim, "info:id") == "UsdUVTexture":
+                    f = _attr_val(tex_prim, "inputs:file")
+                    if isinstance(f, tuple) and f[0] == "__asset__":
+                        return default, f[1]
+                return default, None
+            return a.value, None
+
+        dc, dc_tex = shader_input("diffuseColor", (0.18, 0.18, 0.18))
+        desc.has_color = True
+        desc.color = _vec(dc, default=0.18).astype(np.float32)
+        desc.params["diffuse_color_constant"] = desc.color
+        if dc_tex:
+            desc.params["diffuse_texture"] = dc_tex
+        rough, rough_tex = shader_input("roughness", 0.5)
+        desc.params["reflection_roughness_constant"] = float(rough)
+        if rough_tex:
+            desc.params["reflectionroughness_texture"] = rough_tex
+        metal, metal_tex = shader_input("metallic", 0.0)
+        desc.params["metallic_constant"] = float(metal)
+        if metal_tex:
+            desc.params["metallic_texture"] = metal_tex
+        _, nrm_tex = shader_input("normal")
+        if nrm_tex:
+            desc.params["normalmap_texture"] = nrm_tex
+        ior, _ = shader_input("ior", 1.5)
+        desc.params["ior"] = float(ior)
+        opacity, _ = shader_input("opacity", 1.0)
+        desc.params["opacity"] = float(opacity)
+        emissive, _ = shader_input("emissiveColor", (0.0, 0.0, 0.0))
+        desc.params["emissive_color"] = _vec(emissive).astype(np.float32)
+        return desc
+
+    def _default_material(self, scene: Scene) -> int:
+        if "__default__" in self._material_ids:
+            return self._material_ids["__default__"]
+        mid = scene.add_material(
+            MaterialDescription(type="mdl", file="default.mdl", name="default", has_color=True)
+        )
+        self._material_ids["__default__"] = mid
+        return mid

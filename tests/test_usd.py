@@ -1,0 +1,225 @@
+"""USDA parser + USD scene building tests."""
+
+import numpy as np
+import pytest
+
+from strelka_tpu.loaders.usd import UsdLoader, blackbody_temperature_as_rgb
+from strelka_tpu.loaders.usda_parser import parse_usda
+from strelka_tpu.scene.scene import InstanceType, Scene
+
+_STAGE = """#usda 1.0
+(
+    defaultPrim = "World"
+    metersPerUnit = 0.01
+    upAxis = "Y"
+)
+
+def Xform "World"
+{
+    def Xform "Geo" (
+        kind = "group"
+    )
+    {
+        double3 xformOp:translate = (0, 1, 0)
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+
+        def Mesh "quad"
+        {
+            point3f[] points = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
+            int[] faceVertexIndices = [0, 3, 2, 1]
+            int[] faceVertexCounts = [4]
+            normal3f[] normals = [(0, 1, 0), (0, 1, 0), (0, 1, 0), (0, 1, 0)]
+            texCoord2f[] primvars:st = [(0, 0), (0, 1), (1, 1), (1, 0)] (
+                interpolation = "vertex"
+            )
+            rel material:binding = </World/Materials/Red>
+            double3 xformOp:scale = (2, 2, 2)
+            uniform token[] xformOpOrder = ["xformOp:scale"]
+        }
+    }
+
+    def Camera "cam"
+    {
+        float focalLength = 50
+        float horizontalAperture = 20.955
+        float verticalAperture = 15.2908
+        float2 clippingRange = (0.1, 10000)
+        double3 xformOp:translate = (0, 2, 8)
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+    }
+
+    def RectLight "lamp"
+    {
+        color3f inputs:color = (1, 0.9, 0.8)
+        float inputs:intensity = 10
+        float inputs:exposure = 2
+        float inputs:width = 2
+        float inputs:height = 1
+        double3 xformOp:translate = (0, 5, 0)
+        double3 xformOp:rotateXYZ = (-90, 0, 0)
+        uniform token[] xformOpOrder = ["xformOp:translate", "xformOp:rotateXYZ"]
+    }
+
+    def DistantLight "sun"
+    {
+        float inputs:intensity = 100
+        float inputs:angle = 1.0
+    }
+
+    def Scope "Materials"
+    {
+        def Material "Red"
+        {
+            token outputs:surface.connect = </World/Materials/Red/Surface.outputs:surface>
+
+            def Shader "Surface"
+            {
+                uniform token info:id = "UsdPreviewSurface"
+                color3f inputs:diffuseColor = (0.8, 0.1, 0.1)
+                float inputs:roughness = 0.3
+                float inputs:metallic = 0.9
+                float inputs:ior = 1.6
+                token outputs:surface
+            }
+        }
+    }
+}
+"""
+
+
+def test_parse_usda_structure():
+    root = parse_usda(_STAGE)
+    assert root.metadata["defaultPrim"] == "World"
+    world = root.find("/World")
+    assert world is not None and world.type == "Xform"
+    quad = root.find("/World/Geo/quad")
+    assert quad.type == "Mesh"
+    assert len(quad.attrs["points"].value) == 4
+    assert quad.attrs["material:binding"].targets == ["/World/Materials/Red"]
+    surf = root.find("/World/Materials/Red")
+    assert surf.attrs["outputs:surface"].connect == "/World/Materials/Red/Surface.outputs:surface"
+    st_interp = quad.attrs.get("primvars:st:__interp__")
+    assert st_interp is not None and st_interp.value == "vertex"
+
+
+def test_usd_scene_build(tmp_path):
+    p = tmp_path / "stage.usda"
+    p.write_text(_STAGE)
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+
+    # mesh: quad fan-triangulated to 2 tris, xform composed (translate+scale)
+    mesh_insts = [i for i in scene.instances if i.type == InstanceType.eMesh]
+    assert len(mesh_insts) == 1
+    xf = mesh_insts[0].transform
+    assert np.allclose(xf[:3, 3], [0, 1, 0])
+    assert np.allclose(np.diag(xf)[:3], [2, 2, 2])
+    pos, nrm, tan, uv, idx = scene.vertex_pools()
+    # light proxies add geometry; mesh contributes first 6 flat verts
+    assert len(idx) >= 6
+
+    # material: UsdPreviewSurface mapped
+    mats = [m for m in scene.materials if m.name == "Red"]
+    assert len(mats) == 1
+    m = mats[0]
+    assert np.allclose(m.params["diffuse_color_constant"], [0.8, 0.1, 0.1])
+    assert m.params["reflection_roughness_constant"] == pytest.approx(0.3)
+    assert m.params["metallic_constant"] == pytest.approx(0.9)
+
+    # lights: rect with 2^exposure scaling + distant with /(pi sin^2) norm
+    rect = [d for d in scene.light_descs if d.type == 0][0]
+    assert rect.intensity == pytest.approx(10 * 2**2)
+    assert rect.use_xform
+    dist = [d for d in scene.light_descs if d.type == 3][0]
+    half = 1.0 * 0.5 * np.pi / 180.0
+    assert dist.half_angle == pytest.approx(half)
+    assert dist.intensity == pytest.approx(100 / (np.pi * np.sin(half) ** 2), rel=1e-4)
+
+    # rect light packed corners: width 2 x height 1 at y=5, facing -y
+    light = scene.lights[[d.type for d in scene.light_descs].index(0)]
+    pts = light.points[:, :3]
+    assert np.allclose(pts[:, 1], 5.0, atol=1e-5)
+    e1 = pts[1] - pts[0]
+    e2 = pts[3] - pts[0]
+    assert np.linalg.norm(np.cross(e1, e2)) == pytest.approx(2.0, rel=1e-4)
+
+    # camera
+    cam = scene.get_camera(0)
+    assert cam.name == "cam"
+    assert np.allclose(cam.position, [0, 2, 8])
+    assert cam.fov == pytest.approx(np.degrees(2 * np.arctan(15.2908 / 100.0)), rel=1e-4)
+
+
+def test_blackbody():
+    # 6500K is near white
+    rgb = blackbody_temperature_as_rgb(6500.0)
+    assert np.all(np.abs(rgb - 1.0) < 0.15)
+    # 2000K is strongly red
+    warm = blackbody_temperature_as_rgb(2000.0)
+    assert warm[0] > warm[1] > warm[2]
+    # luma normalized
+    assert rgb @ [0.2126, 0.7152, 0.0722] == pytest.approx(1.0, rel=1e-5)
+
+
+def test_usd_references(tmp_path):
+    geo = tmp_path / "geo.usda"
+    geo.write_text("""#usda 1.0
+(
+    defaultPrim = "Model"
+)
+def Xform "Model"
+{
+    def Mesh "tri"
+    {
+        point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+    }
+}
+""")
+    stage = tmp_path / "main.usda"
+    stage.write_text("""#usda 1.0
+(
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def Xform "inst1" (
+        references = @./geo.usda@
+    )
+    {
+        double3 xformOp:translate = (5, 0, 0)
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+    }
+}
+""")
+    scene = Scene()
+    assert UsdLoader().load(str(stage), scene)
+    mesh_insts = [i for i in scene.instances if i.type == InstanceType.eMesh]
+    assert len(mesh_insts) == 1
+    assert np.allclose(mesh_insts[0].transform[:3, 3], [5, 0, 0])
+
+
+def test_usd_render_end_to_end(tmp_path):
+    p = tmp_path / "stage.usda"
+    p.write_text(_STAGE)
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+
+    from strelka_tpu.render.buffer import BufferDesc, BufferFormat
+    from strelka_tpu.render.render import RenderFactory
+    from strelka_tpu.settings import SharedContext, make_default_settings
+
+    s = make_default_settings(24, 24)
+    s.set("render/pt/sppTotal", 2)
+    s.set("render/pt/spp", 2)
+    ctx = SharedContext(s)
+    r = RenderFactory.create_render()
+    r.set_scene(scene)
+    r.set_shared_context(ctx)
+    r.init()
+    buf = r.create_buffer(BufferDesc(24, 24, BufferFormat.FLOAT4))
+    r.render(buf)
+    img = buf.map()
+    assert not np.isnan(img).any()
+    assert img[..., :3].max() > 0.0
