@@ -22,4 +22,25 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (the analog of the driver-side OptiX
+    pipeline cache): makes repeated launch configs compile once per machine."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "STRELKA_XLA_CACHE", _os.path.expanduser("~/.cache/strelka_tpu_xla")
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from strelka_tpu.settings import SettingsManager, SharedContext  # noqa: F401

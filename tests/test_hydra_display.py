@@ -1,0 +1,129 @@
+"""Hydra delegate, usd_runner CLI, and display layer tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+STAGE = """#usda 1.0
+(
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def Mesh "floor"
+    {
+        point3f[] points = [(-3, 0, -3), (3, 0, -3), (3, 0, 3), (-3, 0, 3)]
+        int[] faceVertexIndices = [0, 3, 2, 1]
+        int[] faceVertexCounts = [4]
+        normal3f[] normals = [(0, 1, 0), (0, 1, 0), (0, 1, 0), (0, 1, 0)]
+    }
+    def Camera "cam"
+    {
+        float focalLength = 35
+        double3 xformOp:translate = (0, 2, 6)
+        double3 xformOp:rotateXYZ = (-15, 0, 0)
+        uniform token[] xformOpOrder = ["xformOp:translate", "xformOp:rotateXYZ"]
+    }
+    def DistantLight "sun"
+    {
+        float inputs:intensity = 5000
+        float inputs:angle = 1
+        double3 xformOp:rotateXYZ = (-50, 20, 0)
+        uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]
+    }
+}
+"""
+
+
+def test_delegate_api_shape(tmp_path):
+    from strelka_tpu.hydra import HdStrelkaDriverName, StrelkaRendererPlugin
+    from strelka_tpu.settings import SharedContext, make_default_settings
+
+    p = tmp_path / "stage.usda"
+    p.write_text(STAGE)
+    settings = make_default_settings(24, 24)
+    settings.set("render/pt/sppTotal", 2)
+    settings.set("render/pt/spp", 2)
+    ctx = SharedContext(settings)
+
+    assert StrelkaRendererPlugin.is_supported()
+    delegate = StrelkaRendererPlugin.create_render_delegate()
+    assert "Mesh" in delegate.SUPPORTED_RPRIM_TYPES
+    assert "mdl" in delegate.get_material_render_contexts()
+    # missing driver -> error (RenderDelegate asserts on driver)
+    with pytest.raises(ValueError):
+        delegate.set_drivers({})
+    delegate.set_drivers({HdStrelkaDriverName: ctx})
+    assert ctx.render is delegate.render
+
+    assert delegate.populate_from_usd(str(p))
+    rp = delegate.create_render_pass()
+    buf = delegate.create_render_buffer(24, 24)
+    rp.execute(buf)
+    img = buf.map()
+    assert img.shape == (24, 24, 4)
+    assert not np.isnan(img).any()
+    assert img[..., :3].max() > 0.0  # sun lights the floor
+    assert ctx.subframe_index == 2
+
+
+def test_usd_runner_cli(tmp_path):
+    p = tmp_path / "stage.usda"
+    p.write_text(STAGE)
+    out = tmp_path / "out.png"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "strelka_tpu.app.usd_runner",
+            "-s",
+            str(p),
+            "--width",
+            "24",
+            "--height",
+            "24",
+            "-t",
+            "2",
+            "-f",
+            "2",
+            "--cpu",
+            "-o",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "spp" in r.stdout
+    assert out.exists()
+
+
+def test_headless_display_and_settings_binding(tmp_path):
+    from strelka_tpu.display import DisplayFactory, HeadlessDisplay
+    from strelka_tpu.display.display import SettingsBinding
+    from strelka_tpu.render.buffer import BufferFormat, ImageBuffer
+    from strelka_tpu.settings import make_default_settings
+
+    png = tmp_path / "frame.png"
+    d = DisplayFactory.create_display(headless=True, png_path=str(png), png_every_n=1)
+    assert isinstance(d, HeadlessDisplay)
+    d.init(8, 8, None)
+    img = ImageBuffer(data=np.random.rand(8, 8, 4).astype(np.float32), width=8, height=8,
+                      pixel_format=BufferFormat.FLOAT4)
+    d.draw_frame(img)
+    assert d.last_frame is not None and png.exists()
+
+    s = make_default_settings()
+    binding = SettingsBinding(s)
+    rows = binding.knobs()
+    assert any(key == "render/pt/debug" for _, key, _, _, _ in rows)
+    binding.set("render/pt/debug", 1)
+    assert s.get_int("render/pt/debug") == 1
