@@ -47,6 +47,29 @@ class BvhNodes(NamedTuple):
     count: jnp.ndarray  # [n] i32 (0 = internal)
 
 
+class ThreadedBvh(NamedTuple):
+    """Stackless (threaded/skip-link) BVH in DFS order.
+
+    Traversal state per ray is ONE int32 node index: entering node i
+    continues at i+1 (DFS first child); skipping (AABB miss) or finishing a
+    leaf jumps to skip[i]. skip[last] == n (the termination sentinel).
+    This removes the per-ray stack (and its scatter traffic) entirely —
+    the idiomatic XLA/TPU formulation: per-step work is a handful of [N]
+    gathers + elementwise math; the hard step bound makes the loop immune
+    to malformed trees (a clamped out-of-bounds stack write in a stacked
+    traversal can otherwise spin a TPU forever).
+
+    bb_min/bb_max: [n,3]; skip: [n] i32; start/count: [n] i32 (count==0
+    internal). Leaf triangle ranges index the reordered triangle arrays.
+    """
+
+    bb_min: jnp.ndarray
+    bb_max: jnp.ndarray
+    skip: jnp.ndarray
+    start: jnp.ndarray
+    count: jnp.ndarray
+
+
 # ---------------------------------------------------------------------------
 # Host build (numpy binned SAH)
 # ---------------------------------------------------------------------------
@@ -176,6 +199,70 @@ def _build_bvh_numpy(v0, e1, e2, max_leaf):
     return nodes, order.astype(np.int64)
 
 
+def thread_bvh(nodes: BvhNodes) -> ThreadedBvh:
+    """Reorder a built BVH into DFS order and compute skip links (host).
+
+    DFS position strictly increases during traversal (enter -> i+1,
+    skip/finish -> skip[i] > i), so a ray visits each node at most once and
+    the step count is bounded by num_nodes.
+    """
+    bb_min = np.asarray(nodes.bb_min)
+    bb_max = np.asarray(nodes.bb_max)
+    left = np.asarray(nodes.left)
+    right = np.asarray(nodes.right)
+    start = np.asarray(nodes.start)
+    count = np.asarray(nodes.count)
+    n = len(count)
+
+    # subtree sizes (iterative post-order)
+    size = np.ones(n, np.int64)
+    post = []
+    stack = [(0, False)]
+    while stack:
+        node, processed = stack.pop()
+        if processed:
+            if count[node] == 0:
+                size[node] = 1 + size[left[node]] + size[right[node]]
+            post.append(node)
+            continue
+        stack.append((node, True))
+        if count[node] == 0:
+            stack.append((int(right[node]), False))
+            stack.append((int(left[node]), False))
+
+    # DFS emit with skip targets
+    new_bb_min = np.empty_like(bb_min)
+    new_bb_max = np.empty_like(bb_max)
+    new_skip = np.empty(n, np.int32)
+    new_start = np.empty(n, np.int32)
+    new_count = np.empty(n, np.int32)
+    pos = 0
+    stack2 = [(0, n)]  # (old node, skip target in NEW ids)
+    while stack2:
+        node, skip_target = stack2.pop()
+        my_pos = pos
+        pos += 1
+        new_bb_min[my_pos] = bb_min[node]
+        new_bb_max[my_pos] = bb_max[node]
+        new_skip[my_pos] = skip_target
+        new_start[my_pos] = start[node]
+        new_count[my_pos] = count[node]
+        if count[node] == 0:
+            l, r = int(left[node]), int(right[node])
+            right_pos = my_pos + 1 + int(size[l])
+            # children visited left-first: push right (deeper in stack) first
+            stack2.append((r, skip_target))
+            stack2.append((l, right_pos))
+    assert pos == n
+    return ThreadedBvh(
+        bb_min=new_bb_min.astype(np.float32),
+        bb_max=new_bb_max.astype(np.float32),
+        skip=new_skip,
+        start=new_start,
+        count=new_count,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Device traversal
 # ---------------------------------------------------------------------------
@@ -214,7 +301,7 @@ def _tri_test(o, d, v0, e1, e2, tmin, tmax):
 
 
 def intersect_bvh(
-    nodes: BvhNodes,
+    bvh: ThreadedBvh,
     tri_v0: jnp.ndarray,
     tri_e1: jnp.ndarray,
     tri_e2: jnp.ndarray,
@@ -227,83 +314,62 @@ def intersect_bvh(
     active: jnp.ndarray | None = None,
     any_hit: bool = False,
 ):
-    """Lockstep stack traversal. Returns (t, prim, u, v) — prim indexes the
-    REORDERED triangle arrays; t==1e16/prim==-1 on miss. With any_hit=True
-    terminates lanes on first accepted hit (occlusion query semantics).
+    """Lockstep stackless traversal over the threaded BVH.
+
+    Per-ray state is one DFS node index (+ best hit); each step is a few [N]
+    gathers + elementwise VPU math, no scatters. The step counter bounds the
+    loop at num_nodes+1 (DFS position is strictly increasing), so the loop
+    terminates even on malformed input. Returns (t, prim, u, v); prim indexes
+    the REORDERED triangle arrays, -1 on miss. any_hit=True retires lanes on
+    the first accepted hit (occlusion semantics).
     """
     n = origins.shape[0]
+    n_nodes = bvh.skip.shape[0]
+    sentinel = jnp.int32(n_nodes)
     if active is None:
         active = jnp.ones(n, bool)
     inv_d = 1.0 / jnp.where(jnp.abs(directions) > 1e-20, directions, 1e-20)
 
-    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
-    # stack starts with root (node 0); ptr == 0 means empty (done)
-    sp = jnp.where(active, 1, 0).astype(jnp.int32)
-    best_t = jnp.where(active, tmax, -_BIG)  # keep tmax semantics for hits
+    node = jnp.where(active, 0, n_nodes).astype(jnp.int32)
     best_t = tmax * 1.0
     best_prim = jnp.full(n, -1, jnp.int32)
     best_u = jnp.zeros(n, jnp.float32)
     best_v = jnp.zeros(n, jnp.float32)
-    rows = jnp.arange(n)
+    max_steps = n_nodes + 1
 
     def cond(state):
-        sp = state[0]
-        return jnp.any(sp > 0)
+        node, _bt, _bp, _bu, _bv, step = state
+        return jnp.any(node < sentinel) & (step < max_steps)
 
     def body(state):
-        sp, stack, best_t, best_prim, best_u, best_v = state
-        lane_active = sp > 0
-        sp_idx = jnp.maximum(sp - 1, 0)
-        node = jnp.where(lane_active, stack[rows, sp_idx], 0)
-        sp = jnp.where(lane_active, sp - 1, sp)
-
-        is_leaf = nodes.count[node] > 0
-
-        # --- internal: test both children, push far then near
-        l_id = nodes.left[node]
-        r_id = nodes.right[node]
-        lhit, lnear = _slab_test(nodes.bb_min[l_id], nodes.bb_max[l_id], origins, inv_d, tmin, best_t)
-        rhit, rnear = _slab_test(nodes.bb_min[r_id], nodes.bb_max[r_id], origins, inv_d, tmin, best_t)
-        proc_int = lane_active & ~is_leaf
-        lhit = lhit & proc_int
-        rhit = rhit & proc_int
-        near_is_l = lnear <= rnear
-        first = jnp.where(near_is_l, l_id, r_id)
-        second = jnp.where(near_is_l, r_id, l_id)
-        first_hit = jnp.where(near_is_l, lhit, rhit)
-        second_hit = jnp.where(near_is_l, rhit, lhit)
-        # push far child first so near pops first
-        stack = stack.at[rows, sp].set(jnp.where(second_hit, second, stack[rows, sp]))
-        sp = sp + second_hit.astype(jnp.int32)
-        stack = stack.at[rows, jnp.minimum(sp, STACK_DEPTH - 1)].set(
-            jnp.where(first_hit, first, stack[rows, jnp.minimum(sp, STACK_DEPTH - 1)])
-        )
-        sp = sp + first_hit.astype(jnp.int32)
-
-        # --- leaf: unrolled triangle tests
-        proc_leaf = lane_active & is_leaf
-        leaf_start = nodes.start[node]
-        leaf_count = nodes.count[node]
+        node, best_t, best_prim, best_u, best_v, step = state
+        lane_active = node < sentinel
+        nodec = jnp.minimum(node, sentinel - 1)
+        hit_box, _ = _slab_test(bvh.bb_min[nodec], bvh.bb_max[nodec], origins, inv_d, tmin, best_t)
+        cnt = bvh.count[nodec]
+        is_leaf = cnt > 0
+        leaf_start = bvh.start[nodec]
+        proc_leaf = lane_active & is_leaf & hit_box
         for k in range(MAX_LEAF):
-            prim = leaf_start + k
-            prim_c = jnp.minimum(prim, tri_v0.shape[0] - 1)
+            prim = jnp.minimum(leaf_start + k, tri_v0.shape[0] - 1)
             t, u, v, hit = _tri_test(
-                origins, directions, tri_v0[prim_c], tri_e1[prim_c], tri_e2[prim_c], tmin, best_t
+                origins, directions, tri_v0[prim], tri_e1[prim], tri_e2[prim], tmin, best_t
             )
-            mask_ok = (tri_mask[prim_c] & ray_mask) != 0
-            hit = hit & proc_leaf & (k < leaf_count) & mask_ok
-            best_prim = jnp.where(hit, prim_c, best_prim)
+            mask_ok = (tri_mask[prim] & ray_mask) != 0
+            hit = hit & proc_leaf & (k < cnt) & mask_ok
+            best_prim = jnp.where(hit, prim, best_prim)
             best_u = jnp.where(hit, u, best_u)
             best_v = jnp.where(hit, v, best_v)
             best_t = jnp.where(hit, t, best_t)
+        enter = lane_active & hit_box & ~is_leaf
+        nxt = jnp.where(enter, nodec + 1, bvh.skip[nodec])
+        node = jnp.where(lane_active, nxt, node)
         if any_hit:
-            # terminate lanes that found any hit
-            found = best_prim >= 0
-            sp = jnp.where(found, 0, sp)
-        return sp, stack, best_t, best_prim, best_u, best_v
+            node = jnp.where(best_prim >= 0, sentinel, node)
+        return node, best_t, best_prim, best_u, best_v, step + 1
 
-    state = (sp, stack, best_t, best_prim, best_u, best_v)
+    state = (node, best_t, best_prim, best_u, best_v, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
-    _, _, best_t, best_prim, best_u, best_v = state
+    _, best_t, best_prim, best_u, best_v, _ = state
     best_t = jnp.where(best_prim >= 0, best_t, _BIG)
     return best_t, best_prim, best_u, best_v

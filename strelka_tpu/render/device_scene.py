@@ -237,14 +237,15 @@ def build_device_scene(
         use_bvh = num_tri > 1024
     bvh_nodes = None
     if use_bvh and num_tri > 0:
-        from strelka_tpu.ops.bvh import BvhNodes, build_bvh_sah
+        from strelka_tpu.ops.bvh import ThreadedBvh, build_bvh_sah, thread_bvh
 
         p = cat["p"]
         nodes, perm = build_bvh_sah(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
         for k in cat:
             cat[k] = cat[k][perm]
-        bvh_nodes = BvhNodes(*[jnp.asarray(np.asarray(x)) for x in nodes])
-        log.info("BVH built: {} nodes over {} triangles", len(np.asarray(nodes.count)), num_tri)
+        threaded = thread_bvh(nodes)
+        bvh_nodes = ThreadedBvh(*[jnp.asarray(np.asarray(x)) for x in threaded])
+        log.info("BVH built: {} nodes over {} triangles", len(np.asarray(threaded.count)), num_tri)
     padded = _round_up(num_tri, pad_multiple)
     # padding triangles are degenerate (zero-area at origin) with mask 0
     p = _pad_to(cat["p"], padded)

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from strelka_tpu.ops.bvh import BvhNodes, build_bvh_sah, intersect_bvh
+from strelka_tpu.ops.bvh import ThreadedBvh, build_bvh_sah, intersect_bvh, thread_bvh
 from strelka_tpu.ops.intersect import intersect_any_bruteforce, intersect_closest_bruteforce
 from strelka_tpu.render.device_scene import RAY_MASK_PRIMARY, RAY_MASK_SHADOW
 
@@ -68,7 +68,7 @@ def test_bvh_closest_matches_bruteforce(ntri, nray):
     tmin = np.zeros(nray, np.float32)
     tmax = np.full(nray, 1e16, np.float32)
 
-    nodes_j = BvhNodes(*[jnp.asarray(np.asarray(x)) for x in nodes])
+    nodes_j = ThreadedBvh(*[jnp.asarray(np.asarray(x)) for x in thread_bvh(nodes)])
     t_bvh, prim_bvh, u_bvh, v_bvh = intersect_bvh(
         nodes_j,
         jnp.asarray(v0p),
@@ -107,7 +107,7 @@ def test_bvh_any_hit_matches_bruteforce():
     o, d = _random_rays(400, rng)
     tmin = np.zeros(400, np.float32)
     tmax = np.full(400, 30.0, np.float32)
-    nodes_j = BvhNodes(*[jnp.asarray(np.asarray(x)) for x in nodes])
+    nodes_j = ThreadedBvh(*[jnp.asarray(np.asarray(x)) for x in thread_bvh(nodes)])
     _, prim, _, _ = intersect_bvh(
         nodes_j,
         jnp.asarray(v0p),
@@ -135,7 +135,7 @@ def test_bvh_respects_tmax_and_active():
     rng = np.random.default_rng(3)
     v0, e1, e2 = _random_tris(100, rng, spread=2.0)
     nodes, perm = build_bvh_sah(v0, e1, e2)
-    nodes_j = BvhNodes(*[jnp.asarray(np.asarray(x)) for x in nodes])
+    nodes_j = ThreadedBvh(*[jnp.asarray(np.asarray(x)) for x in thread_bvh(nodes)])
     o, d = _random_rays(64, rng, spread=3.0)
     args = (
         nodes_j,
