@@ -2,10 +2,13 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Ray accounting: the wavefront integrator traces, per pixel sample and bounce,
-one radiance ray (closest-hit sweep) and one NEE shadow ray (any-hit sweep).
-All lanes execute every bounce (masked SIMD), so rays = W*H*spp*2*max_depth is
-the true amount of traversal work performed per launch.
+Ray accounting: per pixel sample and bounce the integrator traces one
+radiance ray (closest-hit sweep) and one NEE shadow ray (any-hit sweep); all
+lanes run every bounce (masked SIMD), so rays = W*H*spp*2*depth per launch.
+
+Timing: many launches chained, ONE hard sync at the end (np.asarray of a
+pixel) — block_until_ready does not reliably wait on the axon TPU tunnel, and
+per-launch syncs add ~25ms of tunnel round trip.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the driver target
 is 100 Mrays/s/chip, so vs_baseline = value / 100.
@@ -20,11 +23,14 @@ import time
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     quick = "--quick" in sys.argv
     width = height = 256 if quick else 512
     spp = 2 if quick else 4
     depth = 4
+    iters = 8 if quick else 16
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _build
@@ -32,16 +38,15 @@ def main() -> None:
     step, (scene, params, state) = _build(width=width, height=height, spp=spp, depth=depth)
     fn = jax.jit(step, donate_argnums=(2,))
 
-    # warmup / compile
-    state2, image = fn(scene, params, state)
-    image.block_until_ready()
+    # warmup / compile, then hard sync
+    state, image = fn(scene, params, state)
+    _ = np.asarray(image[0, 0])
 
-    iters = 3 if quick else 5
     t0 = time.perf_counter()
-    st = state2
+    st = state
     for _ in range(iters):
         st, image = fn(scene, params, st)
-    image.block_until_ready()
+    _ = np.asarray(image[0, 0])  # hard sync
     dt = (time.perf_counter() - t0) / iters
 
     rays = width * height * spp * 2 * depth

@@ -137,6 +137,10 @@ def _gather_surface(scene: DeviceScene, hit: Hit, ray_dir, inside):
 
 def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
     mid = jnp.maximum(scene.material_id[jnp.maximum(prim, 0)], 0)
+    return _gather_material_by_id(scene, mid)
+
+
+def _gather_material_by_id(scene: DeviceScene, mid) -> B.SurfaceParams:
     m = scene.materials
     return B.SurfaceParams(
         bsdf_type=m.bsdf_type[mid],
@@ -215,17 +219,31 @@ def trace_paths(
     tmax_big = jnp.full(n, 1e16, jnp.float32)
 
     for depth in range(max_depth):
-        rnd = lambda dim: S.random_dim(sample_idx, depth, dim)
+        # One batched draw of the 5 folded Sobol dimensions per bounce.
+        # (dimension = Dim % 5, RandomSampler.h:224 — e.g. eBSDF2 and
+        # eLightId collide on dim 2 in the reference too; bit-identical.)
+        dim_rows = S.random_dims(sample_idx, depth, (0, 1, 2, 3, 4))
+        rnd = lambda dim: dim_rows[int(dim) % 5]
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY, active=alive
         )
-        missed = alive & (hit.prim < 0)
+        # curve (hair) primitives: dense round-cone sweep, closest wins
+        is_curve = jnp.zeros(n, bool)
+        chit = None
+        if scene.cones is not None:
+            from strelka_tpu.ops.curves import intersect_curves_closest
+
+            chit = intersect_curves_closest(
+                scene.cones, origin, direction, tmin_mat, tmax_big, active=alive
+            )
+            is_curve = alive & (chit.seg >= 0) & (chit.t < hit.t)
+        missed = alive & (hit.prim < 0) & ~is_curve
         # __miss__ms (cu:250-257)
         radiance = jnp.where(missed[:, None], radiance + throughput * params.bg_color, radiance)
         throughput = jnp.where(missed[:, None], 0.0, throughput)
 
         prim_light_id = jnp.where(hit.prim >= 0, scene.light_id[jnp.maximum(hit.prim, 0)], -1)
-        hit_light = alive & ~missed & (prim_light_id >= 0)
+        hit_light = alive & ~missed & (prim_light_id >= 0) & ~is_curve
         hit_surface = alive & ~missed & ~hit_light
 
         # ---- __closesthit__light (cu:315-341)
@@ -249,6 +267,32 @@ def trace_paths(
         mat = _gather_material(scene, hit.prim)
         if scene.textures is not None:
             mat, frame = _apply_textures(scene, mat, frame, hit.prim, uv)
+        if chit is not None:
+            # fillCurveGeomData (cu:423-454): spine-offset normal, spline tangent
+            from strelka_tpu.ops.curves import curve_shading_frame
+
+            pos_curve = origin + chit.t[:, None] * direction
+            cn, ct, cb = curve_shading_frame(scene.curves, chit.seg, chit.u, pos_curve)
+            flip = jnp.where(inside, -1.0, 1.0)[:, None]
+            cn = cn * flip
+            icn = is_curve[:, None]
+            position = jnp.where(icn, pos_curve, position)
+            frame = B.ShadingFrame(
+                normal=jnp.where(icn, cn, frame.normal),
+                tangent_u=jnp.where(icn, ct, frame.tangent_u),
+                tangent_v=jnp.where(icn, jnp.cross(cn, ct), frame.tangent_v),
+                geom_normal=jnp.where(icn, cn, frame.geom_normal),
+            )
+            uv = jnp.where(icn, 0.5, uv)
+            cmat = _gather_material_by_id(
+                scene, scene.curves.material_id[jnp.maximum(chit.seg, 0)]
+            )
+            mat = B.SurfaceParams(
+                *[
+                    jnp.where(icn if a.ndim == 2 else is_curve, ca, ta)
+                    for ta, ca, a in zip(mat, cmat, mat)
+                ]
+            )
 
         if debug == 1:
             normals_col = (frame.normal + 1.0) * 0.5
@@ -308,6 +352,17 @@ def trace_paths(
                 RAY_MASK_SHADOW,
                 active=nee_able & geom_ok,
             )
+            if scene.cones is not None:
+                from strelka_tpu.ops.curves import intersect_curves_any
+
+                occluded = occluded | intersect_curves_any(
+                    scene.cones,
+                    shadow_org,
+                    to_light,
+                    jnp.full(n, shadow_ray_tmin, jnp.float32),
+                    ls.dist_to_light,
+                    active=nee_able & geom_ok,
+                )
             visibility = jnp.where(geom_ok & ~occluded, 1.0, 0.0)
             nee_radiance = (
                 visibility[:, None]
@@ -386,49 +441,45 @@ def render_launch(
     (matching the reference's separate tonemap kernel dispatch).
     """
     n = width * height
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    px = idx % jnp.uint32(width)
-    py = idx // jnp.uint32(width)
-
-    def one_sample(s, carry):
-        result, diffuse, dcount, specular, scount = carry
-        sample_index = params.subframe_index.astype(jnp.uint32) + jnp.uint32(s)
-        sample_idx = S.make_sample_index(px, py, sample_index, max_sample_count)
-        jx = S.random_dim(sample_idx, 0, Dim.ePixelX)
-        jy = S.random_dim(sample_idx, 0, Dim.ePixelY)
-        origin, direction = generate_camera_rays(params, px, py, jx, jy, width, height)
-        radiance, first_event = trace_paths(
-            scene,
-            params,
-            sample_idx,
-            origin,
-            direction,
-            max_depth=max_depth,
-            rect_light_sampling_method=rect_light_sampling_method,
-            shadow_ray_tmin=shadow_ray_tmin,
-            material_ray_tmin=material_ray_tmin,
-            debug=debug,
-        )
-        result = result + radiance
-        is_d = (first_event == EventType.eDiffuse)[:, None]
-        is_s = (first_event == EventType.eSpecular)[:, None]
-        diffuse = diffuse + jnp.where(is_d, radiance, 0.0)
-        specular = specular + jnp.where(is_s, radiance, 0.0)
-        dcount = dcount + is_d[:, 0].astype(jnp.int32)
-        scount = scount + is_s[:, 0].astype(jnp.int32)
-        return result, diffuse, dcount, specular, scount
-
-    z3 = jnp.zeros((n, 3), jnp.float32)
-    zc = jnp.zeros(n, jnp.int32)
-    carry = (z3, z3, zc, z3, zc)
     if debug == 1:
         samples_this_launch = 1
     else:
         samples_this_launch = samples_per_launch
-    carry = jax.lax.fori_loop(
-        0, samples_this_launch, one_sample, carry, unroll=False
+    spl = samples_this_launch
+
+    # All samples of the launch ride ONE wavefront of spl*W*H rays — on TPU a
+    # single wide sweep beats spl sequential sweeps (fixed per-op overheads
+    # amortize; the Pallas intersector runs at its best with big ray tiles).
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.tile(idx % jnp.uint32(width), spl)
+    py = jnp.tile(idx // jnp.uint32(width), spl)
+    s_of_ray = jnp.repeat(jnp.arange(spl, dtype=jnp.uint32), n)
+    sample_index = params.subframe_index.astype(jnp.uint32) + s_of_ray
+    sample_idx = S.make_sample_index(px, py, sample_index, max_sample_count)
+    jxy = S.random_dims(sample_idx, 0, (Dim.ePixelX, Dim.ePixelY))
+    jx, jy = jxy[0], jxy[1]
+    origin, direction = generate_camera_rays(params, px, py, jx, jy, width, height)
+    radiance, first_event = trace_paths(
+        scene,
+        params,
+        sample_idx,
+        origin,
+        direction,
+        max_depth=max_depth,
+        rect_light_sampling_method=rect_light_sampling_method,
+        shadow_ray_tmin=shadow_ray_tmin,
+        material_ray_tmin=material_ray_tmin,
+        debug=debug,
     )
-    result, diffuse_sum, dcount, specular_sum, scount = carry
+    radiance = radiance.reshape(spl, n, 3)
+    first_event = first_event.reshape(spl, n)
+    result = jnp.sum(radiance, axis=0)
+    is_d = first_event == EventType.eDiffuse
+    is_s = first_event == EventType.eSpecular
+    diffuse_sum = jnp.sum(jnp.where(is_d[..., None], radiance, 0.0), axis=0)
+    specular_sum = jnp.sum(jnp.where(is_s[..., None], radiance, 0.0), axis=0)
+    dcount = jnp.sum(is_d.astype(jnp.int32), axis=0)
+    scount = jnp.sum(is_s.astype(jnp.int32), axis=0)
 
     shape_img = (height, width, 3)
     result = (result / samples_this_launch).reshape(shape_img)

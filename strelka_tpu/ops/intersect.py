@@ -75,7 +75,28 @@ def intersect_closest(
     ray_mask: int,
     active: jnp.ndarray | None = None,
 ) -> Hit:
-    """Dispatch: BVH traversal when the scene has one, else brute force."""
+    """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
+    one, else jnp brute force."""
+    if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
+        from strelka_tpu.ops.pallas_intersect import (
+            pallas_intersect_closest,
+            pallas_intersect_closest_mxu,
+            recompute_barycentrics,
+        )
+
+        if active is not None:
+            tmax = jnp.where(active, tmax, 0.0)
+        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
+            t, prim = pallas_intersect_closest_mxu(
+                scene.tris_feats, scene.tris_mask, origins, directions, tmin, tmax, ray_mask
+            )
+        else:
+            t, prim = pallas_intersect_closest(
+                scene.tris_packed, origins, directions, tmin, tmax, ray_mask
+            )
+        u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
+        miss = prim < 0
+        return Hit(t=t, prim=prim, u=jnp.where(miss, 0.0, u), v=jnp.where(miss, 0.0, v))
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh
 
@@ -106,6 +127,19 @@ def intersect_any(
     active: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Occlusion dispatch -> [N] bool."""
+    if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
+        from strelka_tpu.ops.pallas_intersect import (
+            pallas_intersect_any,
+            pallas_intersect_any_mxu,
+        )
+
+        if active is not None:
+            tmax = jnp.where(active, tmax, 0.0)
+        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
+            return pallas_intersect_any_mxu(
+                scene.tris_feats, scene.tris_mask, origins, directions, tmin, tmax, ray_mask
+            )
+        return pallas_intersect_any(scene.tris_packed, origins, directions, tmin, tmax, ray_mask)
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh
 

@@ -184,6 +184,38 @@ def random_dim(sample_idx: jnp.ndarray, depth, dim: SampleDimension) -> jnp.ndar
     return sobol_scramble(sample_idx, dimension, seed)
 
 
+def sobol_uint_multi(index: jnp.ndarray, dims: tuple) -> jnp.ndarray:
+    """XOR-fold for several dimensions at once -> [D, N] uint32.
+
+    The index-bit mask is dimension-independent, so one 32-step sweep serves
+    all D dimensions (vs D separate sweeps) — the hot-path form used by the
+    integrator (bit-identical to sobol_uint per dim).
+    """
+    index = _u32(index)
+    cols = np.asarray(_SB_MATRIX[list(dims)])  # [D, 32]
+    x = jnp.zeros((len(dims),) + index.shape, _U32)
+    for bit in range(32):
+        mask = (_U32(0) - ((index >> _U32(bit)) & _U32(1)))[None, :]
+        x = x ^ (mask & jnp.asarray(cols[:, bit])[:, None])
+    return x
+
+
+def random_dims(sample_idx: jnp.ndarray, depth, dims) -> jnp.ndarray:
+    """Batched random<Dim> for several dims at one depth -> [D, N] float32.
+
+    Bit-identical to stacking random_dim per dim, but the per-depth Owen
+    scramble of the sample index is computed ONCE and the direction-number
+    fold is shared across dims (~4x fewer VPU ops than D separate draws).
+    """
+    dims = tuple(int(d) % 5 for d in dims)
+    seed = hash_u32(_u32(SAMPLER_BASE_SEED) + _u32(depth))
+    index = nested_uniform_scramble(sample_idx, seed)
+    su = sobol_uint_multi(index, dims)
+    seeds2 = hash_combine(seed, jnp.asarray(np.asarray(dims, np.uint32))[:, None])
+    result = nested_uniform_scramble(su, seeds2)
+    return jnp.minimum(result.astype(jnp.float32) * jnp.float32(2.0 ** -32), FLOAT_ONE_MINUS_EPS)
+
+
 # ---------------------------------------------------------------------------
 # Auxiliary generators kept for capability parity (RandomSampler.h also ships
 # halton/lcg/pcg/jenkins/wang utilities; the Metal backend uses seeded halton,

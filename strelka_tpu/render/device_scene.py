@@ -87,8 +87,15 @@ class DeviceScene:
     curves: Optional[DeviceCurves]
     bvh: Optional[object] = None  # BvhNodes (triangles reordered leaf-contiguous)
     textures: Optional[object] = None  # TextureAtlas
+    cones: Optional[object] = None  # FlatCones (curves flattened to round cones)
+    tris_packed: Optional[jnp.ndarray] = None  # [12, T] pallas VPU kernel layout
+    tris_feats: Optional[jnp.ndarray] = None  # [4, T, 16] pallas MXU features
+    tris_mask: Optional[jnp.ndarray] = None  # [1, T] geom mask for MXU kernel
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # "mxu" (default: bf16x3 matmul MT, ~2x VPU) | "vpu" (exact f32)
+    intersector: str = dataclasses.field(metadata=dict(static=True), default="mxu")
 
     @property
     def num_curve_segments(self) -> int:
@@ -224,6 +231,7 @@ def build_device_scene(
     material_manager: Optional[MaterialManager] = None,
     pad_multiple: int = 128,
     use_bvh: Optional[bool] = None,
+    intersector: str = "mxu",
 ) -> DeviceScene:
     """Full host->device build: flatten, compile materials, build BVH
     (the optixAccelBuild analog), reorder leaf-contiguous, pad, upload.
@@ -283,13 +291,39 @@ def build_device_scene(
             material_id=jnp.asarray(_pad_to(curves_np["material_id"], nsp)),
         )
         log.info("Device scene: {} curve segments ({} padded)", ns, nsp)
+        # padded segments get negative radius -> never hit
+        if nsp > ns:
+            neg = jnp.where(jnp.arange(nsp) < ns, 1.0, -1.0)
+            curves = curves._replace(
+                w0=curves.w0 * neg, w1=curves.w1 * neg, w2=curves.w2 * neg, w3=curves.w3 * neg
+            )
+
+    # Pallas dense-intersector path: the TPU fast path for the sweep kernels.
+    # (interpret-mode pallas is slow on CPU, so gate on the backend.)
+    use_pallas = False
+    tris_packed = None
+    try:
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() not in ("cpu",) and bvh_nodes is None
+    except Exception:  # noqa: BLE001
+        use_pallas = False
+    tris_feats = tris_mask = None
+    if use_pallas:
+        from strelka_tpu.ops.pallas_intersect import pack_tris, pack_tris_mxu
+
+        tris_packed = pack_tris(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
+        tris_feats, tris_mask = pack_tris_mxu(
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
+        )
 
     log.info(
-        "Device scene: {} triangles ({} padded), {} lights, {} materials",
+        "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,
         padded,
         len(scene.lights),
         len(compiled),
+        ", pallas" if use_pallas else "",
     )
     return DeviceScene(
         v0=jnp.asarray(p[:, 0]),
@@ -312,6 +346,20 @@ def build_device_scene(
         curves=curves,
         bvh=bvh_nodes,
         textures=atlas,
+        cones=_build_cones(curves),
+        tris_packed=tris_packed,
+        tris_feats=tris_feats,
+        tris_mask=tris_mask,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
+        use_pallas=use_pallas,
+        intersector=intersector,
     )
+
+
+def _build_cones(curves: Optional[DeviceCurves]):
+    if curves is None:
+        return None
+    from strelka_tpu.ops.curves import flatten_curves
+
+    return jax.jit(flatten_curves)(curves)

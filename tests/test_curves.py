@@ -1,0 +1,149 @@
+"""Curve (hair) intersection tests: B-spline eval, round-cone hits, render."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from strelka_tpu.ops.curves import (
+    CURVE_SUBDIV,
+    FlatCones,
+    curve_shading_frame,
+    eval_bspline,
+    eval_bspline_scalar,
+    flatten_curves,
+    intersect_curves_any,
+    intersect_curves_closest,
+)
+from strelka_tpu.render.device_scene import DeviceCurves
+
+
+def _straight_curve(radius=0.2):
+    """One cubic segment along +x from (0,0,0) to (3,0,0) (uniform spacing)."""
+    p = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0], [2, 0, 0]], np.float32)
+    # uniform cubic bspline through collinear points spans x in [~0, ~1]
+    w = np.full(4, radius, np.float32)
+    return DeviceCurves(
+        p0=jnp.asarray(p[0:1]),
+        p1=jnp.asarray(p[1:2]),
+        p2=jnp.asarray(p[2:3]),
+        p3=jnp.asarray(p[3:4]),
+        w0=jnp.asarray(w[0:1]),
+        w1=jnp.asarray(w[1:2]),
+        w2=jnp.asarray(w[2:3]),
+        w3=jnp.asarray(w[3:4]),
+        material_id=jnp.zeros(1, jnp.int32),
+    )
+
+
+def test_bspline_eval():
+    c = _straight_curve()
+    # collinear uniform control points: spline is linear in x from 0 to 1
+    u = jnp.asarray([0.0, 0.5, 1.0])
+    p = np.asarray(eval_bspline(
+        jnp.tile(c.p0, (3, 1)), jnp.tile(c.p1, (3, 1)), jnp.tile(c.p2, (3, 1)), jnp.tile(c.p3, (3, 1)), u
+    ))
+    np.testing.assert_allclose(p[:, 0], [0.0, 0.5, 1.0], atol=1e-6)
+    np.testing.assert_allclose(p[:, 1:], 0.0, atol=1e-6)
+    r = np.asarray(eval_bspline_scalar(c.w0[0], c.w1[0], c.w2[0], c.w3[0], jnp.asarray(0.3)))
+    assert r == pytest.approx(0.2, abs=1e-6)
+
+
+def test_flatten_and_hit():
+    c = _straight_curve(radius=0.2)
+    cones = flatten_curves(c)
+    assert cones.a.shape[0] == CURVE_SUBDIV
+    # ray down -z through the fiber at x=0.5
+    o = jnp.asarray([[0.5, 0.0, 5.0], [0.5, 0.0, 5.0], [0.5, 5.0, 5.0]], jnp.float32)
+    d = jnp.asarray([[0, 0, -1], [0, 1, 0], [0, 0, -1]], jnp.float32)
+    hit = intersect_curves_closest(
+        cones, o, d, jnp.zeros(3, jnp.float32), jnp.full(3, 1e16, jnp.float32)
+    )
+    t = np.asarray(hit.t)
+    seg = np.asarray(hit.seg)
+    assert seg[0] == 0 and t[0] == pytest.approx(5.0 - 0.2, abs=1e-2)
+    assert seg[1] == -1  # pointing away
+    assert seg[2] == -1  # offset ray misses
+    assert np.asarray(hit.u)[0] == pytest.approx(0.5, abs=0.1)
+    # occlusion variant agrees
+    occ = np.asarray(
+        intersect_curves_any(cones, o, d, jnp.zeros(3, jnp.float32), jnp.full(3, 1e16, jnp.float32))
+    )
+    np.testing.assert_array_equal(occ, [True, False, False])
+
+
+def test_curve_shading_frame():
+    c = _straight_curve(radius=0.2)
+    # hit on top of the fiber at x=0.5: normal +z, tangent +x
+    pos = jnp.asarray([[0.5, 0.0, 0.2]], jnp.float32)
+    n, t, b = curve_shading_frame(c, jnp.zeros(1, jnp.int32), jnp.asarray([0.5]), pos)
+    np.testing.assert_allclose(np.asarray(t)[0], [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n)[0], [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b)[0], np.cross([0, 0, 1.0], [1.0, 0, 0]), atol=1e-5)
+
+
+def test_radius_taper():
+    """Varying control radii: hit distance reflects interpolated radius."""
+    p = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0], [2, 0, 0]], np.float32)
+    c = DeviceCurves(
+        p0=jnp.asarray(p[0:1]), p1=jnp.asarray(p[1:2]), p2=jnp.asarray(p[2:3]), p3=jnp.asarray(p[3:4]),
+        w0=jnp.asarray([0.4]), w1=jnp.asarray([0.4]), w2=jnp.asarray([0.1]), w3=jnp.asarray([0.1]),
+        material_id=jnp.zeros(1, jnp.int32),
+    )
+    cones = flatten_curves(c)
+    o = jnp.asarray([[0.1, 0.0, 5.0], [0.9, 0.0, 5.0]], jnp.float32)
+    d = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32)
+    hit = intersect_curves_closest(cones, o, d, jnp.zeros(2, jnp.float32), jnp.full(2, 1e16, jnp.float32))
+    t = np.asarray(hit.t)
+    # radius near u=0.1 is larger than near u=0.9 -> closer hit
+    assert t[0] < t[1]
+
+
+def test_hair_render_end_to_end():
+    """Scene with curves renders; curve pixels differ from background."""
+    import jax
+
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+    from strelka_tpu.scene.camera import Camera
+    from strelka_tpu.scene.scene import CurveType, InstanceType, Scene, UniformLightDesc
+    from strelka_tpu.scene.testscenes import _diffuse_material
+    from strelka_tpu.utils import math3d as m3
+
+    scene = Scene()
+    mat = scene.add_material(_diffuse_material("hair", [0.6, 0.4, 0.2]))
+    # a few hair strands across the view
+    pts, counts = [], []
+    for k in range(5):
+        x = -0.5 + 0.25 * k
+        pts += [[x, -1.5, 0], [x, -0.5, 0], [x, 0.5, 0], [x, 1.5, 0]]
+        counts.append(4)
+    cid = scene.create_curve(CurveType.eCubic, counts, np.asarray(pts, np.float32), np.full(20, 0.05, np.float32))
+    scene.create_instance(InstanceType.eCurve, cid, mat, m3.identity4())
+    scene.create_light(
+        UniformLightDesc(type=3, orientation=np.array([0.0, 0.0, 0.0]), half_angle=0.1, intensity=5000.0)
+    )
+    cam = Camera(name="c", aspect=1.0)
+    cam.set_position([0, 0, 4])
+    scene.add_camera(cam)
+
+    dev = build_device_scene(scene)
+    assert dev.cones is not None
+    params = I.LaunchParams(
+        subframe_index=jnp.int32(0),
+        clip_to_view=jnp.asarray(cam.clip_to_view(), jnp.float32),
+        view_to_world=jnp.asarray(cam.view_to_world(), jnp.float32),
+        exposure=jnp.asarray([1e-3] * 3),
+        bg_color=jnp.asarray([0.0, 0.0, 0.1]),
+    )
+    state = I.make_frame_state(32, 32)
+    _, img = jax.jit(
+        lambda s, p, st: I.render_launch(
+            s, p, st, width=32, height=32, samples_per_launch=2,
+            max_sample_count=4, max_depth=2, enable_accumulation=True,
+        )
+    )(dev, params, state)
+    img = np.asarray(img)
+    assert not np.isnan(img).any()
+    # strands visible: some pixels have red>blue (hair color), bg has blue only
+    assert (img[..., 0] > img[..., 2]).any()
+    assert (img[..., 2] > img[..., 0]).any()

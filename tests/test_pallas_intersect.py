@@ -1,0 +1,134 @@
+"""Pallas dense intersector vs brute-force oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from strelka_tpu.ops.intersect import intersect_any_bruteforce, intersect_closest_bruteforce
+from strelka_tpu.ops.pallas_intersect import (
+    pack_tris,
+    pallas_intersect_any,
+    pallas_intersect_closest,
+    recompute_barycentrics,
+)
+from strelka_tpu.render.device_scene import RAY_MASK_PRIMARY, RAY_MASK_SHADOW
+
+
+class _Shim:
+    def __init__(self, v0, e1, e2, mask):
+        self.v0, self.e1, self.e2 = jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2)
+        self.geom_mask = jnp.asarray(mask)
+        self.bvh = None
+
+
+def _scene(n, rng):
+    v0 = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    mask = np.ones(n, np.int32)
+    mask[: n // 3] = 4  # light proxies
+    return v0, e1, e2, mask
+
+
+def _rays(n, rng):
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+@pytest.mark.parametrize("ntri,nray", [(100, 700), (1000, 300)])
+def test_pallas_closest_matches_bruteforce(ntri, nray):
+    rng = np.random.default_rng(0)
+    v0, e1, e2, mask = _scene(ntri, rng)
+    o, d = _rays(nray, rng)
+    tmin = np.zeros(nray, np.float32)
+    tmax = np.full(nray, 1e16, np.float32)
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    t, prim = pallas_intersect_closest(
+        tris, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    hb = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY,
+    )
+    np.testing.assert_array_equal(np.asarray(prim) >= 0, np.asarray(hb.prim) >= 0)
+    hits = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hits], np.asarray(hb.t)[hits], rtol=2e-4)
+    # barycentric recompute matches oracle
+    u, v = recompute_barycentrics(
+        jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(o), jnp.asarray(d), prim
+    )
+    same_prim = np.asarray(prim) == np.asarray(hb.prim)
+    sel = hits & same_prim
+    np.testing.assert_allclose(np.asarray(u)[sel], np.asarray(hb.u)[sel], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v)[sel], np.asarray(hb.v)[sel], atol=2e-4)
+
+
+def test_pallas_any_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    v0, e1, e2, mask = _scene(600, rng)
+    o, d = _rays(500, rng)
+    tmin = np.zeros(500, np.float32)
+    tmax = np.full(500, 25.0, np.float32)
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    occ = pallas_intersect_any(
+        tris, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
+    )
+    occ_bf = intersect_any_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_SHADOW,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_bf))
+
+
+def test_pallas_mask_filtering():
+    """Shadow mask excludes light-proxy triangles entirely."""
+    rng = np.random.default_rng(2)
+    v0, e1, e2, _ = _scene(128, rng)
+    mask = np.full(128, 4, np.int32)  # ALL light proxies
+    o, d = _rays(256, rng)
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    t, prim = pallas_intersect_closest(
+        tris, jnp.asarray(o), jnp.asarray(d), jnp.zeros(256, jnp.float32),
+        jnp.full(256, 1e16, jnp.float32), RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
+    )
+    assert (np.asarray(prim) == -1).all()
+
+
+def test_pallas_mxu_matches_bruteforce():
+    """MXU bilinear formulation matches the oracle."""
+    from strelka_tpu.ops.pallas_intersect import (
+        pack_tris_mxu,
+        pallas_intersect_any_mxu,
+        pallas_intersect_closest_mxu,
+    )
+
+    rng = np.random.default_rng(3)
+    v0, e1, e2, mask = _scene(500, rng)
+    o, d = _rays(300, rng)
+    tmin = np.zeros(300, np.float32)
+    tmax = np.full(300, 1e16, np.float32)
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128)
+    t, prim = pallas_intersect_closest_mxu(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    hb = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY,
+    )
+    np.testing.assert_array_equal(np.asarray(prim) >= 0, np.asarray(hb.prim) >= 0)
+    hits = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hits], np.asarray(hb.t)[hits], rtol=5e-4)
+    occ = pallas_intersect_any_mxu(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.full(300, 20.0, jnp.float32), RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
+    )
+    occ_bf = intersect_any_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.full(300, 20.0, jnp.float32), RAY_MASK_SHADOW,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_bf))

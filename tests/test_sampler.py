@@ -149,3 +149,13 @@ def test_decorrelated_pixels():
     a = np.asarray(S.sobol_scramble(i0, 0, jnp.uint32(52)))
     b = np.asarray(S.sobol_scramble(i1, 0, jnp.uint32(52)))
     assert a[0] != b[0]
+
+
+def test_random_dims_batch_matches_single():
+    """Batched draw is bit-identical to per-dim random_dim."""
+    idx = jnp.arange(512, dtype=jnp.uint32) * 977
+    for depth in (0, 2, 5):
+        batch = np.asarray(S.random_dims(idx, depth, (0, 1, 2, 3, 4)))
+        for dim in range(5):
+            single = np.asarray(S.random_dim(idx, depth, S.SampleDimension(dim)))
+            np.testing.assert_array_equal(batch[dim], single)
