@@ -103,18 +103,27 @@ def flatten_curves(curves) -> FlatCones:
 def _ray_round_cone(o, d, a, b, ra, rb, tmin, tmax):
     """Closed-form ray vs sphere-swept line segment (round cone).
 
-    o,d: [N,3]; a,b: [M,3]; ra,rb: [M]. Returns (t [N,M], axial y in [0,1],
-    hit mask). Quadratic from the standard swept-sphere derivation
-    (cf. Quilez's roundcone; re-derived for numerical care near rr ~ 0).
+    o,d: Vec3 of [N]; a,b: [M,3]; ra,rb: [M]. Returns (t [N,M], axial y in
+    [0,1], hit mask). All intermediates are [N,M] per component (no
+    [N,M,3] minor-dim-3 arrays). Quadratic from the standard swept-sphere
+    derivation (cf. Quilez's roundcone).
     """
-    ba = b - a  # [M,3]
-    oa = o[:, None, :] - a[None, :, :]  # [N,M,3]
-    rr = (ra - rb)[None, :]  # [N->1,M]
-    m0 = jnp.sum(ba * ba, axis=-1)[None, :]  # [1,M]
-    m1 = jnp.sum(oa * ba[None, :, :], axis=-1)  # [N,M]
-    m2 = jnp.einsum("nk,mk->nm", d, ba)  # [N,M]
-    m3 = jnp.sum(d[:, None, :] * oa, axis=-1)  # [N,M]
-    m5 = jnp.sum(oa * oa, axis=-1)  # [N,M]
+    from strelka_tpu.ops.vec import Vec3
+
+    # component broadcasts: ray [N,1] x segment [1,M]
+    ox, oy, oz = o.x[:, None], o.y[:, None], o.z[:, None]
+    dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
+    ax, ay, az = a[:, 0][None, :], a[:, 1][None, :], a[:, 2][None, :]
+    bax = (b[:, 0] - a[:, 0])[None, :]
+    bay = (b[:, 1] - a[:, 1])[None, :]
+    baz = (b[:, 2] - a[:, 2])[None, :]
+    oax, oay, oaz = ox - ax, oy - ay, oz - az
+    rr = (ra - rb)[None, :]
+    m0 = bax * bax + bay * bay + baz * baz
+    m1 = oax * bax + oay * bay + oaz * baz
+    m2 = dx * bax + dy * bay + dz * baz
+    m3 = dx * oax + dy * oay + dz * oaz
+    m5 = oax * oax + oay * oay + oaz * oaz
     ra_b = ra[None, :]
     d2 = m0 - rr * rr
     k2 = d2 - m2 * m2
@@ -127,16 +136,16 @@ def _ray_round_cone(o, d, a, b, ra, rb, tmin, tmax):
     body_ok = (h > 0.0) & (y > 0.0) & (y < d2)
 
     # cap spheres at a (radius ra) and b (radius rb)
-    def sphere(oc, r):
-        bq = jnp.sum(oc * d[:, None, :], axis=-1)
-        cq = jnp.sum(oc * oc, axis=-1) - (r * r)[None, :]
+    def sphere(cx, cy, cz, r):
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - (r * r)[None, :]
         hq = bq * bq - cq
         tq = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
         return tq, hq > 0.0
 
-    t_ca, ok_ca = sphere(oa, ra)
-    ob = o[:, None, :] - b[None, :, :]
-    t_cb, ok_cb = sphere(ob, rb)
+    t_ca, ok_ca = sphere(ax, ay, az, ra)
+    t_cb, ok_cb = sphere(b[:, 0][None, :], b[:, 1][None, :], b[:, 2][None, :], rb)
 
     t_body_m = jnp.where(body_ok, t_body, _BIG)
     t_ca_m = jnp.where(ok_ca, t_ca, _BIG)
@@ -164,8 +173,17 @@ def intersect_curves_closest(
     active: Optional[jnp.ndarray] = None,
     block: int = 256,
 ) -> CurveHit:
-    """Closest hit over all cone subsegments (blocked dense sweep)."""
-    n = origins.shape[0]
+    """Closest hit over all cone subsegments (blocked dense sweep).
+
+    origins/directions: Vec3 of [N] (or [N,3], converted)."""
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.vec import Vec3
+
+    if not isinstance(origins, Vec3):
+        origins = V.from_rows(origins)
+    if not isinstance(directions, Vec3):
+        directions = V.from_rows(directions)
+    n = tmin.shape[0]
     m = cones.a.shape[0]
     if active is None:
         active = jnp.ones(n, bool)
@@ -237,4 +255,27 @@ def curve_shading_frame(curves, seg, u, hit_position):
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(norm > 1e-9, n / jnp.maximum(norm, 1e-9), jnp.array([0.0, 0.0, 1.0]))
     binormal = jnp.cross(n, tangent)
+    return n, tangent, binormal
+
+
+def curve_shading_frame_vec(curves, seg, u, hit_position):
+    """Vec3 variant of curve_shading_frame (component-major hot path)."""
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.vec import Vec3
+
+    s = jnp.maximum(seg, 0)
+    b0, b1, b2, b3 = bspline_basis(u)
+    d0, d1, d2, d3 = bspline_basis_deriv(u)
+    g = lambda t: V.gather_rows(t, s)
+    p0, p1, p2, p3 = g(curves.p0), g(curves.p1), g(curves.p2), g(curves.p3)
+    spine = p0 * b0 + p1 * b1 + p2 * b2 + p3 * b3
+    tangent = V.normalize(p0 * d0 + p1 * d1 + p2 * d2 + p3 * d3, eps=1e-12)
+    n = hit_position - spine
+    n = n - tangent * V.dot(n, tangent)
+    norm = V.length(n)
+    ok = norm > 1e-9
+    inv = 1.0 / jnp.maximum(norm, 1e-9)
+    fallback = V.splat((0.0, 0.0, 1.0), norm.shape)
+    n = V.where(ok, n * inv, fallback)
+    binormal = V.cross(n, tangent)
     return n, tangent, binormal

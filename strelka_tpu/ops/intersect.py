@@ -1,10 +1,10 @@
-"""Ray-scene intersection kernels (brute force; BVH path in ops.bvh).
+"""Ray-scene intersection dispatch + jnp brute-force kernels.
 
-Replaces OptiX hardware traversal (optixTrace, OptixRender.cu:120-129) with
-vectorized wavefront x primitive tests. The brute-force path streams triangle
-blocks through a lax.scan keeping a running closest hit per ray — it is the
-correctness oracle for the BVH path and the fast path for small scenes
-(N_rays x block_T elementwise VPU work, fully fused by XLA).
+Replaces OptiX hardware traversal (optixTrace, OptixRender.cu:120-129).
+Rays are component-major Vec3 (ops/vec.py). Dispatch order: Pallas dense
+kernels on TPU (ops/pallas_intersect.py), threaded-BVH traversal when the
+scene has one, else the jnp brute-force sweep (the CPU path and the
+correctness oracle).
 
 Also hosts offset_ray, the exact port of the Ray Tracing Gems self-
 intersection offset (OptixRender_radiance_closest_hit.cu:218-233).
@@ -17,12 +17,15 @@ from typing import TYPE_CHECKING, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from strelka_tpu.ops import vec as V
+from strelka_tpu.ops.vec import Vec3
+
 if TYPE_CHECKING:  # break render<->ops import cycle; type-only use
     from strelka_tpu.render.device_scene import DeviceScene
 else:
     DeviceScene = "DeviceScene"
 
-_BIG = jnp.float32(1e16)
+_BIG = 1e16
 
 
 class Hit(NamedTuple):
@@ -32,29 +35,56 @@ class Hit(NamedTuple):
     v: jnp.ndarray  # [N] f32
 
 
+def _offset_component(p, n):
+    of_i = (jnp.float32(256.0) * n).astype(jnp.int32)
+    p_i = (p.view(jnp.int32) + jnp.where(p < 0, -of_i, of_i)).view(jnp.float32)
+    return jnp.where(jnp.abs(p) < 1.0 / 32.0, p + (1.0 / 65536.0) * n, p_i)
+
+
 def offset_ray(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Bit-exact port of offset_ray (RT Gems ch.6), cu:218-233. p,n: [...,3]."""
-    origin = jnp.float32(1.0 / 32.0)
-    float_scale = jnp.float32(1.0 / 65536.0)
-    int_scale = jnp.float32(256.0)
-    of_i = (int_scale * n).astype(jnp.int32)
-    p_i_bits = p.view(jnp.int32) + jnp.where(p < 0, -of_i, of_i)
-    p_i = p_i_bits.view(jnp.float32)
-    return jnp.where(jnp.abs(p) < origin, p + float_scale * n, p_i)
+    return _offset_component(p, n)
 
 
-def _ray_tri_block(o, d, v0, e1, e2, tmin, tmax):
-    """Moller-Trumbore: rays [N,3] x tris [B,3] -> t,u,v,hit [N,B]."""
-    # pvec = d x e2 : [N,B,3]
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])
-    det = jnp.einsum("bk,nbk->nb", e1, pvec)
+def offset_ray_vec(p: Vec3, n: Vec3) -> Vec3:
+    return Vec3(
+        _offset_component(p.x, n.x),
+        _offset_component(p.y, n.y),
+        _offset_component(p.z, n.z),
+    )
+
+
+def _ray_tri_block(o: Vec3, d: Vec3, v0, e1, e2, tmin, tmax):
+    """Moller-Trumbore: rays Vec3 of [N] x tri SoA [B,3] -> t,u,v,hit [N,B].
+
+    All intermediates are [N,B] (minor dim B -> full lanes); the tri arrays
+    enter as per-component [B] rows broadcast against ray columns [N,1].
+    """
+    oc = (o.x[:, None], o.y[:, None], o.z[:, None])
+    dc = (d.x[:, None], d.y[:, None], d.z[:, None])
+    v0c = (v0[:, 0][None, :], v0[:, 1][None, :], v0[:, 2][None, :])
+    e1c = (e1[:, 0][None, :], e1[:, 1][None, :], e1[:, 2][None, :])
+    e2c = (e2[:, 0][None, :], e2[:, 1][None, :], e2[:, 2][None, :])
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    pvec = cross(dc, e2c)
+    det = dot(e1c, pvec)
     # backface culling OFF (OptiX default w/o flags): accept |det| > eps
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = jnp.einsum("nbk,nbk->nb", tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    vv = jnp.einsum("nk,nbk->nb", d, qvec) * inv_det
-    t = jnp.einsum("bk,nbk->nb", e2, qvec) * inv_det
+    tv = (oc[0] - v0c[0], oc[1] - v0c[1], oc[2] - v0c[2])
+    u = dot(tv, pvec) * inv_det
+    qvec = cross(tv, e1c)
+    vv = dot(dc, qvec) * inv_det
+    t = dot(e2c, qvec) * inv_det
     hit = (
         (jnp.abs(det) > 1e-12)
         & (u >= 0.0)
@@ -66,17 +96,23 @@ def _ray_tri_block(o, d, v0, e1, e2, tmin, tmax):
     return t, u, vv, hit
 
 
+def _as_vec3(x) -> Vec3:
+    return x if isinstance(x, Vec3) else V.from_rows(jnp.asarray(x))
+
+
 def intersect_closest(
     scene: DeviceScene,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins,
+    directions,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
     active: jnp.ndarray | None = None,
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
-    one, else jnp brute force."""
+    one, else jnp brute force. origins/directions: Vec3 (or [N,3])."""
+    origins = _as_vec3(origins)
+    directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
         from strelka_tpu.ops.pallas_intersect import (
             pallas_intersect_closest,
@@ -106,8 +142,8 @@ def intersect_closest(
             scene.e1,
             scene.e2,
             scene.geom_mask,
-            origins,
-            directions,
+            V.to_rows(origins),
+            V.to_rows(directions),
             tmin,
             tmax,
             ray_mask,
@@ -119,14 +155,16 @@ def intersect_closest(
 
 def intersect_any(
     scene: DeviceScene,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins,
+    directions,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
     active: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Occlusion dispatch -> [N] bool."""
+    origins = _as_vec3(origins)
+    directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
         from strelka_tpu.ops.pallas_intersect import (
             pallas_intersect_any,
@@ -149,8 +187,8 @@ def intersect_any(
             scene.e1,
             scene.e2,
             scene.geom_mask,
-            origins,
-            directions,
+            V.to_rows(origins),
+            V.to_rows(directions),
             tmin,
             tmax,
             ray_mask,
@@ -163,19 +201,18 @@ def intersect_any(
 
 def intersect_closest_bruteforce(
     scene: DeviceScene,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins,
+    directions,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
     active: jnp.ndarray | None = None,
     block: int = 512,
 ) -> Hit:
-    """Closest hit over all triangles whose geom_mask intersects ray_mask.
-
-    origins/directions: [N,3]; tmin/tmax: [N]; active: [N] bool or None.
-    """
-    n = origins.shape[0]
+    """Closest hit over all triangles whose geom_mask intersects ray_mask."""
+    origins = _as_vec3(origins)
+    directions = _as_vec3(directions)
+    n = tmin.shape[0]
     num_tri = scene.v0.shape[0]
     block = min(block, num_tri)
     num_blocks = (num_tri + block - 1) // block
@@ -222,8 +259,8 @@ def intersect_closest_bruteforce(
 
 def intersect_any_bruteforce(
     scene: DeviceScene,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins,
+    directions,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
@@ -231,7 +268,9 @@ def intersect_any_bruteforce(
     block: int = 512,
 ) -> jnp.ndarray:
     """Any-hit (occlusion) query -> [N] bool. Shadow rays use RAY_MASK_SHADOW."""
-    n = origins.shape[0]
+    origins = _as_vec3(origins)
+    directions = _as_vec3(directions)
+    n = tmin.shape[0]
     num_tri = scene.v0.shape[0]
     block = min(block, num_tri)
     num_blocks = (num_tri + block - 1) // block

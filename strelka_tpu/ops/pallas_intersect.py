@@ -265,7 +265,7 @@ def pallas_intersect_closest_mxu(
     interpret: bool = False,
     precision=None,
 ):
-    n = origins.shape[0]
+    n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = feats.shape[1]
     grid = (n_pad // tile, t_total // tblk)
@@ -315,7 +315,7 @@ def pallas_intersect_any_mxu(
     interpret: bool = False,
     precision=None,
 ):
-    n = origins.shape[0]
+    n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = feats.shape[1]
     grid = (n_pad // tile, t_total // tblk)
@@ -339,15 +339,21 @@ def pallas_intersect_any_mxu(
 
 
 def _pack_rays(origins, directions, tmin, tmax, tile):
-    n = origins.shape[0]
+    """origins/directions: Vec3 of [N] (component-major — no transposes)."""
+    from strelka_tpu.ops.vec import Vec3, from_rows
+
+    if not isinstance(origins, Vec3):
+        origins = from_rows(origins)
+    if not isinstance(directions, Vec3):
+        directions = from_rows(directions)
+    n = tmin.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
-    rays = jnp.zeros((8, n_pad), jnp.float32)
-    rays = rays.at[0:3, :n].set(origins.T)
-    rays = rays.at[3:6, :n].set(directions.T)
-    rays = rays.at[6, :n].set(tmin)
-    rays = rays.at[7, :n].set(tmax)
+    rows = [origins.x, origins.y, origins.z, directions.x, directions.y, directions.z, tmin, tmax]
+    if n_pad != n:
+        pad = n_pad - n
+        rows = [jnp.concatenate([r, jnp.zeros(pad, jnp.float32)]) for r in rows]
     # padded rays: tmax 0 -> no hits
-    return rays, n_pad
+    return jnp.stack(rows), n_pad
 
 
 def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
@@ -377,7 +383,7 @@ def pallas_intersect_closest(
     interpret: bool = False,
 ):
     """Dense closest-hit sweep. Returns (t [N], prim [N] i32)."""
-    n = origins.shape[0]
+    n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
     grid = (n_pad // tile, t_total // tblk)
@@ -426,7 +432,7 @@ def pallas_intersect_any(
     interpret: bool = False,
 ):
     """Dense any-hit (occlusion) sweep -> occluded [N] bool."""
-    n = origins.shape[0]
+    n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
     grid = (n_pad // tile, t_total // tblk)
@@ -451,15 +457,22 @@ def pallas_intersect_any(
 def recompute_barycentrics(scene_v0, scene_e1, scene_e2, origins, directions, prim):
     """(u, v) for the winning primitive — one gather + MT per ray in XLA
     (standalone gathers are fast; only in-loop gathers are not)."""
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.vec import Vec3
+
+    if not isinstance(origins, Vec3):
+        origins = V.from_rows(origins)
+    if not isinstance(directions, Vec3):
+        directions = V.from_rows(directions)
     p = jnp.maximum(prim, 0)
-    v0 = scene_v0[p]
-    e1 = scene_e1[p]
-    e2 = scene_e2[p]
-    pvec = jnp.cross(directions, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+    v0 = V.gather_rows(scene_v0, p)
+    e1 = V.gather_rows(scene_e1, p)
+    e2 = V.gather_rows(scene_e2, p)
+    pvec = V.cross(directions, e2)
+    det = V.dot(e1, pvec)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
     tvec = origins - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(directions * qvec, axis=-1) * inv_det
+    u = V.dot(tvec, pvec) * inv_det
+    qvec = V.cross(tvec, e1)
+    v = V.dot(directions, qvec) * inv_det
     return u, v

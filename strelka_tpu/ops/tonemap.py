@@ -122,6 +122,40 @@ def accumulate(
     return jnp.where((idx > 0)[..., None], lerped, value)
 
 
+# --- planar ([3, H, W]) variants used by the device hot path -------------
+
+
+def _lum_planar(color):
+    return 0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2]
+
+
+def apply_tonemap_planar(image: jnp.ndarray, tonemapper_type: int, exposure, gamma: float) -> jnp.ndarray:
+    """apply_tonemap for planar [3, H, W] images (lane-friendly layout)."""
+    exposure = jnp.asarray(exposure, jnp.float32).reshape(3, 1, 1)
+    if tonemapper_type == ToneMapperType.eReinhard:
+        c = image * exposure
+        image = c / (_lum_planar(c)[None] + 1.0)
+    elif tonemapper_type == ToneMapperType.eACES:
+        c = image * exposure
+        a_in = jnp.asarray(_ACES_INPUT)
+        c = jnp.einsum("ij,jhw->ihw", a_in, c)
+        num = c * (c + 0.0245786) - 0.000090537
+        den = c * (0.983729 * c + 0.4329510) + 0.238081
+        c = num / den
+        image = jnp.clip(jnp.einsum("ij,jhw->ihw", jnp.asarray(_ACES_OUTPUT), c), 0.0, 1.0)
+    elif tonemapper_type == ToneMapperType.eFilmic:
+        x = image * exposure
+        image = jnp.clip((x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14), 0.0, 1.0)
+    if gamma > 0.0:
+        image = jnp.power(jnp.maximum(image, 0.0), 1.0 / gamma)
+    return image
+
+
+def planar_to_hwc(image: jnp.ndarray) -> jnp.ndarray:
+    """[3, H, W] -> [H, W, 3] (display/PNG boundary, once per frame)."""
+    return jnp.transpose(image, (1, 2, 0))
+
+
 def compute_exposure_value(settings) -> np.ndarray:
     """Photographic exposure from ISO/fStop/shutter (OptixRender.cpp:956-987)."""
     film_iso = settings.get_float("render/post/tonemapper/filmIso")

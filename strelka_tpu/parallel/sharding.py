@@ -34,17 +34,21 @@ def shard_launch(launch_fn, mesh: Mesh, axis_name: str = "rows"):
     their leading (row) dim; scene arrays and launch params are replicated.
     XLA then executes the whole wavefront loop chip-locally.
     """
-    row_sharded_3 = NamedSharding(mesh, P(axis_name))
+    # FrameState images are planar [3, H, W]; counters [H, W]: shard H rows
+    rows_img = NamedSharding(mesh, P(None, axis_name))
+    rows_cnt = NamedSharding(mesh, P(axis_name))
+    # output frame [H, W, 4]: rows = leading dim
+    rows_out = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
 
-    def state_sharding(state):
-        return jax.tree.map(lambda _: row_sharded_3, state)
+    def shard_of(x):
+        return rows_img if getattr(x, "ndim", 0) == 3 else rows_cnt
 
     def wrapper(scene, params, state):
         scene = jax.device_put(scene, replicated)
         params = jax.device_put(params, replicated)
-        state = jax.device_put(state, state_sharding(state))
-        out_shardings = (state_sharding(state), row_sharded_3)
+        state = jax.tree.map(lambda x: jax.device_put(x, shard_of(x)), state)
+        out_shardings = (jax.tree.map(shard_of, state), rows_out)
         fn = jax.jit(launch_fn, out_shardings=out_shardings, donate_argnums=(2,))
         return fn(scene, params, state)
 

@@ -91,6 +91,11 @@ class DeviceScene:
     tris_packed: Optional[jnp.ndarray] = None  # [12, T] pallas VPU kernel layout
     tris_feats: Optional[jnp.ndarray] = None  # [4, T, 16] pallas MXU features
     tris_mask: Optional[jnp.ndarray] = None  # [1, T] geom mask for MXU kernel
+    # Fat row-gather tables (ONE whole-row gather per hit instead of many
+    # scalar gathers; element gathers are ~100x slower on TPU):
+    attr_table: Optional[jnp.ndarray] = None  # [T, 36] surface attributes
+    mat_table: Optional[jnp.ndarray] = None  # [M, 20] material params
+    light_table: Optional[jnp.ndarray] = None  # [L, 20] light params
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -317,6 +322,51 @@ def build_device_scene(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
         )
 
+    # fat gather tables
+    num_pad = p.shape[0]
+    attr_table = np.zeros((num_pad, 36), np.float32)
+    attr_table[:, 0:3] = p[:, 0]
+    attr_table[:, 3:6] = p[:, 1] - p[:, 0]
+    attr_table[:, 6:9] = p[:, 2] - p[:, 0]
+    attr_table[:, 9:18] = n.reshape(num_pad, 9)
+    attr_table[:, 18:27] = t.reshape(num_pad, 9)
+    attr_table[:, 27:33] = uv.reshape(num_pad, 6)
+    attr_table[:, 33] = material_id
+    attr_table[:, 34] = light_id
+    attr_table[:, 35] = geom_mask
+
+    tbl = table  # jnp MaterialTable
+    mat_table = jnp.concatenate(
+        [
+            tbl.bsdf_type.astype(jnp.float32)[:, None],
+            tbl.diffuse_color,
+            tbl.metallic[:, None],
+            tbl.roughness[:, None],
+            tbl.specular_level[:, None],
+            tbl.ior[:, None],
+            tbl.glass_color,
+            tbl.opacity[:, None],
+            tbl.diffuse_tex.astype(jnp.float32)[:, None],
+            tbl.normal_tex.astype(jnp.float32)[:, None],
+            tbl.roughness_tex.astype(jnp.float32)[:, None],
+            tbl.metallic_tex.astype(jnp.float32)[:, None],
+            tbl.uv_scale,
+            tbl.uv_offset,
+        ],
+        axis=1,
+    )
+    dl = build_device_lights(scene)
+    light_table = jnp.concatenate(
+        [
+            jnp.asarray(dl.points).reshape(-1, 12),
+            jnp.asarray(dl.color),
+            jnp.asarray(dl.normal),
+            dl.type.astype(jnp.float32)[:, None],
+            dl.half_angle[:, None],
+        ],
+        axis=1,
+    )
+
     log.info(
         "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,
@@ -341,7 +391,7 @@ def build_device_scene(
         material_id=jnp.asarray(material_id),
         light_id=jnp.asarray(light_id),
         geom_mask=jnp.asarray(geom_mask),
-        lights=build_device_lights(scene),
+        lights=dl,
         materials=table,
         curves=curves,
         bvh=bvh_nodes,
@@ -350,6 +400,9 @@ def build_device_scene(
         tris_packed=tris_packed,
         tris_feats=tris_feats,
         tris_mask=tris_mask,
+        attr_table=jnp.asarray(attr_table),
+        mat_table=mat_table,
+        light_table=light_table,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
         use_pallas=use_pallas,

@@ -126,10 +126,13 @@ class TpuRender(Render):
                 debug=debug,
             )
             if debug == 0:
-                image = TM.apply_tonemap(image, tm_type, params.exposure, gamma)
+                image = TM.apply_tonemap_planar(image, tm_type, params.exposure, gamma)
             elif gamma > 0.0 and debug in (2, 3):
                 image = TM.gamma_correction(image, gamma)
-            return new_state, image
+            # [3,H,W] -> [H,W,4] once per frame at the display boundary
+            hwc = TM.planar_to_hwc(image)
+            alpha = jnp.ones(hwc.shape[:-1] + (1,), jnp.float32)
+            return new_state, jnp.concatenate([hwc, alpha], axis=-1)
 
         if self._mesh is not None:
             from strelka_tpu.parallel.sharding import shard_launch
@@ -216,18 +219,20 @@ class TpuRender(Render):
         else:
             # budget exhausted: re-emit accumulated buffer (OptixRender.cpp:1022-1049)
             if debug == 2:
-                image = self._state.diffuse
+                planar = self._state.diffuse
             elif debug == 3:
-                image = self._state.specular
+                planar = self._state.specular
             else:
-                image = self._state.accum
+                planar = self._state.accum
             if debug == 0:
-                image = TM.apply_tonemap(image, tm_type, jnp.asarray(exposure), gamma)
+                planar = TM.apply_tonemap_planar(planar, tm_type, jnp.asarray(exposure), gamma)
             elif gamma > 0.0:
-                image = TM.gamma_correction(image, gamma)
+                planar = TM.gamma_correction(planar, gamma)
+            hwc = TM.planar_to_hwc(planar)
+            alpha = jnp.ones(hwc.shape[:-1] + (1,), jnp.float32)
+            image = jnp.concatenate([hwc, alpha], axis=-1)
 
-        alpha = jnp.ones(image.shape[:-1] + (1,), jnp.float32)
-        output.set_device(jnp.concatenate([image, alpha], axis=-1))
+        output.set_device(image)
         ctx.frame_number += 1
 
 

@@ -142,8 +142,8 @@ def test_hair_render_end_to_end():
             max_sample_count=4, max_depth=2, enable_accumulation=True,
         )
     )(dev, params, state)
-    img = np.asarray(img)
+    img = np.asarray(img)  # planar [3, H, W]
     assert not np.isnan(img).any()
     # strands visible: some pixels have red>blue (hair color), bg has blue only
-    assert (img[..., 0] > img[..., 2]).any()
-    assert (img[..., 2] > img[..., 0]).any()
+    assert (img[0] > img[2]).any()
+    assert (img[2] > img[0]).any()

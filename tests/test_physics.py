@@ -14,16 +14,18 @@ from strelka_tpu.ops import light_sampling as LS
 from strelka_tpu.ops import tonemap as TM
 
 
+from strelka_tpu.ops import vec as V
+
+
+def _v3(rows):
+    return V.from_rows(jnp.asarray(np.asarray(rows, np.float32)))
+
+
 def _frame(n):
-    normal = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
-    tu = np.tile([1.0, 0.0, 0.0], (n, 1)).astype(np.float32)
-    tv = np.tile([0.0, 1.0, 0.0], (n, 1)).astype(np.float32)
-    return B.ShadingFrame(
-        normal=jnp.asarray(normal),
-        tangent_u=jnp.asarray(tu),
-        tangent_v=jnp.asarray(tv),
-        geom_normal=jnp.asarray(normal),
-    )
+    normal = _v3(np.tile([0.0, 0.0, 1.0], (n, 1)))
+    tu = _v3(np.tile([1.0, 0.0, 0.0], (n, 1)))
+    tv = _v3(np.tile([0.0, 1.0, 0.0], (n, 1)))
+    return B.ShadingFrame(normal=normal, tangent_u=tu, tangent_v=tv, geom_normal=normal)
 
 
 def _params(n, bsdf_type, **over):
@@ -38,13 +40,17 @@ def _params(n, bsdf_type, **over):
         opacity=np.ones(n, np.float32),
     )
     d.update({k: np.asarray(v, np.float32) for k, v in over.items()})
-    return B.SurfaceParams(**{k: jnp.asarray(v) for k, v in d.items()})
+    out = {}
+    for k, v in d.items():
+        arr = jnp.asarray(v)
+        out[k] = V.from_rows(arr) if arr.ndim == 2 else arr
+    return B.SurfaceParams(**out)
 
 
 def _k1(n, rng):
     k = rng.normal(size=(n, 3)).astype(np.float32)
     k[:, 2] = np.abs(k[:, 2]) + 0.1
-    return jnp.asarray(k / np.linalg.norm(k, axis=1, keepdims=True))
+    return _v3(k / np.linalg.norm(k, axis=1, keepdims=True))
 
 
 def test_diffuse_sample_eval_consistency():
@@ -53,15 +59,15 @@ def test_diffuse_sample_eval_consistency():
     frame = _frame(n)
     params = _params(n, BsdfType.DIFFUSE)
     k1 = _k1(n, rng)
-    xi = jnp.asarray(rng.uniform(size=(n, 4)).astype(np.float32))
+    xi = tuple(jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(4))
     smp = B.bsdf_sample(params, frame, k1, xi, jnp.ones(n), jnp.full(n, 1.5))
     ev = B.bsdf_evaluate(params, frame, k1, smp.k2)
     ok = np.asarray(smp.event_type) != B.BSDF_EVENT_ABSORB
     # eval pdf must equal sample pdf
     np.testing.assert_allclose(np.asarray(ev.pdf)[ok], np.asarray(smp.pdf)[ok], rtol=1e-4)
     # f*cos/pdf must equal bsdf_over_pdf (= albedo for cosine-sampled diffuse)
-    ratio = np.asarray(ev.bsdf_diffuse)[ok] / np.asarray(smp.pdf)[ok][:, None]
-    np.testing.assert_allclose(ratio, np.asarray(smp.bsdf_over_pdf)[ok], rtol=1e-3)
+    ratio = np.asarray(V.to_rows(ev.bsdf_diffuse))[ok] / np.asarray(smp.pdf)[ok][:, None]
+    np.testing.assert_allclose(ratio, np.asarray(V.to_rows(smp.bsdf_over_pdf))[ok], rtol=1e-3)
 
 
 def test_pbr_sample_eval_consistency():
@@ -70,14 +76,14 @@ def test_pbr_sample_eval_consistency():
     frame = _frame(n)
     params = _params(n, BsdfType.OMNI_PBR, roughness=np.full(8192, 0.5))
     k1 = _k1(n, rng)
-    xi = jnp.asarray(rng.uniform(size=(n, 4)).astype(np.float32))
+    xi = tuple(jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(4))
     smp = B.bsdf_sample(params, frame, k1, xi, jnp.ones(n), jnp.full(n, 1.5))
     ev = B.bsdf_evaluate(params, frame, k1, smp.k2)
     ok = (np.asarray(smp.event_type) != B.BSDF_EVENT_ABSORB) & (np.asarray(smp.pdf) > 1e-5)
     np.testing.assert_allclose(np.asarray(ev.pdf)[ok], np.asarray(smp.pdf)[ok], rtol=1e-3)
-    f_total = np.asarray(ev.bsdf_diffuse + ev.bsdf_glossy)[ok]
+    f_total = np.asarray(V.to_rows(ev.bsdf_diffuse + ev.bsdf_glossy))[ok]
     ratio = f_total / np.asarray(smp.pdf)[ok][:, None]
-    np.testing.assert_allclose(ratio, np.asarray(smp.bsdf_over_pdf)[ok], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(ratio, np.asarray(V.to_rows(smp.bsdf_over_pdf))[ok], rtol=2e-3, atol=1e-4)
 
 
 def test_pbr_white_furnace_bounded():
@@ -92,12 +98,12 @@ def test_pbr_white_furnace_bounded():
         metallic=np.zeros(n),
         roughness=np.full(n, 0.6),
     )
-    k1 = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32))
-    xi = jnp.asarray(rng.uniform(size=(n, 4)).astype(np.float32))
+    k1 = _v3(np.tile([0.0, 0.0, 1.0], (n, 1)))
+    xi = tuple(jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(4))
     smp = B.bsdf_sample(params, frame, k1, xi, jnp.ones(n), jnp.full(n, 1.5))
     ok = np.asarray(smp.event_type) != B.BSDF_EVENT_ABSORB
     # E[bsdf_over_pdf] = integral(f cos) -- must be <= 1 + MC noise
-    reflectance = np.asarray(smp.bsdf_over_pdf)[ok].mean(axis=0) * ok.mean()
+    reflectance = np.asarray(V.to_rows(smp.bsdf_over_pdf))[ok].mean(axis=0) * ok.mean()
     assert np.all(reflectance < 1.05), reflectance
     assert np.all(reflectance > 0.5), reflectance
 
@@ -108,10 +114,10 @@ def test_glass_energy_and_direction():
     frame = _frame(n)
     params = _params(n, BsdfType.OMNI_GLASS)
     k1 = _k1(n, rng)
-    xi = jnp.asarray(rng.uniform(size=(n, 4)).astype(np.float32))
+    xi = tuple(jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(4))
     smp = B.bsdf_sample(params, frame, k1, xi, jnp.ones(n), jnp.full(n, 1.5))
     ev = np.asarray(smp.event_type)
-    k2 = np.asarray(smp.k2)
+    k2 = np.asarray(V.to_rows(smp.k2))
     refl = ev == B.BSDF_EVENT_SPECULAR_REFLECTION
     trans = ev == B.BSDF_EVENT_SPECULAR_TRANSMISSION
     assert refl.any() and trans.any()
@@ -120,7 +126,7 @@ def test_glass_energy_and_direction():
     # pdf == 0 for specular (MDL convention)
     assert (np.asarray(smp.pdf)[refl | trans] == 0).all()
     # Snell's law on transmission: sin_t = sin_i / 1.5
-    k1n = np.asarray(k1)
+    k1n = np.asarray(V.to_rows(k1))
     sin_i = np.sqrt(np.clip(1 - k1n[trans][:, 2] ** 2, 0, 1))
     sin_t = np.sqrt(np.clip(1 - k2[trans][:, 2] ** 2, 0, 1))
     np.testing.assert_allclose(sin_t, sin_i / 1.5, atol=1e-3)
@@ -130,7 +136,7 @@ def test_cosine_hemisphere_stats():
     n = 1 << 16
     rng = np.random.default_rng(4)
     u = rng.uniform(size=(2, n)).astype(np.float32)
-    d = np.asarray(B.cosine_sample_hemisphere(jnp.asarray(u[0]), jnp.asarray(u[1])))
+    d = np.asarray(V.to_rows(B.cosine_sample_hemisphere(jnp.asarray(u[0]), jnp.asarray(u[1]))))
     assert (d[:, 2] >= 0).all()
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
     # E[cos] for cosine-weighted = 2/3
@@ -146,22 +152,26 @@ def test_rect_light_solid_angle_mc():
     pts = np.array(
         [[[0.5, 2.0, 0.5], [0.5, 2.0, -0.5], [-0.5, 2.0, -0.5], [-0.5, 2.0, 0.5]]], np.float32
     )
-    points = jnp.asarray(np.tile(pts, (n, 1, 1)))
-    normal = jnp.zeros((n, 3))
-    ltype = jnp.zeros(n, jnp.int32)
-    hit = jnp.asarray(np.tile([0.0, 0.0, 0.0], (n, 1)).astype(np.float32))
-    uv = jnp.asarray(rng.uniform(size=(n, 2)).astype(np.float32))
+    points = np.tile(pts, (n, 1, 1))
+    lp = LS.LightParams(
+        p0=_v3(points[:, 0]), p1=_v3(points[:, 1]), p2=_v3(points[:, 2]), p3=_v3(points[:, 3]),
+        color=_v3(np.ones((n, 3))), normal=_v3(np.zeros((n, 3))),
+        type=jnp.zeros(n, jnp.int32), half_angle=jnp.zeros(n), radius=jnp.zeros(n),
+    )
+    hit = _v3(np.zeros((n, 3)))
+    u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
     # solid angle via uniform-area sampling: E[1/pdf] = Omega
-    uni = LS.sample_rect_light_uniform(points, normal, ltype, uv, hit)
+    uni = LS.sample_rect_light_uniform(lp, u, v, hit)
     omega_mc = float((1.0 / np.asarray(uni.pdf)).mean())
-    q = LS.sph_quad_init(points, hit)
+    q = LS.sph_quad_init(lp, hit)
     omega_exact = float(np.asarray(q.S)[0])
     assert omega_exact == pytest.approx(omega_mc, rel=2e-2)
     # sphquad sampling pdf is exactly 1/S
-    sph = LS.sample_rect_light_sphquad(points, normal, ltype, uv, hit)
+    sph = LS.sample_rect_light_sphquad(lp, u, v, hit)
     np.testing.assert_allclose(np.asarray(sph.pdf), 1.0 / omega_exact, rtol=1e-4)
     # and its samples lie on the rect plane
-    pol = np.asarray(sph.point_on_light)
+    pol = np.asarray(V.to_rows(sph.point_on_light))
     np.testing.assert_allclose(pol[:, 1], 2.0, atol=1e-4)
     assert (np.abs(pol[:, [0, 2]]) <= 0.5 + 1e-4).all()
 
@@ -169,21 +179,25 @@ def test_rect_light_solid_angle_mc():
 def test_sphere_distant_light_pdfs():
     n = 1024
     rng = np.random.default_rng(6)
-    uv = jnp.asarray(rng.uniform(size=(n, 2)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(size=n).astype(np.float32))
     # sphere light radius 0.5 at (0,3,0)
     pts = np.zeros((n, 4, 3), np.float32)
     pts[:, 0, 0] = 0.5
     pts[:, 1] = [0, 3, 0]
-    hit = jnp.asarray(np.tile([0.0, 0.0, 0.0], (n, 1)).astype(np.float32))
-    s = LS.sample_sphere_light(jnp.asarray(pts), uv, hit)
-    np.testing.assert_allclose(np.asarray(s.pdf), 1.0 / (4 * np.pi), rtol=1e-5)
-    p = np.asarray(s.point_on_light)
+    lp = LS.LightParams(
+        p0=_v3(pts[:, 0]), p1=_v3(pts[:, 1]), p2=_v3(pts[:, 2]), p3=_v3(pts[:, 3]),
+        color=_v3(np.ones((n, 3))), normal=_v3(np.tile([0.0, -1.0, 0.0], (n, 1))),
+        type=jnp.full(n, 2, jnp.int32), half_angle=jnp.full(n, 0.2), radius=jnp.full(n, 0.5),
+    )
+    hit = _v3(np.zeros((n, 3)))
+    sph = LS.sample_sphere_light(lp, u, v, hit)
+    np.testing.assert_allclose(np.asarray(sph.pdf), 1.0 / (4 * np.pi), rtol=1e-5)
+    p = np.asarray(V.to_rows(sph.point_on_light))
     np.testing.assert_allclose(np.linalg.norm(p - [0, 3, 0], axis=1), 0.5, atol=1e-4)
     # distant light: directions within half-angle cone around -normal
-    normal = jnp.asarray(np.tile([0.0, -1.0, 0.0], (n, 1)).astype(np.float32))
-    half = jnp.full(n, 0.2, jnp.float32)
-    d = LS.sample_distant_light(normal, half, uv)
-    cosang = np.asarray(d.L) @ np.array([0, 1.0, 0])
+    d = LS.sample_distant_light(lp, u, v)
+    cosang = np.asarray(V.to_rows(d.L)) @ np.array([0, 1.0, 0])
     assert (cosang >= np.cos(0.2) - 1e-5).all()
     np.testing.assert_allclose(np.asarray(d.pdf), 1.0 / (2 * np.pi * (1 - np.cos(0.2))), rtol=1e-4)
 

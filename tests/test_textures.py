@@ -116,8 +116,8 @@ def test_textured_render_end_to_end():
             max_sample_count=8, max_depth=2, enable_accumulation=True,
         )
     )(scene, params, state)
-    img = np.asarray(img)
+    img = np.asarray(img)  # planar [3, H, W]
     assert not np.isnan(img).any()
     # checkered floor: red and green channels both present and anticorrelated
-    floor = img[4:14]  # bottom rows (y small = floor in view)
-    assert floor[..., 0].max() > 0.005 and floor[..., 1].max() > 0.005
+    floor = img[:, 4:14]  # bottom rows (y small = floor in view)
+    assert floor[0].max() > 0.005 and floor[1].max() > 0.005
