@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     parser.add_argument("--debug-view", type=int, default=0, help="0 none 1 normals 2 diffuse 3 specular")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--multichip", action="store_true", help="shard pixel rows over all devices")
+    parser.add_argument("--checkpoint", default="", help="save accumulator checkpoint here at exit")
+    parser.add_argument("--resume", default="", help="resume accumulation from a checkpoint")
+    parser.add_argument("--upscale", type=float, default=0.0, help="render at FACTOR res, upscale to output")
+    parser.add_argument("--play-animation", action="store_true", help="advance scene animation per frame")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -99,6 +103,9 @@ def main(argv=None) -> int:
     settings.set("render/pt/debug", args.debug_view)
     settings.set("render/pt/screenshotSPP", args.need_screenshot)
     settings.set("render/enableValidation", args.validation)
+    if args.upscale > 0.0:
+        settings.set("render/pt/enableUpscale", True)
+        settings.set("render/pt/upscaleFactor", args.upscale)
     if not args.scene.startswith("builtin://"):
         settings.set("resource/searchPath", os.path.dirname(os.path.abspath(args.scene)))
 
@@ -111,11 +118,17 @@ def main(argv=None) -> int:
     ctx.render = render
 
     buf = render.create_buffer(BufferDesc(args.width, args.height, BufferFormat.FLOAT4))
+    if args.resume:
+        render.load_checkpoint(args.resume)
 
+    anim_time = scene.animations[0].start if (args.play_animation and scene.animations) else 0.0
     iteration = 0
     start_total = time.perf_counter()
     while True:
         t0 = time.perf_counter()
+        if args.play_animation and scene.animations:
+            scene.update_animation(anim_time)
+            anim_time += 1.0 / 24.0
         render.render(buf)
         img = buf.map()
         dt = (time.perf_counter() - t0) * 1e3
@@ -130,6 +143,8 @@ def main(argv=None) -> int:
     total = time.perf_counter() - start_total
     log.info("Rendered {} spp in {:.2f}s", ctx.subframe_index, total)
 
+    if args.checkpoint:
+        render.save_checkpoint(args.checkpoint)
     if args.need_screenshot or args.output:
         out = args.output
         if not out:

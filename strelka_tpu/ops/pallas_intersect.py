@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e16  # python float: jnp scalars become captured consts in pallas kernels
 
-DEFAULT_TILE = 512  # rays per grid cell (lanes)
+DEFAULT_TILE = 2048  # rays per grid cell (lanes; tuned on v5e)
 DEFAULT_TBLK = 256  # triangles per streamed block (sublanes)
 
 

@@ -89,6 +89,7 @@ class TpuRender(Render):
         self._prev_view: Optional[np.ndarray] = None
         self._prev_settings: Optional[tuple] = None
         self._launch_cache: Dict[tuple, object] = {}
+        self._resume = False
         self._mesh = None
         self._use_sharding = use_sharding
         self.material_manager = MaterialManager()
@@ -144,17 +145,44 @@ class TpuRender(Render):
         return fn
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the progressive accumulator (checkpoint/resume parity)."""
+        from strelka_tpu.render.checkpoint import save_checkpoint
+
+        if self._state is None:
+            raise RuntimeError("nothing rendered yet")
+        save_checkpoint(path, self._state, self._ctx.subframe_index)
+
+    def load_checkpoint(self, path: str) -> None:
+        from strelka_tpu.render.checkpoint import load_checkpoint
+
+        state, subframe = load_checkpoint(path)
+        self._state = state
+        self._state_dims = tuple(state.accum.shape[1:])
+        self._ctx.subframe_index = subframe
+        # prime the change detectors so the next frame CONTINUES accumulating
+        self._prev_settings = None
+        self._resume = True
+
+    # ------------------------------------------------------------------
     def render(self, output: Buffer) -> None:
         ctx = self._ctx
         settings = ctx.settings
         scene = self._scene
-        width, height = output.width(), output.height()
+        out_width, out_height = output.width(), output.height()
+        # upscale mode: path-trace at reduced internal resolution and
+        # bilinear-upscale for display (render/pt/upscaleFactor semantics)
+        upscale = settings.get_bool("render/pt/enableUpscale")
+        factor = settings.get_float("render/pt/upscaleFactor") if upscale else 1.0
+        width = max(int(out_width * factor) // 8 * 8, 8) if upscale else out_width
+        height = max(int(out_height * factor) // 8 * 8, 8) if upscale else out_height
 
         # frame-0 / dirty scene: rebuild device arrays (GAS/SBT analog)
         if self._device_scene is None or scene.dirty:
             self._device_scene = build_device_scene(scene, self.material_manager)
             scene.dirty = False
-            ctx.subframe_index = 0
+            if not self._resume:
+                ctx.subframe_index = 0
 
         # resize -> reset (updatePathtracerParams, OptixRender.cpp:827-872)
         if self._state is None or self._state_dims != (height, width):
@@ -166,9 +194,10 @@ class TpuRender(Render):
         camera = scene.get_camera(0)
         camera.update_aspect_ratio(width / height)
         view = camera.matrices.view
-        if self._prev_view is None or not np.allclose(view, self._prev_view):
+        if not self._resume and (self._prev_view is None or not np.allclose(view, self._prev_view)):
             ctx.subframe_index = 0
         self._prev_view = view.copy()
+        self._resume = False
 
         # settings change resets accumulation (OptixRender.cpp:910-934)
         snap = self._settings_snapshot(settings)
@@ -232,6 +261,10 @@ class TpuRender(Render):
             alpha = jnp.ones(hwc.shape[:-1] + (1,), jnp.float32)
             image = jnp.concatenate([hwc, alpha], axis=-1)
 
+        if (height, width) != (out_height, out_width):
+            image = jax.image.resize(
+                image, (out_height, out_width, image.shape[-1]), method="bilinear"
+            )
         output.set_device(image)
         ctx.frame_number += 1
 

@@ -1,0 +1,116 @@
+"""Render-layer features: checkpoint/resume, upscale, multichip sharding,
+golden-image regression."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from strelka_tpu.render.buffer import BufferDesc, BufferFormat
+from strelka_tpu.render.render import RenderFactory
+from strelka_tpu.scene.testscenes import cornell_box
+from strelka_tpu.settings import SharedContext, make_default_settings
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+
+
+def _make(width=32, height=32, spp=2, total=8, use_sharding=False, light=5000.0):
+    s = make_default_settings(width, height)
+    s.set("render/pt/sppTotal", total)
+    s.set("render/pt/spp", spp)
+    ctx = SharedContext(s)
+    r = RenderFactory.create_render(use_sharding=use_sharding)
+    r.set_scene(cornell_box(light_intensity=light))
+    r.set_shared_context(ctx)
+    r.init()
+    buf = r.create_buffer(BufferDesc(width, height, BufferFormat.FLOAT4))
+    return r, ctx, buf, s
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """render 4 frames == render 2, checkpoint, restore in a NEW renderer, 2 more."""
+    r1, ctx1, buf1, _ = _make(spp=2, total=8)
+    for _ in range(4):
+        r1.render(buf1)
+    ref = buf1.map().copy()
+    assert ctx1.subframe_index == 8
+
+    r2, ctx2, buf2, _ = _make(spp=2, total=8)
+    for _ in range(2):
+        r2.render(buf2)
+    ckpt = str(tmp_path / "state.npz")
+    r2.save_checkpoint(ckpt)
+
+    r3, ctx3, buf3, _ = _make(spp=2, total=8)
+    r3.render(buf3)  # warm: builds device scene (resets to 0)
+    r3.load_checkpoint(ckpt)
+    assert ctx3.subframe_index == 4
+    for _ in range(2):
+        r3.render(buf3)
+    out = buf3.map()
+    assert ctx3.subframe_index == 8
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_upscale_renders_at_reduced_resolution():
+    r, ctx, buf, s = _make(width=64, height=64, spp=2, total=2)
+    s.set("render/pt/enableUpscale", True)
+    s.set("render/pt/upscaleFactor", 0.5)
+    r.render(buf)
+    img = buf.map()
+    assert img.shape == (64, 64, 4)
+    assert not np.isnan(img).any()
+    assert img[..., :3].max() > 0.0
+    # internal state is at half resolution
+    assert r._state.accum.shape == (3, 32, 32)
+
+
+def test_multichip_row_sharding_matches_single_device():
+    """8-device CPU mesh render == single-device render (bitwise-ish)."""
+    assert jax.device_count() >= 8, "conftest should force 8 CPU devices"
+    r1, ctx1, buf1, _ = _make(width=32, height=32, spp=2, total=4)
+    r1.render(buf1)
+    single = buf1.map().copy()
+
+    r2, ctx2, buf2, _ = _make(width=32, height=32, spp=2, total=4, use_sharding=True)
+    r2.render(buf2)
+    sharded = buf2.map()
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_golden_image_ssim():
+    """Regression: cornell at a pinned config matches the stored golden.
+
+    Regenerate (after INTENTIONAL image-pipeline changes) with:
+      python tests/test_render_features.py --regen-golden
+    """
+    from strelka_tpu.utils.image import read_png, ssim, write_png
+
+    r, ctx, buf, _ = _make(width=64, height=64, spp=4, total=16)
+    for _ in range(4):
+        r.render(buf)
+    img = buf.map()[..., :3]
+    path = os.path.join(GOLDEN_DIR, "cornell_64_16spp.png")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated yet (run --regen-golden)")
+    golden = read_png(path)[..., :3]
+    score = ssim(np.clip(img, 0, 1), golden)
+    assert score > 0.98, f"SSIM vs golden = {score}"
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--regen-golden" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        from strelka_tpu.utils.image import write_png
+
+        r, ctx, buf, _ = _make(width=64, height=64, spp=4, total=16)
+        for _ in range(4):
+            r.render(buf)
+        img = np.clip(buf.map()[..., :3], 0, 1)
+        write_png(os.path.join(GOLDEN_DIR, "cornell_64_16spp.png"), img, flip=False)
+        print("golden written")
