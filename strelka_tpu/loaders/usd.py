@@ -461,18 +461,47 @@ class UsdLoader:
         """UsdPreviewSurface network -> material description
         (HdStrelkaMaterial::Sync param collection, Material.cpp:52-163)."""
         desc = MaterialDescription(type="mtlx", name=mat_prim.name, file="OmniPBR.mdl")
-        # find surface shader
-        surf = mat_prim.attrs.get("outputs:surface")
+        # find surface shader (mdl output preferred like the reference's
+        # material contexts, RenderDelegate.cpp:222-230)
         shader = None
-        if surf is not None and surf.connect:
-            spath = surf.connect.split(".")[0]
-            shader = self._root.find(spath)
+        for out_name in ("outputs:mdl:surface", "outputs:surface"):
+            surf = mat_prim.attrs.get(out_name)
+            if surf is not None and surf.connect:
+                shader = self._root.find(surf.connect.split(".")[0])
+                if shader is not None:
+                    break
         if shader is None:
             for c in mat_prim.children:
-                if c.type == "Shader" and _attr_val(c, "info:id") == "UsdPreviewSurface":
+                if c.type == "Shader":
                     shader = c
                     break
         if shader is None:
+            return desc
+
+        # single-node MDL network (HdStrelkaMaterial::Sync, Material.cpp:181):
+        # info:mdl:sourceAsset = @File.mdl@ + sourceAsset:subIdentifier
+        src_asset = _attr_val(shader, "info:mdl:sourceAsset")
+        if isinstance(src_asset, tuple) and src_asset and src_asset[0] == "__asset__":
+            desc.type = "mdl"
+            desc.file = os.path.basename(src_asset[1])
+            sub = _attr_val(shader, "info:mdl:sourceAsset:subIdentifier")
+            if isinstance(sub, str):
+                desc.name = sub
+            # typed inputs become instance params (Material.cpp:52-163)
+            for key, attr in shader.attrs.items():
+                if not key.startswith("inputs:") or attr.value is None:
+                    continue
+                pname = key[len("inputs:") :]
+                val = attr.value
+                if isinstance(val, tuple) and val and val[0] == "__asset__":
+                    desc.params[pname] = val[1]
+                elif isinstance(val, (tuple, list)):
+                    desc.params[pname] = np.asarray([float(x) for x in val], np.float32)
+                else:
+                    desc.params[pname] = val
+            return desc
+        if _attr_val(shader, "info:id") != "UsdPreviewSurface":
+            # unknown network: fall back to defaults (Material.cpp:181-187)
             return desc
 
         def shader_input(name, default=None):

@@ -132,35 +132,82 @@ class MaterialManager:
     """
 
     def __init__(self, texture_manager=None) -> None:
+        import os
+
         self._search_paths: List[str] = []
         self.texture_manager = texture_manager
         self._compiled: List[CompiledMaterial] = []
+        # builtin material library (the reference resolves default.mdl /
+        # OmniPBR.mdl / OmniGlass.mdl from data/materials/mdl at cwd,
+        # OptixRender.cpp:1070-1097)
+        builtin = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "materials", "mdl"
+        )
+        if os.path.isdir(builtin):
+            self._search_paths.append(builtin)
 
     def add_mdl_search_path(self, path: str) -> None:
         self._search_paths.append(path)
 
     # -- pipeline stages (shape parity with the reference) --
-    def create_module(self, file: str) -> str:
-        """Module identity == the material model file name."""
+    def create_module(self, file: str):
+        """Load (or name-resolve) an MDL module (mdlMaterialCompiler.cpp:40-50).
+
+        Returns an MdlModule when the file exists on a search path (parsed
+        parameter defaults become the arg-block initial values), else the
+        bare file name (model selection by name only).
+        """
+        from strelka_tpu.loaders.mdl import load_mdl_module
+
+        if file and file.endswith(".mdl"):
+            module = load_mdl_module(file, self._search_paths)
+            if module is not None:
+                return module
         return file
 
-    def create_mtlx_module(self, mtlx_code: str) -> str:
-        """MaterialX source: translated at compile time (MtlxMdlCodeGen parity)."""
-        return "mtlx"
+    def create_mtlx_module(self, mtlx_code: str):
+        """MaterialX source -> parsed description (MtlxMdlCodeGen::translate)."""
+        from strelka_tpu.loaders.mtlx import parse_mtlx
 
-    def create_material_instance(self, module: str, name: str) -> Dict:
+        try:
+            return parse_mtlx(mtlx_code)
+        except Exception as e:  # noqa: BLE001 — malformed docs fall back
+            log.warning("mtlx translate failed: {}", e)
+            return "mtlx"
+
+    def create_material_instance(self, module, name: str) -> Dict:
         return {"module": module, "name": name, "params": {}}
 
     def compile_material(self, instance: Dict, desc: Optional[MaterialDescription] = None) -> CompiledMaterial:
-        """Fold a MaterialDescription's params into a CompiledMaterial row."""
-        module = instance["module"].lower()
+        """Fold module defaults + MaterialDescription params into a row."""
+        from strelka_tpu.loaders.mdl import MdlModule
+
+        module = instance["module"]
+        module_name = ""
+        module_defaults: Dict[str, object] = {}
+        if isinstance(module, MdlModule):
+            module_name = module.path.lower()
+            want = instance.get("name", "")
+            mats = module.materials
+            if mats:
+                key = want if want in mats else next(iter(mats))
+                module_defaults = mats[key]
+        elif isinstance(module, MaterialDescription):
+            # pre-parsed mtlx description
+            module_name = (module.file or "mtlx").lower()
+            module_defaults = dict(module.params)
+        else:
+            module_name = str(module).lower()
+
         mat = CompiledMaterial(name=instance.get("name", ""))
-        if "omniglass" in module:
+        if "omniglass" in module_name:
             mat.bsdf_type = BsdfType.OMNI_GLASS
-        elif "omnipbr" in module or module == "mtlx":
+        elif "omnipbr" in module_name or "mtlx" in module_name:
             mat.bsdf_type = BsdfType.OMNI_PBR
         else:
             mat.bsdf_type = BsdfType.DIFFUSE
+        for pname, pval in module_defaults.items():
+            self.set_param(mat, pname, pval)
         if desc is not None:
             if desc.has_color:
                 mat.diffuse_color = np.asarray(desc.color, np.float32)
@@ -193,7 +240,10 @@ class MaterialManager:
         """createOptixMaterials equivalent (OptixRender.cpp:1270-1433)."""
         compiled = []
         for desc in descs:
-            module = self.create_module(desc.file or desc.name or "default.mdl")
+            if desc.type == "mtlx" and desc.code:
+                module = self.create_mtlx_module(desc.code)
+            else:
+                module = self.create_module(desc.file or desc.name or "default.mdl")
             inst = self.create_material_instance(module, desc.name)
             compiled.append(self.compile_material(inst, desc))
         if not compiled:

@@ -223,3 +223,56 @@ def test_usd_render_end_to_end(tmp_path):
     img = buf.map()
     assert not np.isnan(img).any()
     assert img[..., :3].max() > 0.0
+
+
+def test_usd_mdl_shader_node(tmp_path):
+    """Single-node MDL network (info:mdl:sourceAsset + subIdentifier)."""
+    p = tmp_path / "mdl.usda"
+    p.write_text("""#usda 1.0
+(
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def Mesh "quad"
+    {
+        point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+        rel material:binding = </World/Looks/Metal>
+    }
+    def Scope "Looks"
+    {
+        def Material "Metal"
+        {
+            token outputs:mdl:surface.connect = </World/Looks/Metal/Shader.outputs:out>
+
+            def Shader "Shader"
+            {
+                uniform token info:implementationSource = "sourceAsset"
+                uniform asset info:mdl:sourceAsset = @OmniPBR.mdl@
+                uniform token info:mdl:sourceAsset:subIdentifier = "OmniPBR"
+                color3f inputs:diffuse_color_constant = (0.9, 0.7, 0.2)
+                float inputs:metallic_constant = 1.0
+                float inputs:reflection_roughness_constant = 0.15
+                token outputs:out
+            }
+        }
+    }
+}
+""")
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+    mats = [m for m in scene.materials if m.name == "OmniPBR"]
+    assert len(mats) == 1
+    m = mats[0]
+    assert m.type == "mdl" and m.file == "OmniPBR.mdl"
+    assert m.params["metallic_constant"] == pytest.approx(1.0)
+    np.testing.assert_allclose(m.params["diffuse_color_constant"], [0.9, 0.7, 0.2])
+    # compiles through the MDL module pipeline
+    from strelka_tpu.materials import BsdfType, MaterialManager
+
+    compiled = MaterialManager().compile_scene_materials(scene.materials)
+    target = [c for c in compiled if c.metallic == 1.0]
+    assert target and target[0].bsdf_type == BsdfType.OMNI_PBR
+    assert target[0].roughness == pytest.approx(0.15)
