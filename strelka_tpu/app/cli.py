@@ -76,6 +76,7 @@ def main(argv=None) -> int:
     parser.add_argument("--resume", default="", help="resume accumulation from a checkpoint")
     parser.add_argument("--upscale", type=float, default=0.0, help="render at FACTOR res, upscale to output")
     parser.add_argument("--play-animation", action="store_true", help="advance scene animation per frame")
+    parser.add_argument("--profile", default="", help="capture a jax device trace into this dir")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -121,27 +122,47 @@ def main(argv=None) -> int:
     if args.resume:
         render.load_checkpoint(args.resume)
 
+    from strelka_tpu.utils.profiling import FrameStats, device_trace
+
     anim_time = scene.animations[0].start if (args.play_animation and scene.animations) else 0.0
     iteration = 0
+    stats = FrameStats()
     start_total = time.perf_counter()
-    while True:
-        t0 = time.perf_counter()
-        if args.play_animation and scene.animations:
-            scene.update_animation(anim_time)
-            anim_time += 1.0 / 24.0
-        render.render(buf)
-        img = buf.map()
-        dt = (time.perf_counter() - t0) * 1e3
-        # title-bar equivalent (app/main.cpp:399-403)
-        print(f"Strelka [{dt:.1f} ms] [{ctx.subframe_index} spp]", flush=True)
-        iteration += 1
-        done_spp = ctx.subframe_index >= args.spp_total
-        done_iter = args.iteration > 0 and iteration >= args.iteration
-        if done_spp or done_iter:
-            break
+    import contextlib
+
+    trace_cm = device_trace(args.profile) if args.profile else contextlib.nullcontext()
+    with trace_cm:
+        while True:
+            t0 = time.perf_counter()
+            if args.play_animation and scene.animations:
+                scene.update_animation(anim_time)
+                anim_time += 1.0 / 24.0
+            spp_before = ctx.subframe_index
+            render.render(buf)
+            img = buf.map()
+            dt = time.perf_counter() - t0
+            rays = args.width * args.height * max(ctx.subframe_index - spp_before, 0) * 2 * args.depth
+            stats.add_frame(dt, rays)
+            # title-bar equivalent (app/main.cpp:399-403)
+            print(stats.title(spp=ctx.subframe_index), flush=True)
+            iteration += 1
+            done_spp = ctx.subframe_index >= args.spp_total
+            done_iter = args.iteration > 0 and iteration >= args.iteration
+            if done_spp or done_iter:
+                break
 
     total = time.perf_counter() - start_total
-    log.info("Rendered {} spp in {:.2f}s", ctx.subframe_index, total)
+    log.info(
+        "Rendered {} spp in {:.2f}s ({:.1f} Mray/s avg)",
+        ctx.subframe_index,
+        total,
+        stats.mrays_per_sec,
+    )
+    if args.profile:
+        from strelka_tpu.utils.profiling import summarize_trace
+
+        for name, ms in summarize_trace(args.profile, top=10):
+            log.info("profile: {:.2f}ms {}", ms, name)
 
     if args.checkpoint:
         render.save_checkpoint(args.checkpoint)
