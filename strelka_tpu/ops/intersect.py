@@ -124,7 +124,7 @@ def intersect_closest(
             tmax = jnp.where(active, tmax, 0.0)
         if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
             t, prim = pallas_intersect_closest_mxu(
-                scene.tris_feats, scene.tris_mask, origins, directions, tmin, tmax, ray_mask
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
             )
         else:
             t, prim = pallas_intersect_closest(
@@ -175,7 +175,7 @@ def intersect_any(
             tmax = jnp.where(active, tmax, 0.0)
         if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
             return pallas_intersect_any_mxu(
-                scene.tris_feats, scene.tris_mask, origins, directions, tmin, tmax, ray_mask
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
             )
         return pallas_intersect_any(scene.tris_packed, origins, directions, tmin, tmax, ray_mask)
     if scene.bvh is not None:

@@ -115,6 +115,88 @@ def _any_kernel(rays_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int):
     occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Block culling: Morton-sorted triangle blocks + per-cell AABB skip.
+# ---------------------------------------------------------------------------
+
+
+def morton_sort_tris(p):
+    """Spatial sort of triangles by centroid Morton code (host, numpy).
+
+    p: [T, 3, 3] corner positions. Returns the permutation. Sorted order
+    makes fixed-size kernel blocks spatially tight so their AABBs cull well.
+    """
+    c = p.mean(axis=1)
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / ext * 1023.0).astype(np.uint32), 0, 1023).astype(np.uint64)
+
+    def part1by2(x):
+        x &= np.uint64(0x3FF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x30000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x30C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x9249249)
+        return x
+
+    code = part1by2(q[:, 0]) | (part1by2(q[:, 1]) << np.uint64(1)) | (part1by2(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
+def block_bounds(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
+    """Per-block AABBs for the culled kernels -> [8, n_blocks] f32.
+
+    Rows: (min xyz, max xyz, pad, pad). Padded/masked-out triangles get an
+    inverted AABB so empty blocks never pass the slab test.
+    """
+    t = v0.shape[0]
+    t_pad = ((t + tblk - 1) // tblk) * tblk
+    nb = t_pad // tblk
+    v0 = np.asarray(v0, np.float32)
+    p0 = v0
+    p1 = v0 + np.asarray(e1, np.float32)
+    p2 = v0 + np.asarray(e2, np.float32)
+    tmin = np.minimum(np.minimum(p0, p1), p2)
+    tmax = np.maximum(np.maximum(p0, p1), p2)
+    live = np.asarray(geom_mask) != 0
+    big = np.float32(1e30)
+    tmin = np.where(live[:, None], tmin, big)
+    tmax = np.where(live[:, None], tmax, -big)
+    tmin = np.concatenate([tmin, np.full((t_pad - t, 3), big, np.float32)])
+    tmax = np.concatenate([tmax, np.full((t_pad - t, 3), -big, np.float32)])
+    bmin = tmin.reshape(nb, tblk, 3).min(axis=1)
+    bmax = tmax.reshape(nb, tblk, 3).max(axis=1)
+    out = np.zeros((8, nb), np.float32)
+    out[0:3] = bmin.T
+    out[3:6] = bmax.T
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(out)
+
+
+def _tile_hits_block(rays, bounds_ref, tb, tmax_row=None):
+    """Scalar: does ANY ray in the [8, TILE] tile hit block tb's AABB?
+
+    bounds_ref: scalar-prefetch SMEM ref [8, n_blocks]; scalar reads at
+    column tb (the tri-block grid index).
+    """
+    tmin = rays[6, :]
+    tmax = rays[7, :] if tmax_row is None else tmax_row
+    tnear = tmin
+    tfar = tmax
+    for c in range(3):
+        o = rays[c, :]
+        d = rays[3 + c, :]
+        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+        t0 = (bounds_ref[c, tb] - o) * inv
+        t1 = (bounds_ref[3 + c, tb] - o) * inv
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+    return jnp.any(tnear <= tfar)
+
+
 # ---------------------------------------------------------------------------
 # MXU variant: Moller-Trumbore as matmuls.
 #
@@ -218,7 +300,7 @@ def _mt_block_mxu(rays, feats, mask_row, ray_mask: int, tmax_row=None, precision
     return t, valid
 
 
-def _closest_kernel_mxu(rays_ref, feats_ref, mask_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int, precision=None):
+def _closest_kernel_mxu(bounds_ref, rays_ref, feats_ref, mask_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int, precision=None):
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
@@ -226,35 +308,47 @@ def _closest_kernel_mxu(rays_ref, feats_ref, mask_ref, t_ref, prim_ref, *, ray_m
         t_ref[:, :] = rays_ref[7, :][None, :]
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
-    t, valid = _mt_block_mxu(
-        rays_ref[:, :], feats_ref[:, :, :], mask_ref[0, :], ray_mask,
-        tmax_row=t_ref[0, :], precision=precision,
-    )
-    t_masked = jnp.where(valid, t, _BIG)
-    blk_best = jnp.min(t_masked, axis=0)
-    blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-    better = blk_best < t_ref[0, :]
-    t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-    prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
+    # block culling: skip the whole cell when no ray can hit the block AABB
+    rays = rays_ref[:, :]
+    any_hit = _tile_hits_block(rays, bounds_ref, tb, tmax_row=t_ref[0, :])
+
+    @pl.when(any_hit)
+    def _work():
+        t, valid = _mt_block_mxu(
+            rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask,
+            tmax_row=t_ref[0, :], precision=precision,
+        )
+        t_masked = jnp.where(valid, t, _BIG)
+        blk_best = jnp.min(t_masked, axis=0)
+        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+        better = blk_best < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
 
 
-def _any_kernel_mxu(rays_ref, feats_ref, mask_ref, occ_ref, *, ray_mask: int, tblk: int, precision=None):
+def _any_kernel_mxu(bounds_ref, rays_ref, feats_ref, mask_ref, occ_ref, *, ray_mask: int, tblk: int, precision=None):
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
     def _init():
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
-    _, valid = _mt_block_mxu(
-        rays_ref[:, :], feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
-    )
-    occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+    rays = rays_ref[:, :]
+    any_hit = _tile_hits_block(rays, bounds_ref, tb)
+
+    @pl.when(any_hit)
+    def _work():
+        _, valid = _mt_block_mxu(
+            rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
+        )
+        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
 def pallas_intersect_closest_mxu(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
     mask: jnp.ndarray,  # [1, T]
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     tmin: jnp.ndarray,
@@ -270,18 +364,22 @@ def pallas_intersect_closest_mxu(
     t_total = feats.shape[1]
     grid = (n_pad // tile, t_total // tblk)
     kernel = functools.partial(_closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
-    t_out, prim_out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tblk, _FDIM), lambda r, t: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tblk), lambda r, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tblk, _FDIM), lambda r, t, *_: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
         ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
@@ -295,7 +393,7 @@ def pallas_intersect_closest_mxu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rays, feats, mask)
+    )(bounds, rays, feats, mask)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     return jnp.where(prim >= 0, t, _BIG), prim
@@ -305,6 +403,7 @@ def pallas_intersect_closest_mxu(
 def pallas_intersect_any_mxu(
     feats: jnp.ndarray,
     mask: jnp.ndarray,
+    bounds: jnp.ndarray,
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     tmin: jnp.ndarray,
@@ -320,21 +419,25 @@ def pallas_intersect_any_mxu(
     t_total = feats.shape[1]
     grid = (n_pad // tile, t_total // tblk)
     kernel = functools.partial(_any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
-    occ = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tblk, _FDIM), lambda r, t: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tblk), lambda r, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tblk, _FDIM), lambda r, t, *_: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(rays, feats, mask)
+    )(bounds, rays, feats, mask)
     return occ[0, :n]
 
 

@@ -93,6 +93,7 @@ class DeviceScene:
     tris_mask: Optional[jnp.ndarray] = None  # [1, T] geom mask for MXU kernel
     # Fat row-gather tables (ONE whole-row gather per hit instead of many
     # scalar gathers; element gathers are ~100x slower on TPU):
+    tri_bounds: Optional[jnp.ndarray] = None  # [8, n_blocks] per-block AABBs
     attr_table: Optional[jnp.ndarray] = None  # [T, 36] surface attributes
     mat_table: Optional[jnp.ndarray] = None  # [M, 20] material params
     light_table: Optional[jnp.ndarray] = None  # [L, 20] light params
@@ -247,7 +248,15 @@ def build_device_scene(
     num_tri = int(cat["p"].shape[0])
 
     if use_bvh is None:
-        use_bvh = num_tri > 1024
+        # BVH is the CPU-backend path; on TPU the dense pallas kernels with
+        # block culling are both faster and wedge-safe (no gathers in loops)
+        try:
+            import jax as _jax0
+
+            backend_cpu = _jax0.default_backend() == "cpu"
+        except Exception:  # noqa: BLE001
+            backend_cpu = True
+        use_bvh = num_tri > 1024 and backend_cpu
     bvh_nodes = None
     if use_bvh and num_tri > 0:
         from strelka_tpu.ops.bvh import ThreadedBvh, build_bvh_sah, thread_bvh
@@ -303,24 +312,46 @@ def build_device_scene(
                 w0=curves.w0 * neg, w1=curves.w1 * neg, w2=curves.w2 * neg, w3=curves.w3 * neg
             )
 
-    # Pallas dense-intersector path: the TPU fast path for the sweep kernels.
-    # (interpret-mode pallas is slow on CPU, so gate on the backend.)
+    # Pallas dense-intersector path: ALWAYS the TPU path (the per-ray
+    # BVH-pointer-chase shape runs ~50x below peak through XLA gathers-in-
+    # loops; the BVH stays for the CPU backend). Block culling keeps the
+    # dense kernels sub-quadratic on big scenes: triangles are MORTON-SORTED
+    # so fixed-size blocks are spatially tight, and the kernel skips a whole
+    # (ray-tile, tri-block) cell when no ray can hit the block's AABB.
     use_pallas = False
     tris_packed = None
     try:
         import jax as _jax
 
-        use_pallas = _jax.default_backend() not in ("cpu",) and bvh_nodes is None
+        use_pallas = _jax.default_backend() not in ("cpu",)
     except Exception:  # noqa: BLE001
         use_pallas = False
-    tris_feats = tris_mask = None
+    tris_feats = tris_mask = tri_bounds = None
     if use_pallas:
-        from strelka_tpu.ops.pallas_intersect import pack_tris, pack_tris_mxu
+        from strelka_tpu.ops.pallas_intersect import (
+            DEFAULT_TBLK,
+            block_bounds,
+            morton_sort_tris,
+            pack_tris,
+            pack_tris_mxu,
+        )
 
+        if num_tri > 2 * DEFAULT_TBLK:
+            perm2 = morton_sort_tris(cat["p"])
+            for k in cat:
+                cat[k] = cat[k][perm2]
+            p = _pad_to(cat["p"], padded)
+            n = _pad_to(cat["n"], padded)
+            t = _pad_to(cat["t"], padded)
+            uv = _pad_to(cat["uv"], padded)
+            material_id = _pad_to(cat["material_id"], padded)
+            light_id = _pad_to(cat["light_id"], padded, fill=-1)
+            geom_mask = _pad_to(cat["geom_mask"], padded, fill=0)
         tris_packed = pack_tris(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
         tris_feats, tris_mask = pack_tris_mxu(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
         )
+        tri_bounds = block_bounds(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
 
     # fat gather tables
     num_pad = p.shape[0]
@@ -400,6 +431,7 @@ def build_device_scene(
         tris_packed=tris_packed,
         tris_feats=tris_feats,
         tris_mask=tris_mask,
+        tri_bounds=tri_bounds,
         attr_table=jnp.asarray(attr_table),
         mat_table=mat_table,
         light_table=light_table,

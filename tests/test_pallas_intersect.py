@@ -101,6 +101,7 @@ def test_pallas_mask_filtering():
 def test_pallas_mxu_matches_bruteforce():
     """MXU bilinear formulation matches the oracle."""
     from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
         pack_tris_mxu,
         pallas_intersect_any_mxu,
         pallas_intersect_closest_mxu,
@@ -112,8 +113,9 @@ def test_pallas_mxu_matches_bruteforce():
     tmin = np.zeros(300, np.float32)
     tmax = np.full(300, 1e16, np.float32)
     feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
     t, prim = pallas_intersect_closest_mxu(
-        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
         RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
     )
     hb = intersect_closest_bruteforce(
@@ -124,7 +126,7 @@ def test_pallas_mxu_matches_bruteforce():
     hits = np.asarray(prim) >= 0
     np.testing.assert_allclose(np.asarray(t)[hits], np.asarray(hb.t)[hits], rtol=5e-4)
     occ = pallas_intersect_any_mxu(
-        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
         jnp.full(300, 20.0, jnp.float32), RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
     )
     occ_bf = intersect_any_bruteforce(
