@@ -144,9 +144,10 @@ def build_device_lights(scene: Scene) -> DeviceLights:
 def flatten_scene_geometry(scene: Scene):
     """Bake instance transforms into a world-space triangle soup (numpy)."""
     positions, normals, tangents, uvs, indices = scene.vertex_pools()
+    removed = set(getattr(scene, "_del_instances", ()))
     tri_chunks = []
-    for inst in scene.instances:
-        if inst.type == InstanceType.eCurve:
+    for inst_id, inst in enumerate(scene.instances):
+        if inst.type == InstanceType.eCurve or inst_id in removed:
             continue
         mesh = scene.meshes[inst.geom_id]
         tri = indices[mesh.index : mesh.index + mesh.count].reshape(-1, 3).astype(np.int64)

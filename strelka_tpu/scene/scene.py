@@ -186,6 +186,11 @@ class Scene:
         self._rect_light_mesh_id = -1
         self._disc_light_mesh_id = -1
         self._sphere_light_mesh_id = -1
+        self._del_instances: List[int] = []
+        self._del_meshes: List[int] = []
+        self._del_materials: List[int] = []
+        self._dirty_instances: set = set()
+        self._fr_mod = False
         self.dirty = True
 
     # ------------------------------------------------------------------ geometry
@@ -259,8 +264,40 @@ class Scene:
         return inst_id
 
     def update_instance_transform(self, inst_id: int, transform) -> None:
+        """scene.cpp:445-450 (marks the instance dirty for re-bake)."""
         self.instances[inst_id].transform = np.asarray(transform, np.float64).reshape(4, 4)
+        self._dirty_instances.add(inst_id)
         self.dirty = True
+
+    # -- removal free-lists (scene.cpp:410-423; ids are reused on next create)
+    def remove_instance(self, inst_id: int) -> None:
+        # mark removed: zero-scale transform excludes it from the next bake
+        self.instances[inst_id].transform = np.zeros((4, 4))
+        self.instances[inst_id].light_id = -1
+        self._del_instances.append(inst_id)
+        self.dirty = True
+
+    def remove_mesh(self, mesh_id: int) -> None:
+        self._del_meshes.append(mesh_id)
+        self.dirty = True
+
+    def remove_material(self, material_id: int) -> None:
+        self._del_materials.append(material_id)
+        self.dirty = True
+
+    # -- frame dirty-tracking (scene.cpp:435-461)
+    def get_dirty_instances(self):
+        return set(self._dirty_instances)
+
+    def begin_frame(self) -> None:
+        self._fr_mod = True
+        self._dirty_instances.clear()
+
+    def end_frame(self) -> None:
+        self._fr_mod = False
+
+    def get_fr_mod(self) -> bool:
+        return self._fr_mod
 
     def add_material(self, material: MaterialDescription) -> int:
         self.materials.append(material)

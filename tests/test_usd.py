@@ -276,3 +276,22 @@ def Xform "World"
     target = [c for c in compiled if c.metallic == 1.0]
     assert target and target[0].bsdf_type == BsdfType.OMNI_PBR
     assert target[0].roughness == pytest.approx(0.15)
+
+
+def test_scene_edit_api():
+    """Instance removal / dirty tracking (scene.cpp:410-461 parity)."""
+    from strelka_tpu.render.device_scene import flatten_scene_geometry
+    from strelka_tpu.scene.testscenes import cornell_box
+    from strelka_tpu.utils import math3d as m3
+
+    scene = cornell_box(with_boxes=True)
+    n_before = flatten_scene_geometry(scene)["p"].shape[0]
+    # remove the tall box instance (instance 5: walls are 0-4, boxes 5-6)
+    scene.begin_frame()
+    scene.remove_instance(5)
+    assert flatten_scene_geometry(scene)["p"].shape[0] < n_before
+    scene.update_instance_transform(6, m3.translate([0, 0.1, 0]))
+    assert 6 in scene.get_dirty_instances()
+    assert scene.get_fr_mod()
+    scene.end_frame()
+    assert not scene.get_fr_mod()
