@@ -74,6 +74,8 @@ class Buffer:
         self._host = None
 
     def set_device(self, arr: jnp.ndarray) -> None:
+        if self._desc.format == BufferFormat.UNSIGNED_BYTE4 and arr.dtype != jnp.uint8:
+            arr = (jnp.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         self._device = arr
 
     def device(self) -> jnp.ndarray:

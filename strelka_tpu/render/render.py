@@ -265,6 +265,18 @@ class TpuRender(Render):
             image = jax.image.resize(
                 image, (out_height, out_width, image.shape[-1]), method="bilinear"
             )
+        if settings.get_bool("render/enableValidation"):
+            # validation mode parity (OptixRender.cpp:178-185): device NaN
+            # canaries paint red pixels; host check reports them per frame
+            nan_count = int(jnp.isnan(image).sum())
+            canary = int((image[..., 0] >= 1e4).sum()) if image.ndim == 3 else 0
+            if nan_count or canary:
+                log.error(
+                    "validation: {} NaN values, {} canary pixels in frame {}",
+                    nan_count,
+                    canary,
+                    ctx.frame_number,
+                )
         output.set_device(image)
         ctx.frame_number += 1
 
