@@ -73,7 +73,7 @@ def _diffuse_material(name: str, color) -> MaterialDescription:
 
 
 def cornell_box(
-    light_intensity: float = 10.0,
+    light_intensity: float = 5000.0,  # matched to the default photographic exposure
     with_boxes: bool = True,
     glass_sphere: bool = False,
     metal_box: bool = False,
