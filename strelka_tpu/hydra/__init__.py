@@ -1,5 +1,6 @@
 from strelka_tpu.hydra.delegate import (  # noqa: F401
     HdStrelkaDriverName,
+    SimpleRenderTask,
     StrelkaRenderDelegate,
     StrelkaRendererPlugin,
     StrelkaRenderPass,

@@ -123,6 +123,26 @@ class StrelkaRenderDelegate:
         return ("mtlx", "mdl")
 
 
+class SimpleRenderTask:
+    """hdRunner's Hydra task wrapper (SimpleRenderTask.{h,cpp}:12-46):
+    Sync/Prepare/Execute delegating to the render pass. The reference keeps a
+    3-task ring for in-flight frames; JAX async dispatch covers that, so one
+    task per AOV binding suffices."""
+
+    def __init__(self, render_pass: StrelkaRenderPass, aov_buffer):
+        self._pass = render_pass
+        self._aov = aov_buffer
+
+    def sync(self) -> None:  # HdTask::Sync
+        pass
+
+    def prepare(self) -> None:  # HdTask::Prepare
+        pass
+
+    def execute(self) -> None:  # HdTask::Execute -> RenderPass::_Execute
+        self._pass.execute(self._aov)
+
+
 class StrelkaRendererPlugin:
     """HdStrelkaRendererPlugin (RendererPlugin.cpp:12-57)."""
 

@@ -187,6 +187,7 @@ class UsdLoader:
     def __init__(self) -> None:
         self._layer_cache: Dict[str, Prim] = {}
         self._material_ids: Dict[str, int] = {}
+        self._mesh_cache: Dict[str, tuple] = {}  # prim path -> (mesh_id, mat_id)
         self._base_dir = ""
 
     def load(self, path: str, scene: Scene) -> bool:
@@ -306,8 +307,53 @@ class UsdLoader:
             self._bake_light(prim, xf, scene, t)
         elif t == "BasisCurves":
             self._bake_curves(prim, xf, scene)
+        elif t == "PointInstancer":
+            self._bake_point_instancer(prim, xf, scene)
+            return  # prototypes are instanced, not walked as scene geometry
         for c in prim.children:
             self._walk(c, xf, scene)
+
+    # ------------------------------------------------------------------
+    def _bake_point_instancer(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
+        """UsdGeomPointInstancer (HdStrelkaInstancer ComputeInstanceTransforms,
+        Instancer.cpp:74-190): positions/orientations/scales per instance
+        composed with the prototype subtree."""
+        proto_rel = prim.attrs.get("prototypes")
+        indices = _attr_val(prim, "protoIndices")
+        positions = _attr_val(prim, "positions")
+        if proto_rel is None or indices is None or positions is None:
+            log.warning("PointInstancer {} missing prototypes/protoIndices/positions", prim.path)
+            return
+        protos: List[Optional[Prim]] = [self._root.find(t) for t in proto_rel.targets]
+        positions = np.asarray([[float(c) for c in p] for p in positions], np.float64)
+        indices = [int(i) for i in indices]
+        orientations = _attr_val(prim, "orientations")
+        scales = _attr_val(prim, "scales")
+        n = len(indices)
+        for i in range(n):
+            proto = protos[indices[i]] if 0 <= indices[i] < len(protos) else None
+            if proto is None:
+                continue
+            m = m3.translate(positions[i])
+            if orientations is not None:
+                # quath serialized (real, i, j, k)
+                q = [float(c) for c in orientations[i]]
+                m = m @ m3.quat_to_mat4([q[0], q[1], q[2], q[3]])
+            if scales is not None:
+                m = m @ m3.scale([float(c) for c in scales[i]])
+            inst_xf = xf @ m
+            # the prototype root's own xformOps apply inside the instance
+            self._walk_proto(proto, inst_xf, scene)
+
+    def _walk_proto(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
+        """Walk a prototype subtree for one instance (geometry only)."""
+        xf = xf @ local_transform(prim)
+        if prim.type == "Mesh":
+            self._bake_mesh(prim, xf, scene)
+        elif prim.type == "BasisCurves":
+            self._bake_curves(prim, xf, scene)
+        for c in prim.children:
+            self._walk_proto(c, xf, scene)
 
     # ------------------------------------------------------------------
     def _bake_mesh(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
@@ -359,6 +405,11 @@ class UsdLoader:
             elif len(st) == len(pts):
                 tri_uv = st[slot_to_point[tri_slots]]
 
+        cached = self._mesh_cache.get(prim.path)
+        if cached is not None:
+            scene.create_instance(InstanceType.eMesh, cached[0], cached[1], xf)
+            return
+
         nface = len(tri_slots)
         flat_pos = tri_pts.reshape(-1, 3)
         if tri_nrm is None:
@@ -372,6 +423,7 @@ class UsdLoader:
         indices = np.arange(nface * 3, dtype=np.uint32)
         mesh_id = scene.create_mesh(flat_pos, indices, normals=flat_nrm, uvs=flat_uv)
         mat_id = self._resolve_material(prim, scene)
+        self._mesh_cache[prim.path] = (mesh_id, mat_id)
         scene.create_instance(InstanceType.eMesh, mesh_id, mat_id, xf)
 
     # ------------------------------------------------------------------

@@ -295,3 +295,42 @@ def test_scene_edit_api():
     assert scene.get_fr_mod()
     scene.end_frame()
     assert not scene.get_fr_mod()
+
+
+def test_point_instancer(tmp_path):
+    """UsdGeomPointInstancer: prototypes instanced with per-point TRS."""
+    p = tmp_path / "pi.usda"
+    p.write_text("""#usda 1.0
+(
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def PointInstancer "scatter"
+    {
+        rel prototypes = [</World/scatter/protos/tri>]
+        int[] protoIndices = [0, 0, 0]
+        point3f[] positions = [(0, 0, 0), (5, 0, 0), (0, 0, 5)]
+        float3[] scales = [(1, 1, 1), (2, 2, 2), (1, 1, 1)]
+        def Scope "protos"
+        {
+            def Mesh "tri"
+            {
+                point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+                int[] faceVertexIndices = [0, 1, 2]
+                int[] faceVertexCounts = [3]
+            }
+        }
+    }
+}
+""")
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+    mesh_insts = [i for i in scene.instances if i.type == InstanceType.eMesh]
+    assert len(mesh_insts) == 3
+    # all three share ONE mesh (prototype cached)
+    assert len({i.geom_id for i in mesh_insts}) == 1
+    offsets = sorted(tuple(np.round(i.transform[:3, 3], 3)) for i in mesh_insts)
+    assert offsets == [(0.0, 0.0, 0.0), (0.0, 0.0, 5.0), (5.0, 0.0, 0.0)]
+    scales = sorted(float(i.transform[0, 0]) for i in mesh_insts)
+    assert scales == [1.0, 1.0, 2.0]
