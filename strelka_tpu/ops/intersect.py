@@ -128,7 +128,7 @@ def intersect_closest(
             )
         else:
             t, prim = pallas_intersect_closest(
-                scene.tris_packed, origins, directions, tmin, tmax, ray_mask
+                scene.tris_packed, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
             )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
@@ -162,22 +162,24 @@ def intersect_any(
     ray_mask: int,
     active: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Occlusion dispatch -> [N] bool."""
+    """Occlusion dispatch -> [N] bool.
+
+    Shadow rays ALWAYS use the exact-f32 VPU kernel: the MXU's bf16x3 t
+    errors exceed the offset_ray self-intersection guard and produce shadow
+    acne (verified visually on cornell box faces). Closest-hit keeps the
+    fast MXU path — its reduced precision only shifts grazing-edge WINNER
+    selection, and hit positions are recomputed in exact f32.
+    """
     origins = _as_vec3(origins)
     directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
-        from strelka_tpu.ops.pallas_intersect import (
-            pallas_intersect_any,
-            pallas_intersect_any_mxu,
-        )
+        from strelka_tpu.ops.pallas_intersect import pallas_intersect_any
 
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
-            return pallas_intersect_any_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
-            )
-        return pallas_intersect_any(scene.tris_packed, origins, directions, tmin, tmax, ray_mask)
+        return pallas_intersect_any(
+            scene.tris_packed, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
+        )
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh
 

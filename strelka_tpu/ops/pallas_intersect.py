@@ -85,7 +85,7 @@ def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
     return t, valid
 
 
-def _closest_kernel(rays_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int):
+def _closest_kernel(bounds_ref, rays_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int):
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
@@ -94,25 +94,34 @@ def _closest_kernel(rays_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk:
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
     rays = rays_ref[:, :]
-    # current best as tmax so farther hits are rejected cheaply
-    t, valid = _mt_block(rays, tris_ref[:, :], ray_mask, tmax_row=t_ref[0, :])
-    t_masked = jnp.where(valid, t, _BIG)
-    blk_best = jnp.min(t_masked, axis=0)  # [TILE]
-    blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-    better = blk_best < t_ref[0, :]
-    t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-    prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
+    any_box = _tile_hits_block(rays, bounds_ref, tb, tmax_row=t_ref[0, :])
+
+    @pl.when(any_box)
+    def _work():
+        # current best as tmax so farther hits are rejected cheaply
+        t, valid = _mt_block(rays, tris_ref[:, :], ray_mask, tmax_row=t_ref[0, :])
+        t_masked = jnp.where(valid, t, _BIG)
+        blk_best = jnp.min(t_masked, axis=0)  # [TILE]
+        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+        better = blk_best < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
 
 
-def _any_kernel(rays_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int):
+def _any_kernel(bounds_ref, rays_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int):
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
     def _init():
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
-    _, valid = _mt_block(rays_ref[:, :], tris_ref[:, :], ray_mask)
-    occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+    rays = rays_ref[:, :]
+    any_box = _tile_hits_block(rays, bounds_ref, tb)
+
+    @pl.when(any_box)
+    def _work():
+        _, valid = _mt_block(rays, tris_ref[:, :], ray_mask)
+        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
 
@@ -476,6 +485,7 @@ def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
 )
 def pallas_intersect_closest(
     tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     tmin: jnp.ndarray,
@@ -485,23 +495,27 @@ def pallas_intersect_closest(
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
 ):
-    """Dense closest-hit sweep. Returns (t [N], prim [N] i32)."""
+    """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N])."""
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
     grid = (n_pad // tile, t_total // tblk)
     kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk)
-    t_out, prim_out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tblk), lambda r, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
         ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
@@ -513,7 +527,7 @@ def pallas_intersect_closest(
             flops=60 * n_pad * t_total, bytes_accessed=4 * (8 * n_pad + 12 * t_total), transcendentals=0
         ),
         interpret=interpret,
-    )(rays, tris_packed)
+    )(bounds, rays, tris_packed)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     t = jnp.where(prim >= 0, t, _BIG)
@@ -525,6 +539,7 @@ def pallas_intersect_closest(
 )
 def pallas_intersect_any(
     tris_packed: jnp.ndarray,
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     tmin: jnp.ndarray,
@@ -534,26 +549,30 @@ def pallas_intersect_any(
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
 ):
-    """Dense any-hit (occlusion) sweep -> occluded [N] bool."""
+    """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool."""
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
     grid = (n_pad // tile, t_total // tblk)
     kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk)
-    occ = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tblk), lambda r, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(rays, tris_packed)
+    )(bounds, rays, tris_packed)
     return occ[0, :n]
 
 

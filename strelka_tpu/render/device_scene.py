@@ -100,8 +100,9 @@ class DeviceScene:
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
-    # "mxu" (default: bf16x3 matmul MT, ~2x VPU) | "vpu" (exact f32)
-    intersector: str = dataclasses.field(metadata=dict(static=True), default="mxu")
+    # "vpu" (default: exact f32) | "mxu" (bf16x3 matmul MT, ~1.5x faster but
+    # its t error can re-hit the originating triangle -> acne; opt-in)
+    intersector: str = dataclasses.field(metadata=dict(static=True), default="vpu")
 
     @property
     def num_curve_segments(self) -> int:
@@ -238,7 +239,7 @@ def build_device_scene(
     material_manager: Optional[MaterialManager] = None,
     pad_multiple: int = 128,
     use_bvh: Optional[bool] = None,
-    intersector: str = "mxu",
+    intersector: str = "vpu",
 ) -> DeviceScene:
     """Full host->device build: flatten, compile materials, build BVH
     (the optixAccelBuild analog), reorder leaf-contiguous, pad, upload.

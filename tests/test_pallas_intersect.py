@@ -44,9 +44,12 @@ def test_pallas_closest_matches_bruteforce(ntri, nray):
     o, d = _rays(nray, rng)
     tmin = np.zeros(nray, np.float32)
     tmax = np.full(nray, 1e16, np.float32)
+    from strelka_tpu.ops.pallas_intersect import block_bounds as _bb2
+
     tris = pack_tris(v0, e1, e2, mask, tblk=128)
     t, prim = pallas_intersect_closest(
-        tris, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        tris, _bb2(v0, e1, e2, mask, tblk=128), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(tmin), jnp.asarray(tmax),
         RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
     )
     hb = intersect_closest_bruteforce(
@@ -72,9 +75,12 @@ def test_pallas_any_matches_bruteforce():
     o, d = _rays(500, rng)
     tmin = np.zeros(500, np.float32)
     tmax = np.full(500, 25.0, np.float32)
+    from strelka_tpu.ops.pallas_intersect import block_bounds as _bb
+
     tris = pack_tris(v0, e1, e2, mask, tblk=128)
     occ = pallas_intersect_any(
-        tris, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        tris, _bb(v0, e1, e2, mask, tblk=128), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(tmin), jnp.asarray(tmax),
         RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
     )
     occ_bf = intersect_any_bruteforce(
@@ -90,9 +96,12 @@ def test_pallas_mask_filtering():
     v0, e1, e2, _ = _scene(128, rng)
     mask = np.full(128, 4, np.int32)  # ALL light proxies
     o, d = _rays(256, rng)
+    from strelka_tpu.ops.pallas_intersect import block_bounds as _bb3
+
     tris = pack_tris(v0, e1, e2, mask, tblk=128)
     t, prim = pallas_intersect_closest(
-        tris, jnp.asarray(o), jnp.asarray(d), jnp.zeros(256, jnp.float32),
+        tris, _bb3(v0, e1, e2, mask, tblk=128), jnp.asarray(o), jnp.asarray(d),
+        jnp.zeros(256, jnp.float32),
         jnp.full(256, 1e16, jnp.float32), RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True,
     )
     assert (np.asarray(prim) == -1).all()
