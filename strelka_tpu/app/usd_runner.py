@@ -5,7 +5,7 @@ render loop, prints per-frame timing (the title-bar counter), and saves the
 screenshot at target spp using the reference's naming scheme
 (<scene>_<iter>i_<depth>d_<spp>spp_<n>.png, hdRunner/main.cpp:729-733).
 
-Usage: python -m strelka_tpu.app.usd_runner -s scene.usda -i 100 -t 64 -f 1 -c
+Usage: python -m strelka_tpu.app.usd_runner -s scene.usd[ac] -i 100 -t 64 -f 1 -c
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from strelka_tpu.utils.image import write_png
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser("usd_runner", description="USD progressive renderer")
-    parser.add_argument("-s", "--scene", required=True, help="USD stage (.usda)")
+    parser.add_argument("-s", "--scene", required=True, help="USD stage (.usda | .usdc | .usd)")
     parser.add_argument("-i", "--iteration", type=int, default=-1)
     parser.add_argument("-t", "--spp-total", type=int, default=64)
     parser.add_argument("-f", "--spp-subframe", type=int, default=1)

@@ -191,20 +191,25 @@ class UsdLoader:
         self._base_dir = ""
 
     def load(self, path: str, scene: Scene) -> bool:
+        is_crate = False
         if path.lower().endswith((".usdc", ".usd")):
-            # .usd may be text; sniff
+            # .usd may be text or crate; sniff the magic
             with open(path, "rb") as f:
                 head = f.read(8)
-            if not head.startswith(b"#usda"):
-                log.error(
-                    "Binary usdc is not supported without pxr; flatten to .usda "
-                    "(usdcat --flatten scene.usd -o scene.usda)"
-                )
+            is_crate = head == b"PXR-USDC"
+            if not is_crate and not head.startswith(b"#usda"):
+                log.error("Unrecognized USD file header in {}", path)
                 return False
         try:
-            with open(path, "r", encoding="utf-8") as f:
-                text = f.read()
-            root = parse_usda(text)
+            if is_crate:
+                # binary crate stage (reference workflow: hdRunner/main.cpp:566-591)
+                from strelka_tpu.loaders.crate import read_usdc
+
+                root = read_usdc(path)
+            else:
+                with open(path, "r", encoding="utf-8") as f:
+                    text = f.read()
+                root = parse_usda(text)
         except (OSError, ValueError, SyntaxError) as e:
             log.error("USD parse failed for {}: {}", path, e)
             return False

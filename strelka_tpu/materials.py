@@ -75,6 +75,8 @@ class CompiledMaterial:
     ior: float = 1.491  # OmniGlass default
     glass_color: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
     emission_color: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    emissive_intensity: float = 1.0  # OmniPBR.mdl scales emissive_color by this
+    enable_emission: bool = True
     opacity: float = 1.0
     thin_walled: bool = False
     diffuse_tex: int = -1
@@ -109,9 +111,11 @@ _FLOAT_PARAMS = {
     "glass_ior": "ior",
     "opacity": "opacity",
     "opacity_constant": "opacity",
+    "emissive_intensity": "emissive_intensity",
 }
 _BOOL_PARAMS = {
     "thin_walled": "thin_walled",
+    "enable_emission": "enable_emission",
     "enable_opacity": None,  # accepted, no-op (alpha handled by opacity value)
 }
 _TEXTURE_PARAMS = {
@@ -251,6 +255,52 @@ class MaterialManager:
         self._compiled = compiled
         return compiled
 
+    @staticmethod
+    def material_hash(m: CompiledMaterial) -> tuple:
+        """Content hash of a compiled material (name excluded) — the analog
+        of the reference's dedup of identical compiled materials by MDL UUID
+        hash before target-code generation (materialmanager.cpp:524-609)."""
+        return (
+            m.bsdf_type,
+            tuple(np.asarray(m.diffuse_color, np.float32).tolist()),
+            float(m.metallic), float(m.roughness), float(m.specular_level),
+            float(m.ior),
+            tuple(np.asarray(m.glass_color, np.float32).tolist()),
+            tuple(np.asarray(m.emission_color, np.float32).tolist()),
+            float(m.emissive_intensity), bool(m.enable_emission),
+            float(m.opacity), bool(m.thin_walled),
+            m.diffuse_tex, m.normal_tex, m.roughness_tex, m.metallic_tex,
+            tuple(np.asarray(m.uv_scale, np.float32).tolist()),
+            tuple(np.asarray(m.uv_offset, np.float32).tolist()),
+        )
+
+    def generate_target_code_deduped(
+        self, compiled: Optional[List[CompiledMaterial]] = None
+    ):
+        """Dedup identical compiled materials, pack unique rows.
+
+        Returns (MaterialTable of unique rows, remap int32 [len(compiled)])
+        so scene material ids can be rewritten onto unique rows — Kitchen-
+        class scenes repeat the same material across hundreds of prims.
+        """
+        mats = compiled if compiled is not None else self._compiled
+        if not mats:
+            mats = [CompiledMaterial(name="default")]
+        unique: List[CompiledMaterial] = []
+        index: Dict[tuple, int] = {}
+        remap = np.zeros(len(mats), np.int32)
+        for i, m in enumerate(mats):
+            h = self.material_hash(m)
+            j = index.get(h)
+            if j is None:
+                j = len(unique)
+                unique.append(m)
+                index[h] = j
+            remap[i] = j
+        if len(unique) < len(mats):
+            log.info("Material dedup: {} descriptions -> {} unique rows", len(mats), len(unique))
+        return self.generate_target_code(unique), remap
+
     def generate_target_code(self, compiled: Optional[List[CompiledMaterial]] = None) -> MaterialTable:
         """Pack rows into the dense SoA table (arg block/RO-data analog)."""
         mats = compiled if compiled is not None else self._compiled
@@ -264,7 +314,13 @@ class MaterialManager:
             specular_level=np.array([m.specular_level for m in mats], np.float32),
             ior=np.array([m.ior for m in mats], np.float32),
             glass_color=np.stack([np.asarray(m.glass_color, np.float32) for m in mats]),
-            emission_color=np.stack([np.asarray(m.emission_color, np.float32) for m in mats]),
+            emission_color=np.stack(
+                [
+                    np.asarray(m.emission_color, np.float32)
+                    * (m.emissive_intensity if m.enable_emission else 0.0)
+                    for m in mats
+                ]
+            ),
             opacity=np.array([m.opacity for m in mats], np.float32),
             thin_walled=np.array([int(m.thin_walled) for m in mats], np.int32),
             diffuse_tex=np.array([m.diffuse_tex for m in mats], np.int32),

@@ -68,6 +68,8 @@ class SurfaceParams(NamedTuple):
     ior: jnp.ndarray  # [N]
     glass_color: Vec3
     opacity: jnp.ndarray  # [N]
+    emission_color: Vec3  # [N] x3 (radiance scale; 0 = non-emissive)
+    thin_walled: jnp.ndarray  # [N] bool
 
 
 class BsdfSample(NamedTuple):
@@ -281,6 +283,12 @@ def bsdf_sample(
     k2l_refl = Vec3(-k1l.x, -k1l.y, k1l.z)
     eta_rel = ior1 / ior2
     k2l_refr = V.normalize(Vec3(-eta_rel * k1l.x, -eta_rel * k1l.y, -cos_t))
+    # thin_walled: both interfaces collapse — transmission passes STRAIGHT
+    # through (MDL thin_walled semantics; the integrator also skips the
+    # inside flip for thin-walled events)
+    thin = params.thin_walled
+    k2l_thin = Vec3(-k1l.x, -k1l.y, -k1l.z)
+    k2l_refr = V.where(thin, k2l_thin, k2l_refr)
     k2l_glass = V.where(reflect, k2l_refl, k2l_refr)
     ones = V.full(n_shape, 1.0)
     glass_tint = V.where(reflect, ones, params.glass_color)

@@ -143,8 +143,8 @@ def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
 
 
 def _gather_material_by_id(scene: DeviceScene, mid):
-    """Returns (SurfaceParams, mat_rows [N,20]) from one fat row-gather."""
-    rows = V.gather_rows_t(scene.mat_table, mid)  # [20, N]
+    """Returns (SurfaceParams, mat_rows [N,24]) from one fat row-gather."""
+    rows = V.gather_rows_t(scene.mat_table, mid)  # [24, N]
     params = B.SurfaceParams(
         bsdf_type=rows[0].astype(jnp.int32),
         diffuse_color=Vec3(rows[1], rows[2], rows[3]),
@@ -154,6 +154,8 @@ def _gather_material_by_id(scene: DeviceScene, mid):
         ior=rows[7],
         glass_color=Vec3(rows[8], rows[9], rows[10]),
         opacity=rows[11],
+        emission_color=Vec3(rows[20], rows[21], rows[22]),
+        thin_walled=rows[23] > 0.5,
     )
     return params, rows
 
@@ -168,6 +170,8 @@ def _select_material(mask, a: B.SurfaceParams, b: B.SurfaceParams) -> B.SurfaceP
         ior=jnp.where(mask, a.ior, b.ior),
         glass_color=V.where(mask, a.glass_color, b.glass_color),
         opacity=jnp.where(mask, a.opacity, b.opacity),
+        emission_color=V.where(mask, a.emission_color, b.emission_color),
+        thin_walled=jnp.where(mask, a.thin_walled, b.thin_walled),
     )
 
 
@@ -227,6 +231,66 @@ def _apply_textures(scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFr
     return mat, frame
 
 
+def _spread3(v):
+    """Spread the low 10 bits of a u32 to every third bit (Morton)."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
+    """Spatial sort key: 24-bit position Morton (static world bounds) with
+    the direction octant in the low 3 bits. Rays sorted by this key form
+    tiles with tight origin locality, which is what the intersector's
+    per-tile block culling and near-to-far sweep need to fire on bounce rays
+    (the reference gets this scheduling for free from the OptiX RT cores)."""
+    lo, hi = scene.world_lo, scene.world_hi
+
+    def q(c, lo_c, hi_c):
+        ext = max(hi_c - lo_c, 1e-9)
+        x = jnp.clip((c - lo_c) * (1.0 / ext), 0.0, 1.0)
+        return (x * 255.0).astype(jnp.uint32)
+
+    mx = _spread3(q(position.x, lo[0], hi[0]))
+    my = _spread3(q(position.y, lo[1], hi[1]))
+    mz = _spread3(q(position.z, lo[2], hi[2]))
+    octant = (
+        (direction.x > 0).astype(jnp.uint32)
+        | ((direction.y > 0).astype(jnp.uint32) << 1)
+        | ((direction.z > 0).astype(jnp.uint32) << 2)
+    )
+    return ((mx | (my << 1) | (mz << 2)) << 3) | octant
+
+
+def _permute_packed(perm, f32_cols, bit_cols):
+    """Permute many [N] state arrays with ONE [N,F] row-gather + transpose.
+
+    Per-array 1D gathers run ~0.06 G/s on TPU (measured round 1: permuting
+    16 arrays = 293ms); a single fat row gather + one transpose is ~100x
+    cheaper. bit_cols are carried bit-exact via f32 bitcast.
+    """
+    def to_f32(c):
+        if c.dtype == jnp.bool_:
+            return c.astype(jnp.float32)  # exact 0/1
+        return jax.lax.bitcast_convert_type(c, jnp.float32)
+
+    cols = list(f32_cols) + [to_f32(c) for c in bit_cols]
+    table = jnp.stack(cols, axis=1)  # [N, F]
+    rows = table[perm].T  # [F, N]
+    nf = len(f32_cols)
+    out_f32 = [rows[i] for i in range(nf)]
+    out_bits = []
+    for i, c in enumerate(bit_cols):
+        r = rows[nf + i]
+        if c.dtype == jnp.bool_:
+            out_bits.append(r > 0.5)
+        else:
+            out_bits.append(jax.lax.bitcast_convert_type(r, c.dtype))
+    return out_f32, out_bits
+
+
 def trace_paths(
     scene: DeviceScene,
     params: LaunchParams,
@@ -239,8 +303,16 @@ def trace_paths(
     shadow_ray_tmin: float,
     material_ray_tmin: float,
     debug: int,
+    sort_rays: bool = False,
 ):
-    """One path per entry; returns (radiance Vec3, first_event [N])."""
+    """One path per entry; returns (radiance Vec3, first_event [N]).
+
+    sort_rays: after the first bounce, reorder the whole wavefront by a
+    position-Morton/direction-octant key (one argsort + one packed
+    row-gather) so the Pallas intersector's ray tiles stay spatially
+    coherent on secondary rays. Results are restored to the original ray
+    order before returning.
+    """
     n = sample_idx.shape[0]
     radiance = V.full(n, 0.0)
     throughput = V.full(n, 1.0)
@@ -249,13 +321,41 @@ def trace_paths(
     last_bsdf_pdf = jnp.zeros(n, jnp.float32)
     first_event = jnp.zeros(n, jnp.int32)
     alive = jnp.ones(n, bool)
+    # primitive the ray originates from: rejected BY ID in the intersector
+    # (exact self-intersection guard on top of offset_ray)
+    prev_prim = jnp.full(n, -1, jnp.int32)
     num_lights = scene.num_lights
     bg = params.bg_color
 
     tmin_mat = jnp.full(n, material_ray_tmin, jnp.float32)
     tmax_big = jnp.full(n, 1e16, jnp.float32)
 
+    inv_perm = None
     for depth in range(max_depth):
+        if sort_rays and depth == 1:
+            key = _ray_sort_key(scene, origin, direction)
+            perm = jnp.argsort(key)
+            inv_perm = jnp.zeros(n, jnp.int32).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            f32s, bits = _permute_packed(
+                perm,
+                [
+                    origin.x, origin.y, origin.z,
+                    direction.x, direction.y, direction.z,
+                    radiance.x, radiance.y, radiance.z,
+                    throughput.x, throughput.y, throughput.z,
+                    last_bsdf_pdf,
+                ],
+                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive],
+            )
+            origin = Vec3(*f32s[0:3])
+            direction = Vec3(*f32s[3:6])
+            radiance = Vec3(*f32s[6:9])
+            throughput = Vec3(*f32s[9:12])
+            last_bsdf_pdf = f32s[12]
+            sample_idx, first_event, prev_prim, inside, specular_bounce, alive = bits
+
         # One batched draw of the 5 folded Sobol dimensions per bounce.
         # (dimension = Dim % 5, RandomSampler.h:224 — e.g. eBSDF2 and
         # eLightId collide on dim 2 in the reference too; bit-identical.)
@@ -263,7 +363,8 @@ def trace_paths(
         rnd = lambda dim: dim_rows[int(dim) % 5]
 
         hit = intersect_closest(
-            scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY, active=alive
+            scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
+            active=alive, exclude=prev_prim,
         )
         # curve (hair) primitives: dense round-cone sweep, closest wins
         is_curve = jnp.zeros(n, bool)
@@ -334,11 +435,37 @@ def trace_paths(
             first_event = jnp.where(hit_surface, EventType.eUndef, first_event)
             break
 
+        # ---- emissive materials (EDF): the reference links per-material MDL
+        # emission functions into the hit program (mdlPtxCodeGen.cpp:133-172).
+        # Emissive surfaces are NOT in the NEE light list, so the full
+        # contribution is added on every BSDF/camera hit (unbiased, no MIS).
+        emissive = hit_surface & V.any_nonzero(mat.emission_color)
+        front = V.dot(frame.geom_normal, direction) < 0.0
+        radiance = V.where(
+            emissive & front, radiance + throughput * mat.emission_color, radiance
+        )
+
         ior1 = jnp.where(inside, mat.ior, 1.0)
         ior2 = jnp.where(inside, 1.0, mat.ior)
         xi = (rnd(Dim.eBSDF0), rnd(Dim.eBSDF1), rnd(Dim.eBSDF2), rnd(Dim.eBSDF3))
         k1 = -direction
         smp = B.bsdf_sample(mat, frame, k1, xi, ior1, ior2)
+
+        # ---- stochastic alpha cutout (opacity < 1): pass straight through as
+        # a specular-transmission event without flipping the medium. Maps the
+        # reference's alpha-mode -> OmniGlass/enable_opacity handling
+        # (gltfloader.cpp:358-421) onto any material's opacity value.
+        u_cut = S.uniform_hash(sample_idx, depth)
+        cut = hit_surface & (mat.opacity < 1.0) & (u_cut >= mat.opacity)
+        ones3 = V.full(n, 1.0)
+        smp = B.BsdfSample(
+            k2=V.where(cut, direction, smp.k2),
+            pdf=jnp.where(cut, 0.0, smp.pdf),
+            bsdf_over_pdf=V.where(cut, ones3, smp.bsdf_over_pdf),
+            event_type=jnp.where(
+                cut, B.BSDF_EVENT_SPECULAR_TRANSMISSION, smp.event_type
+            ).astype(jnp.int32),
+        )
 
         absorbed = hit_surface & (smp.event_type == B.BSDF_EVENT_ABSORB)
         if depth == 0:
@@ -379,6 +506,7 @@ def trace_paths(
             cos_nl = V.dot(frame.normal, to_light)
             geom_ok = (cos_nl > 0.0) & (-V.dot(to_light, ls.normal) > 0.0) & li_all_nonzero
             shadow_org = offset_ray_vec(position, frame.geom_normal)
+            shadow_excl = jnp.where(is_curve, -1, hit.prim)
             occluded = intersect_any(
                 scene,
                 shadow_org,
@@ -387,6 +515,7 @@ def trace_paths(
                 ls.dist_to_light,
                 RAY_MASK_SHADOW,
                 active=nee_able & geom_ok,
+                exclude=shadow_excl,
             )
             if scene.cones is not None:
                 from strelka_tpu.ops.curves import intersect_curves_any
@@ -429,7 +558,11 @@ def trace_paths(
         new_origin = offset_ray_vec(position, offset_n)
         origin = V.where(shade, new_origin, origin)
         direction = V.where(shade, smp.k2, direction)
-        inside = jnp.where(shade & transmission, ~inside, inside)
+        prev_prim = jnp.where(shade, jnp.where(is_curve, -1, hit.prim), prev_prim)
+        # cutout pass-through and thin-walled transmission stay in the same
+        # medium; only real refraction through a closed interface flips it
+        flips = shade & transmission & ~cut & ~mat.thin_walled
+        inside = jnp.where(flips, ~inside, inside)
         last_bsdf_pdf = jnp.where(
             shade,
             jnp.where((smp.event_type & B.BSDF_EVENT_SPECULAR) != 0, 1.0, smp.pdf),
@@ -445,6 +578,12 @@ def trace_paths(
             alive = alive & ~kill_rr
         alive = alive & (V.dot(throughput, throughput) >= 1e-5)
 
+    if inv_perm is not None:
+        f32s, bits = _permute_packed(
+            inv_perm, [radiance.x, radiance.y, radiance.z], [first_event]
+        )
+        radiance = Vec3(*f32s)
+        first_event = bits[0]
     return radiance, first_event
 
 
@@ -463,6 +602,7 @@ def render_launch(
     shadow_ray_tmin: float = 0.0,
     material_ray_tmin: float = 0.0,
     debug: int = 0,
+    sort_rays: bool | None = None,
 ):
     """__raygen__rg equivalent: run samples_per_launch paths/pixel, update
     the accumulators, and return (new_state, hdr_image [3,H,W]).
@@ -482,6 +622,10 @@ def render_launch(
     sample_idx = S.make_sample_index(px, py, sample_index, max_sample_count)
     jxy = S.random_dims(sample_idx, 0, (Dim.ePixelX, Dim.ePixelY))
     origin, direction = generate_camera_rays(params, px, py, jxy[0], jxy[1], width, height)
+    if sort_rays is None:
+        # worth the ~1 argsort+2 packed permutes only when the block-culled
+        # intersector has enough blocks for coherence to matter
+        sort_rays = bool(getattr(scene, "use_pallas", False)) and scene.num_triangles >= 16384
     radiance, first_event = trace_paths(
         scene,
         params,
@@ -493,6 +637,7 @@ def render_launch(
         shadow_ray_tmin=shadow_ray_tmin,
         material_ray_tmin=material_ray_tmin,
         debug=debug,
+        sort_rays=sort_rays,
     )
     # [spl*n] components -> [spl, n] -> reduce over samples
     rad = Vec3(*[c.reshape(spl, n) for c in radiance])

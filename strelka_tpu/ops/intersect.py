@@ -100,6 +100,18 @@ def _as_vec3(x) -> Vec3:
     return x if isinstance(x, Vec3) else V.from_rows(jnp.asarray(x))
 
 
+def _tile_starts(scene, origins):
+    """Per-ray-tile near-to-far sweep offsets (None when unavailable)."""
+    cents = getattr(scene, "block_cents", None)
+    if cents is None:
+        return None
+    from strelka_tpu.ops.pallas_intersect import DEFAULT_TILE, tile_start_offsets
+
+    if cents.shape[0] < 8:  # tiny scenes: ordering buys nothing
+        return None
+    return tile_start_offsets(origins, cents, DEFAULT_TILE)
+
+
 def intersect_closest(
     scene: DeviceScene,
     origins,
@@ -108,9 +120,14 @@ def intersect_closest(
     tmax: jnp.ndarray,
     ray_mask: int,
     active: jnp.ndarray | None = None,
+    exclude: jnp.ndarray | None = None,
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
-    one, else jnp brute force. origins/directions: Vec3 (or [N,3])."""
+    one, else jnp brute force. origins/directions: Vec3 (or [N,3]).
+
+    exclude: [N] i32 primitive id each ray originated from (-1 = none); the
+    kernel rejects it exactly (self-intersection guard, replaces the pure
+    epsilon scheme of OptixRender_radiance_closest_hit.cu:218-233)."""
     origins = _as_vec3(origins)
     directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
@@ -122,13 +139,16 @@ def intersect_closest(
 
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
+        starts = _tile_starts(scene, origins)
         if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
             t, prim = pallas_intersect_closest_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
+                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
             )
         else:
             t, prim = pallas_intersect_closest(
-                scene.tris_packed, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
+                scene.tris_packed, scene.tri_bounds, origins, directions,
+                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
             )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
@@ -150,7 +170,7 @@ def intersect_closest(
             active=active,
         )
         return Hit(t=t, prim=prim, u=u, v=v)
-    return intersect_closest_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active)
+    return intersect_closest_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active, exclude=exclude)
 
 
 def intersect_any(
@@ -161,24 +181,33 @@ def intersect_any(
     tmax: jnp.ndarray,
     ray_mask: int,
     active: jnp.ndarray | None = None,
+    exclude: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Occlusion dispatch -> [N] bool.
 
-    Shadow rays ALWAYS use the exact-f32 VPU kernel: the MXU's bf16x3 t
-    errors exceed the offset_ray self-intersection guard and produce shadow
-    acne (verified visually on cornell box faces). Closest-hit keeps the
-    fast MXU path — its reduced precision only shifts grazing-edge WINNER
-    selection, and hit positions are recomputed in exact f32.
+    With the exclude-prim guard (reject the origin primitive by id), shadow
+    rays can ride the fast MXU kernel too: the bf16x3 t error only ever
+    produced SELF-hits (acne), which the id rejection removes exactly.
     """
     origins = _as_vec3(origins)
     directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
-        from strelka_tpu.ops.pallas_intersect import pallas_intersect_any
+        from strelka_tpu.ops.pallas_intersect import (
+            pallas_intersect_any,
+            pallas_intersect_any_mxu,
+        )
 
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
+        starts = _tile_starts(scene, origins)
+        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
+            return pallas_intersect_any_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
+                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+            )
         return pallas_intersect_any(
-            scene.tris_packed, scene.tri_bounds, origins, directions, tmin, tmax, ray_mask
+            scene.tris_packed, scene.tri_bounds, origins, directions,
+            tmin, tmax, ray_mask, exclude=exclude, starts=starts,
         )
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh
@@ -198,7 +227,7 @@ def intersect_any(
             any_hit=True,
         )
         return prim >= 0
-    return intersect_any_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active)
+    return intersect_any_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active, exclude=exclude)
 
 
 def intersect_closest_bruteforce(
@@ -210,6 +239,7 @@ def intersect_closest_bruteforce(
     ray_mask: int,
     active: jnp.ndarray | None = None,
     block: int = 512,
+    exclude: jnp.ndarray | None = None,
 ) -> Hit:
     """Closest hit over all triangles whose geom_mask intersects ray_mask."""
     origins = _as_vec3(origins)
@@ -238,6 +268,9 @@ def intersect_closest_bruteforce(
         t, u, v, hit = _ray_tri_block(origins, directions, sl(tri_v0), sl(tri_e1), sl(tri_e2), tmin, tmax)
         mask_ok = (sl(tri_mask) & ray_mask) != 0
         hit = hit & mask_ok[None, :] & active[:, None]
+        if exclude is not None:
+            ids = start + jnp.arange(block, dtype=jnp.int32)
+            hit = hit & (ids[None, :] != exclude[:, None])
         t = jnp.where(hit, t, _BIG)
         arg = jnp.argmin(t, axis=1)
         rows = jnp.arange(n)
@@ -268,6 +301,7 @@ def intersect_any_bruteforce(
     ray_mask: int,
     active: jnp.ndarray | None = None,
     block: int = 512,
+    exclude: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Any-hit (occlusion) query -> [N] bool. Shadow rays use RAY_MASK_SHADOW."""
     origins = _as_vec3(origins)
@@ -293,6 +327,9 @@ def intersect_any_bruteforce(
         _, _, _, hit = _ray_tri_block(origins, directions, sl(tri_v0), sl(tri_e1), sl(tri_e2), tmin, tmax)
         mask_ok = (sl(tri_mask) & ray_mask) != 0
         hit = hit & mask_ok[None, :] & active[:, None]
+        if exclude is not None:
+            ids = start + jnp.arange(block, dtype=jnp.int32)
+            hit = hit & (ids[None, :] != exclude[:, None])
         return occluded | jnp.any(hit, axis=1), None
 
     occluded, _ = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(num_blocks))

@@ -5,17 +5,28 @@ traversal on the TPU's terms. Measurement on v5e showed XLA gathers inside
 lax loops run ~50x below peak, so per-ray pointer-chasing traversal is the
 WRONG shape for this hardware. The right shape is dense: tile the ray
 wavefront into VMEM-resident blocks ([8, TILE] component-major layout) and
-stream triangle blocks ([12, TBLK]) through the Pallas grid pipeline; each
-(ray-tile, tri-block) cell is pure elementwise VPU math over [TBLK, TILE]
-tiles with a sublane reduction — no gathers, no divergence, full lanes.
+stream triangle blocks through the Pallas grid pipeline; each
+(ray-tile, tri-block) cell is pure elementwise VPU math (or 4 small MXU
+matmuls, see below) over [TBLK, TILE] tiles with a sublane reduction — no
+gathers, no divergence, full lanes.
 
-Cost is O(N_rays * N_tris), so this is the fast path for small-to-medium
-scenes (the reference's interactive scenes) and the leaf stage for the
-hierarchical culling kernel; barycentrics are recomputed outside the kernel
-for the single winning primitive (one cheap XLA gather per ray).
+Sub-quadratic behaviour on large scenes comes from three mechanisms:
+  1. Block culling: triangles are Morton-sorted so fixed-size blocks are
+     spatially tight; a whole (ray-tile, tri-block) cell is skipped when no
+     ray can hit the block's AABB (scalar-prefetched bounds).
+  2. Near-to-far block ordering: each ray tile starts its block sweep at the
+     block nearest its rays' centroid (scalar-prefetched per-tile start
+     offset) and walks the Morton order outward, so closest-hit tmax
+     pruning rejects far blocks after the first nearby hits land.
+  3. Exclude-prim: each ray carries the primitive id it originated from and
+     the kernel rejects it exactly — the self-intersection guard that lets
+     the fast bf16x3 MXU path run without shadow acne (the reference's
+     offset_ray epsilon alone is defeated by bf16 t error; carrying the id
+     is exact and free).
 
 Layouts:
   rays:  [8, N]  rows = (ox, oy, oz, dx, dy, dz, tmin, tmax)
+  excl:  [1, N]  i32 origin primitive id (-1 = none)
   tris:  [12, T] rows = (v0, e1, e2 xyz each) + (mask, pad, pad)
   out:   best_t [1, N] f32; best_prim [1, N] i32 (-1 = miss)
 """
@@ -85,45 +96,72 @@ def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
     return t, valid
 
 
-def _closest_kernel(bounds_ref, rays_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int):
-    tb = pl.program_id(1)
+def _prim_ids(blk, tblk: int, tile: int):
+    """[TBLK, TILE] global primitive ids of block blk's rows."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tblk, tile), 0)
+    return blk * tblk + row
 
-    @pl.when(tb == 0)
+
+def _block_of(starts_ref, r, k, nb: int):
+    """Per-tile block schedule: walk the Morton order from the tile's start
+    offset outward (Morton locality => approximately near-to-far)."""
+    s = starts_ref[r] + k
+    return jnp.where(s >= nb, s - nb, s)
+
+
+def _closest_kernel(
+    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of(starts_ref, r, k, nb)
+
+    @pl.when(k == 0)
     def _init():
         t_ref[:, :] = rays_ref[7, :][None, :]
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
     rays = rays_ref[:, :]
-    any_box = _tile_hits_block(rays, bounds_ref, tb, tmax_row=t_ref[0, :])
+    any_box = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
 
     @pl.when(any_box)
     def _work():
         # current best as tmax so farther hits are rejected cheaply
         t, valid = _mt_block(rays, tris_ref[:, :], ray_mask, tmax_row=t_ref[0, :])
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
         t_masked = jnp.where(valid, t, _BIG)
         blk_best = jnp.min(t_masked, axis=0)  # [TILE]
         blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
         better = blk_best < t_ref[0, :]
         t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-        prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
 
 
-def _any_kernel(bounds_ref, rays_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int):
-    tb = pl.program_id(1)
+def _any_kernel(
+    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of(starts_ref, r, k, nb)
 
-    @pl.when(tb == 0)
+    @pl.when(k == 0)
     def _init():
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    any_box = _tile_hits_block(rays, bounds_ref, tb)
+    # skip once every ray in the tile is occluded (common for interior tiles)
+    done = jnp.all(occ_ref[0, :])
+    any_box = _tile_hits_block(rays, bounds_ref, blk) & ~done
 
     @pl.when(any_box)
     def _work():
         _, valid = _mt_block(rays, tris_ref[:, :], ray_mask)
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
         occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +221,40 @@ def block_bounds(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
     import jax.numpy as _jnp
 
     return _jnp.asarray(out)
+
+
+def block_centroids(bounds) -> jnp.ndarray:
+    """[n_blocks, 3] block AABB centers (for per-tile start-offset pick).
+    Empty blocks (inverted AABB) get a far-away centroid."""
+    b = np.asarray(bounds)
+    c = 0.5 * (b[0:3] + b[3:6])  # [3, nb]
+    empty = b[0] > b[3]
+    c = np.where(empty[None, :], 1e30, c)
+    return jnp.asarray(c.T.astype(np.float32))
+
+
+def tile_start_offsets(origins, centroids, tile: int) -> jnp.ndarray:
+    """Per-ray-tile start block: the Morton-order block nearest the tile's
+    mean ray origin. origins: Vec3 of [N] (component-major). -> [n_tiles] i32.
+
+    Cheap XLA-side prep per sweep: [n_tiles, nb] distance matrix argmin.
+    """
+    n = origins.x.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def mean_tiles(c):
+        if pad:
+            c = jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+        return c.reshape(-1, tile).mean(axis=1)
+
+    cx, cy, cz = mean_tiles(origins.x), mean_tiles(origins.y), mean_tiles(origins.z)
+    d2 = (
+        (cx[:, None] - centroids[None, :, 0]) ** 2
+        + (cy[:, None] - centroids[None, :, 1]) ** 2
+        + (cz[:, None] - centroids[None, :, 2]) ** 2
+    )
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
 
 def _tile_hits_block(rays, bounds_ref, tb, tmax_row=None):
@@ -274,10 +346,11 @@ def _mt_block_mxu(rays, feats, mask_row, ray_mask: int, tmax_row=None, precision
     """(t, valid) [TBLK, TILE] via 4 MXU matmuls + VPU epilogue.
 
     precision None -> MXU default (bf16x3 passes): ~2x faster than the VPU
-    kernel; ~1-4% of GRAZING-EDGE hits classify differently than exact f32 —
-    on closed meshes the ray then hits the shared-edge neighbor, so this is
-    subpixel noise far below Monte-Carlo variance. Pass
-    jax.lax.Precision.HIGHEST (bf16x6 == f32-exact) for bit-parity runs.
+    kernel. Its reduced t precision is made artifact-free by the
+    exclude-prim guard (self-hits rejected by id, not epsilon); residual
+    grazing-edge winner flips are subpixel noise far below Monte-Carlo
+    variance. Pass jax.lax.Precision.HIGHEST (bf16x6 == f32-exact) for
+    bit-parity runs.
     """
     tmin = rays[6, :][None, :]
     tmax = (rays[7, :] if tmax_row is None else tmax_row)[None, :]
@@ -309,17 +382,23 @@ def _mt_block_mxu(rays, feats, mask_row, ray_mask: int, tmax_row=None, precision
     return t, valid
 
 
-def _closest_kernel_mxu(bounds_ref, rays_ref, feats_ref, mask_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int, precision=None):
-    tb = pl.program_id(1)
+def _closest_kernel_mxu(
+    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, precision=None,
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of(starts_ref, r, k, nb)
 
-    @pl.when(tb == 0)
+    @pl.when(k == 0)
     def _init():
         t_ref[:, :] = rays_ref[7, :][None, :]
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
     # block culling: skip the whole cell when no ray can hit the block AABB
     rays = rays_ref[:, :]
-    any_hit = _tile_hits_block(rays, bounds_ref, tb, tmax_row=t_ref[0, :])
+    any_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
 
     @pl.when(any_hit)
     def _work():
@@ -327,30 +406,54 @@ def _closest_kernel_mxu(bounds_ref, rays_ref, feats_ref, mask_ref, t_ref, prim_r
             rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask,
             tmax_row=t_ref[0, :], precision=precision,
         )
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
         t_masked = jnp.where(valid, t, _BIG)
         blk_best = jnp.min(t_masked, axis=0)
         blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
         better = blk_best < t_ref[0, :]
         t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-        prim_ref[0, :] = jnp.where(better, tb * tblk + blk_arg, prim_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
 
 
-def _any_kernel_mxu(bounds_ref, rays_ref, feats_ref, mask_ref, occ_ref, *, ray_mask: int, tblk: int, precision=None):
-    tb = pl.program_id(1)
+def _any_kernel_mxu(
+    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
+    *, ray_mask: int, tblk: int, precision=None,
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of(starts_ref, r, k, nb)
 
-    @pl.when(tb == 0)
+    @pl.when(k == 0)
     def _init():
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    any_hit = _tile_hits_block(rays, bounds_ref, tb)
+    done = jnp.all(occ_ref[0, :])
+    any_hit = _tile_hits_block(rays, bounds_ref, blk) & ~done
 
     @pl.when(any_hit)
     def _work():
         _, valid = _mt_block_mxu(
             rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
         )
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
         occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+def _prep_common(origins, directions, tmin, tmax, exclude, starts, tile, nb):
+    """Shared ray/exclude/starts packing for all four kernel wrappers."""
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    if starts is None:
+        starts = jnp.zeros(n_tiles, jnp.int32)
+    else:
+        starts = jnp.clip(starts.astype(jnp.int32), 0, nb - 1)
+    return rays, excl, starts, n, n_pad, n_tiles
 
 
 @functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
@@ -363,23 +466,36 @@ def pallas_intersect_closest_mxu(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
+    exclude: jnp.ndarray | None = None,  # [N] i32 origin prim (-1 none)
+    starts: jnp.ndarray | None = None,  # [n_tiles] i32 block sweep offsets
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
     precision=None,
 ):
-    n = tmin.shape[0]
-    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = feats.shape[1]
-    grid = (n_pad // tile, t_total // tblk)
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
     kernel = functools.partial(_closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tblk, _FDIM), lambda r, t, *_: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, tblk, _FDIM),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tblk),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
@@ -402,7 +518,7 @@ def pallas_intersect_closest_mxu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bounds, rays, feats, mask)
+    )(bounds, starts, rays, excl, feats, mask)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     return jnp.where(prim >= 0, t, _BIG), prim
@@ -418,23 +534,36 @@ def pallas_intersect_any_mxu(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
     precision=None,
 ):
-    n = tmin.shape[0]
-    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = feats.shape[1]
-    grid = (n_pad // tile, t_total // tblk)
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
     kernel = functools.partial(_any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tblk, _FDIM), lambda r, t, *_: (0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, tblk, _FDIM),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tblk),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
     )
@@ -446,7 +575,7 @@ def pallas_intersect_any_mxu(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bounds, rays, feats, mask)
+    )(bounds, starts, rays, excl, feats, mask)
     return occ[0, :n]
 
 
@@ -466,6 +595,16 @@ def _pack_rays(origins, directions, tmin, tmax, tile):
         rows = [jnp.concatenate([r, jnp.zeros(pad, jnp.float32)]) for r in rows]
     # padded rays: tmax 0 -> no hits
     return jnp.stack(rows), n_pad
+
+
+def _pack_exclude(exclude, n: int, n_pad: int) -> jnp.ndarray:
+    """[1, n_pad] i32 origin-prim ids (-1 = none)."""
+    if exclude is None:
+        return jnp.full((1, n_pad), -1, jnp.int32)
+    exclude = exclude.astype(jnp.int32)
+    if n_pad != n:
+        exclude = jnp.concatenate([exclude, jnp.full(n_pad - n, -1, jnp.int32)])
+    return exclude[None, :]
 
 
 def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
@@ -491,22 +630,31 @@ def pallas_intersect_closest(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
 ):
     """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N])."""
-    n = tmin.shape[0]
-    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
-    grid = (n_pad // tile, t_total // tblk)
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
     kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (12, tblk),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
@@ -527,7 +675,7 @@ def pallas_intersect_closest(
             flops=60 * n_pad * t_total, bytes_accessed=4 * (8 * n_pad + 12 * t_total), transcendentals=0
         ),
         interpret=interpret,
-    )(bounds, rays, tris_packed)
+    )(bounds, starts, rays, excl, tris_packed)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     t = jnp.where(prim >= 0, t, _BIG)
@@ -545,22 +693,31 @@ def pallas_intersect_any(
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
 ):
     """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool."""
-    n = tmin.shape[0]
-    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     t_total = tris_packed.shape[1]
-    grid = (n_pad // tile, t_total // tblk)
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
     kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tblk), lambda r, t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (12, tblk),
+                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
     )
@@ -572,7 +729,7 @@ def pallas_intersect_any(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bounds, rays, tris_packed)
+    )(bounds, starts, rays, excl, tris_packed)
     return occ[0, :n]
 
 

@@ -223,6 +223,16 @@ def random_dims(sample_idx: jnp.ndarray, depth, dims) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def uniform_hash(sample_idx: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Independent auxiliary uniform in [0,1) from the sample index.
+
+    Decorrelated from the 5 folded Sobol dimensions (used for effects the
+    reference handles out-of-band, e.g. stochastic alpha cutout)."""
+    salt = (0x9E3779B9 + 0x85EBCA6B * (depth + 1)) & 0xFFFFFFFF
+    bits = pcg_hash(_u32(sample_idx) ^ _U32(salt))
+    return bits.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
 def pcg_hash(seed: jnp.ndarray) -> jnp.ndarray:
     """RandomSampler.h:38-43."""
     state = _u32(seed) * _U32(747796405) + _U32(2891336453)

@@ -152,6 +152,10 @@ def all_nonzero(a: Vec3):
     return (a.x != 0.0) & (a.y != 0.0) & (a.z != 0.0)
 
 
+def any_nonzero(a: Vec3):
+    return (a.x != 0.0) | (a.y != 0.0) | (a.z != 0.0)
+
+
 def luminance(a: Vec3):
     """Rec601 luma (Tonemappers.cu:6-9 weights)."""
     return 0.299 * a.x + 0.587 * a.y + 0.114 * a.z

@@ -94,15 +94,20 @@ class DeviceScene:
     # Fat row-gather tables (ONE whole-row gather per hit instead of many
     # scalar gathers; element gathers are ~100x slower on TPU):
     tri_bounds: Optional[jnp.ndarray] = None  # [8, n_blocks] per-block AABBs
+    block_cents: Optional[jnp.ndarray] = None  # [n_blocks, 3] block centers
     attr_table: Optional[jnp.ndarray] = None  # [T, 36] surface attributes
-    mat_table: Optional[jnp.ndarray] = None  # [M, 20] material params
+    mat_table: Optional[jnp.ndarray] = None  # [M, 24] material params
     light_table: Optional[jnp.ndarray] = None  # [L, 20] light params
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # static world AABB (host floats baked into the trace) — used to build
+    # spatial ray-reordering keys without a traced reduction
+    world_lo: tuple = dataclasses.field(metadata=dict(static=True), default=(0.0, 0.0, 0.0))
+    world_hi: tuple = dataclasses.field(metadata=dict(static=True), default=(1.0, 1.0, 1.0))
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
-    # "vpu" (default: exact f32) | "mxu" (bf16x3 matmul MT, ~1.5x faster but
-    # its t error can re-hit the originating triangle -> acne; opt-in)
-    intersector: str = dataclasses.field(metadata=dict(static=True), default="vpu")
+    # "mxu" (default: bf16x3 matmul Moller-Trumbore, ~2x faster; exact-by-id
+    # self-intersection guard makes it artifact-free) | "vpu" (exact f32)
+    intersector: str = dataclasses.field(metadata=dict(static=True), default="mxu")
 
     @property
     def num_curve_segments(self) -> int:
@@ -239,7 +244,7 @@ def build_device_scene(
     material_manager: Optional[MaterialManager] = None,
     pad_multiple: int = 128,
     use_bvh: Optional[bool] = None,
-    intersector: str = "vpu",
+    intersector: str = "mxu",
 ) -> DeviceScene:
     """Full host->device build: flatten, compile materials, build BVH
     (the optixAccelBuild analog), reorder leaf-contiguous, pad, upload.
@@ -286,13 +291,20 @@ def build_device_scene(
 
         mm.texture_manager = TextureManager(search_path=scene.get_scene_dir())
     compiled = mm.compile_scene_materials(scene.materials)
-    table = mm.generate_target_code(compiled)
+    table, mat_remap = mm.generate_target_code_deduped(compiled)
     table = MaterialTable(*[jnp.asarray(x) for x in table])
     atlas = mm.texture_manager.build_atlas()
+    # rewrite instance material ids onto deduped rows (source array AND the
+    # already-padded copy; the pallas branch below re-pads from cat)
+    cat["material_id"] = mat_remap[np.clip(cat["material_id"], 0, len(mat_remap) - 1)]
+    material_id = _pad_to(cat["material_id"], padded)
 
     curves_np = flatten_scene_curves(scene)
     curves = None
     if curves_np is not None:
+        curves_np["material_id"] = mat_remap[
+            np.clip(curves_np["material_id"], 0, len(mat_remap) - 1)
+        ]
         ns = int(curves_np["p0"].shape[0])
         nsp = _round_up(ns, pad_multiple)
         curves = DeviceCurves(
@@ -328,11 +340,12 @@ def build_device_scene(
         use_pallas = _jax.default_backend() not in ("cpu",)
     except Exception:  # noqa: BLE001
         use_pallas = False
-    tris_feats = tris_mask = tri_bounds = None
+    tris_feats = tris_mask = tri_bounds = blk_cents = None
     if use_pallas:
         from strelka_tpu.ops.pallas_intersect import (
             DEFAULT_TBLK,
             block_bounds,
+            block_centroids,
             morton_sort_tris,
             pack_tris,
             pack_tris_mxu,
@@ -354,6 +367,7 @@ def build_device_scene(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
         )
         tri_bounds = block_bounds(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
+        blk_cents = block_centroids(tri_bounds)
 
     # fat gather tables
     num_pad = p.shape[0]
@@ -385,9 +399,18 @@ def build_device_scene(
             tbl.metallic_tex.astype(jnp.float32)[:, None],
             tbl.uv_scale,
             tbl.uv_offset,
+            tbl.emission_color,
+            tbl.thin_walled.astype(jnp.float32)[:, None],
         ],
         axis=1,
     )
+    if num_tri > 0:
+        pts = cat["p"].reshape(-1, 3)
+        world_lo = tuple(float(x) for x in pts.min(axis=0))
+        world_hi = tuple(float(x) for x in pts.max(axis=0))
+    else:
+        world_lo, world_hi = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+
     dl = build_device_lights(scene)
     light_table = jnp.concatenate(
         [
@@ -434,11 +457,14 @@ def build_device_scene(
         tris_feats=tris_feats,
         tris_mask=tris_mask,
         tri_bounds=tri_bounds,
+        block_cents=blk_cents,
         attr_table=jnp.asarray(attr_table),
         mat_table=mat_table,
         light_table=light_table,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
+        world_lo=world_lo,
+        world_hi=world_hi,
         use_pallas=use_pallas,
         intersector=intersector,
     )

@@ -1,0 +1,134 @@
+"""USD crate (.usdc) reader/writer: LZ4 codec, integer coding, round-trip,
+and end-to-end scene loading through UsdLoader.
+
+(No pxr exists in this environment, so fixtures are produced by our own
+writer; the reader follows pxr crateFile.cpp's layout for version 0.8.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from strelka_tpu.loaders.crate import (
+    CrateFile,
+    _decode_ints,
+    _encode_ints,
+    read_usdc,
+    write_usdc,
+)
+from strelka_tpu.loaders.lz4 import (
+    fast_compress,
+    fast_decompress,
+    lz4_block_compress,
+    lz4_block_decompress,
+)
+from strelka_tpu.loaders.usd import UsdLoader
+from strelka_tpu.loaders.usda_parser import parse_usda
+from strelka_tpu.scene.scene import Scene
+
+from test_usd import _STAGE  # reuse the text fixture
+
+
+def test_lz4_roundtrip():
+    rng = np.random.default_rng(0)
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 100,
+        bytes(rng.integers(0, 256, 10_000, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 50_000, dtype=np.uint8)),  # compressible
+        b"\x00" * 100_000,
+    ]
+    for data in cases:
+        comp = lz4_block_compress(data)
+        assert lz4_block_decompress(comp, len(data)) == data
+        framed = fast_compress(data)
+        assert fast_decompress(framed, len(data)) == data
+
+
+def test_integer_coding_roundtrip():
+    rng = np.random.default_rng(1)
+    cases = [
+        [],
+        [0],
+        [5, 5, 5, 5],
+        list(range(1000)),
+        list(rng.integers(-(2**30), 2**30, 500)),
+        [0, 1, -1, 127, -128, 32767, -32768, 2**30, -(2**30)],
+    ]
+    for vals in cases:
+        enc = _encode_ints(vals)
+        dec = _decode_ints(enc, len(vals))
+        np.testing.assert_array_equal(dec, np.asarray(vals, np.int64))
+    wide = [0, 2**40, -(2**40), 7, 7, 7]
+    enc = _encode_ints(wide, wide=True)
+    dec = _decode_ints(enc, len(wide), wide=True)
+    np.testing.assert_array_equal(dec, np.asarray(wide, np.int64))
+
+
+def _tree_flat(root):
+    out = {}
+    for p in root.walk():
+        out[p.path] = (p.type, sorted(a for a in p.attrs if not a.endswith(":__interp__")))
+    return out
+
+
+def test_crate_roundtrip_stage(tmp_path):
+    root = parse_usda(_STAGE)
+    path = str(tmp_path / "stage.usdc")
+    write_usdc(path, root)
+    back = read_usdc(path)
+    assert _tree_flat(back) == _tree_flat(root)
+    # attribute values survive
+    quad0 = root.find("/World/Geo/quad")
+    quad1 = back.find("/World/Geo/quad")
+    np.testing.assert_allclose(
+        np.asarray(quad1.attrs["points"].value, np.float32),
+        np.asarray(quad0.attrs["points"].value, np.float32),
+    )
+    assert quad1.attrs["faceVertexIndices"].value == quad0.attrs["faceVertexIndices"].value
+    assert quad1.attrs["material:binding"].targets == ["/World/Materials/Red"]
+    st0 = quad0.attrs["primvars:st"]
+    st1 = quad1.attrs["primvars:st"]
+    np.testing.assert_allclose(np.asarray(st1.value), np.asarray(st0.value))
+    assert quad1.attrs.get("primvars:st:__interp__").value == "vertex"
+    # shader params + connections
+    shader = back.find("/World/Materials/Red/Surface")
+    assert shader.attrs["info:id"].value == "UsdPreviewSurface"
+    np.testing.assert_allclose(
+        np.asarray(shader.attrs["inputs:diffuseColor"].value), [0.8, 0.1, 0.1]
+    )
+    mat = back.find("/World/Materials/Red")
+    assert mat.attrs["outputs:surface"].connect == "/World/Materials/Red/Surface.outputs:surface"
+    # light + camera params
+    lamp = back.find("/World/lamp")
+    assert lamp.attrs["inputs:intensity"].value == 10
+    np.testing.assert_allclose(np.asarray(lamp.attrs["xformOp:rotateXYZ"].value), [-90, 0, 0])
+
+
+def test_usdc_loads_into_scene(tmp_path):
+    """End-to-end: UsdLoader consumes the crate identically to the text stage."""
+    path_a = str(tmp_path / "stage.usda")
+    path_c = str(tmp_path / "stage.usdc")
+    with open(path_a, "w") as f:
+        f.write(_STAGE)
+    write_usdc(path_c, parse_usda(_STAGE))
+
+    scene_a, scene_c = Scene(), Scene()
+    assert UsdLoader().load(path_a, scene_a)
+    assert UsdLoader().load(path_c, scene_c)
+    assert len(scene_c.meshes) == len(scene_a.meshes)
+    assert len(scene_c.lights) == len(scene_a.lights)
+    assert len(scene_c.materials) == len(scene_a.materials)
+    pa, *_ = scene_a.vertex_pools()
+    pc, *_ = scene_c.vertex_pools()
+    np.testing.assert_allclose(pc, pa, atol=1e-6)
+
+
+def test_crate_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.usdc")
+    with open(p, "wb") as f:
+        f.write(b"NOT-USDC" + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        read_usdc(p)

@@ -138,3 +138,19 @@ def test_scene_material_pipeline_uses_modules():
     assert compiled[2].metallic == pytest.approx(0.25)
     table = mm.generate_target_code(compiled)
     assert table.bsdf_type.shape == (3,)
+
+
+def test_material_dedup():
+    """Identical compiled materials collapse to one table row
+    (materialmanager.cpp:524-609 parity)."""
+    import numpy as np
+    from strelka_tpu.materials import CompiledMaterial, MaterialManager
+
+    mm = MaterialManager()
+    a = CompiledMaterial(name="a", roughness=0.25)
+    b = CompiledMaterial(name="b", roughness=0.25)  # same content, other name
+    c = CompiledMaterial(name="c", roughness=0.75)
+    table, remap = mm.generate_target_code_deduped([a, b, c, a])
+    assert table.roughness.shape[0] == 2
+    np.testing.assert_array_equal(remap, [0, 0, 1, 0])
+    np.testing.assert_allclose(table.roughness, [0.25, 0.75])

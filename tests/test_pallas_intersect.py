@@ -143,3 +143,76 @@ def test_pallas_mxu_matches_bruteforce():
         jnp.full(300, 20.0, jnp.float32), RAY_MASK_SHADOW,
     )
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_bf))
+
+
+def test_pallas_exclude_prim():
+    """Exclude-prim rejects exactly the origin primitive (self-hit guard)."""
+    rng = np.random.default_rng(4)
+    v0, e1, e2, mask = _scene(300, rng)
+    o, d = _rays(400, rng)
+    tmin = np.zeros(400, np.float32)
+    tmax = np.full(400, 1e16, np.float32)
+    from strelka_tpu.ops.pallas_intersect import block_bounds
+
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
+    t0, prim0 = pallas_intersect_closest(
+        tris, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    # excluding the winner must yield a different (or no) winner, matching
+    # the oracle with that primitive masked out
+    excl = jnp.asarray(prim0)
+    t1, prim1 = pallas_intersect_closest(
+        tris, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, exclude=excl, tile=256, tblk=128, interpret=True,
+    )
+    hb = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, exclude=excl,
+    )
+    np.testing.assert_array_equal(np.asarray(prim1), np.asarray(hb.prim))
+    assert not (np.asarray(prim1) == np.asarray(prim0))[np.asarray(prim0) >= 0].any()
+    # any-hit honors exclusion too
+    occ = pallas_intersect_any(
+        tris, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, exclude=excl, tile=256, tblk=128, interpret=True,
+    )
+    occ_bf = intersect_any_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, exclude=excl,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_bf))
+
+
+def test_pallas_start_offsets_invariant():
+    """Per-tile block sweep offsets change the iteration ORDER only."""
+    rng = np.random.default_rng(5)
+    v0, e1, e2, mask = _scene(1024, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        block_centroids,
+        pack_tris_mxu,
+        pallas_intersect_closest_mxu,
+        tile_start_offsets,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
+    cents = block_centroids(bounds)
+    starts = tile_start_offsets(from_rows(jnp.asarray(o)), cents, 256)
+    assert starts.shape[0] == 2 and (np.asarray(starts) >= 0).all()
+    base = pallas_intersect_closest_mxu(
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    ordered = pallas_intersect_closest_mxu(
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, starts=starts, tile=256, tblk=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(ordered[1]))
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(ordered[0]), rtol=1e-6)

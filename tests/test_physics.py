@@ -38,12 +38,15 @@ def _params(n, bsdf_type, **over):
         ior=np.full(n, 1.5, np.float32),
         glass_color=np.tile([0.9, 0.9, 0.9], (n, 1)).astype(np.float32),
         opacity=np.ones(n, np.float32),
+        emission_color=np.zeros((n, 3), np.float32),
+        thin_walled=np.zeros(n, np.float32),
     )
     d.update({k: np.asarray(v, np.float32) for k, v in over.items()})
     out = {}
     for k, v in d.items():
         arr = jnp.asarray(v)
         out[k] = V.from_rows(arr) if arr.ndim == 2 else arr
+    out["thin_walled"] = out["thin_walled"] > 0.5
     return B.SurfaceParams(**out)
 
 
