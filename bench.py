@@ -1,6 +1,10 @@
-"""Benchmark: Cornell-box progressive render throughput in Mrays/s/chip.
+"""Benchmark suite: one JSON line per BASELINE-class config, headline last.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Configs (BASELINE.json "configs" coverage):
+  cornell     512x512/4spp/4d analytic interior (reference default-app class)
+  box_field   512x512/2spp/4d ~410k-tri field (Kitchen-Set-class geometry)
+  coffeetable 512x512/2spp/4d textured-material USD stage (usda ingestion)
+  hair_patch  384x384/2spp/4d ~10k cone subsegments (hairmat/einar class)
 
 Ray accounting: per pixel sample and bounce the integrator traces one
 radiance ray (closest-hit sweep) and one NEE shadow ray (any-hit sweep); all
@@ -10,57 +14,173 @@ Timing: many launches chained, ONE hard sync at the end (np.asarray of a
 pixel) — block_until_ready does not reliably wait on the axon TPU tunnel, and
 per-launch syncs add ~25ms of tunnel round trip.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the driver target
-is 100 Mrays/s/chip, so vs_baseline = value / 100.
+The final line is the headline metric (cornell Mrays/s/chip vs the driver's
+100 Mrays/s target; the reference publishes no numbers, BASELINE.md) with an
+embedded per-scene summary + SSIM of the TPU render against the CPU-rendered
+golden (cross-backend fidelity check).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 
-def main() -> None:
-    import jax
+def build_scene(name: str, width: int, height: int):
     import jax.numpy as jnp
+
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+    from strelka_tpu.scene import testscenes as TS
+
+    if name == "cornell":
+        host = TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
+    elif name == "box_field":
+        host = TS.box_field(grid=48)
+    elif name == "hair_patch":
+        host = TS.hair_patch(n_curves=256)
+    elif name == "coffeetable":
+        from strelka_tpu.loaders.usd import UsdLoader
+        from strelka_tpu.scene.scene import Scene
+
+        host = Scene()
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "scenes", "coffeetable.usda")
+        if not UsdLoader().load(path, host):
+            raise RuntimeError("coffeetable.usda failed to load")
+    else:
+        raise ValueError(name)
+    scene = build_device_scene(host)
+    cam = host.get_camera(0)
+    cam.update_aspect_ratio(width / height)
+    params = I.LaunchParams(
+        subframe_index=jnp.int32(0),
+        clip_to_view=jnp.asarray(cam.clip_to_view(), jnp.float32),
+        view_to_world=jnp.asarray(cam.view_to_world(), jnp.float32),
+        exposure=jnp.asarray([6.25e-4] * 3, jnp.float32),
+        bg_color=jnp.zeros(3, jnp.float32),
+    )
+    return scene, params
+
+
+def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters: int):
+    import jax
     import numpy as np
 
-    quick = "--quick" in sys.argv
-    width = height = 256 if quick else 512
-    spp = 2 if quick else 4
-    depth = 4
-    iters = 8 if quick else 16
+    from strelka_tpu.ops import integrator as I
 
-    sys.path.insert(0, ".")
-    from __graft_entry__ import _build
+    scene, params = build_scene(name, width, height)
+    state = I.make_frame_state(height, width)
 
-    step, (scene, params, state) = _build(width=width, height=height, spp=spp, depth=depth)
+    def step(scene, params, state):
+        return I.render_launch(
+            scene, params, state, width=width, height=height,
+            samples_per_launch=spp, max_sample_count=100000, max_depth=depth,
+            enable_accumulation=True,
+        )
+
     fn = jax.jit(step, donate_argnums=(2,))
-
-    # warmup / compile, then hard sync
+    t0 = time.perf_counter()
     state, image = fn(scene, params, state)
     _ = np.asarray(image[0, 0])
-
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
         st, image = fn(scene, params, st)
     _ = np.asarray(image[0, 0])  # hard sync
     dt = (time.perf_counter() - t0) / iters
-
     rays = width * height * spp * 2 * depth
-    mrays = rays / dt / 1e6
-    n_chips = jax.device_count()
-    result = {
-        "metric": "cornell_box_mrays_per_sec_per_chip",
-        "value": round(mrays / max(n_chips, 1), 2),
-        "unit": "Mrays/s/chip",
-        "vs_baseline": round(mrays / max(n_chips, 1) / 100.0, 3),
-        "config": f"{width}x{height} spp={spp} depth={depth} iters={iters}",
+    img = np.asarray(image)
+    return {
+        "scene": name,
+        "tris": int(scene.num_triangles),
+        "curve_segments": int(scene.num_curve_segments),
+        "mrays_per_sec": round(rays / dt / 1e6, 2),
         "ms_per_launch": round(dt * 1e3, 2),
+        "config": f"{width}x{height} spp={spp} depth={depth}",
+        "compile_s": round(compile_s, 1),
+        "finite": bool(np.isfinite(img).all()),
+        "mean": round(float(img.mean()), 5),
     }
-    print(json.dumps(result))
+
+
+def golden_ssim() -> float:
+    """Render cornell on the CURRENT backend at the golden config and compare
+    with the CPU-rendered golden (cross-backend fidelity)."""
+    import numpy as np
+
+    from strelka_tpu.render.buffer import BufferDesc, BufferFormat
+    from strelka_tpu.render.render import RenderFactory
+    from strelka_tpu.scene.testscenes import cornell_box
+    from strelka_tpu.settings import SharedContext, make_default_settings
+    from strelka_tpu.utils.image import read_png, ssim
+
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens", "cornell_64_16spp.png")
+    if not os.path.exists(golden_path):
+        return -1.0
+    s = make_default_settings(64, 64)
+    s.set("render/pt/sppTotal", 16)
+    s.set("render/pt/spp", 4)
+    r = RenderFactory.create_render()
+    r.set_scene(cornell_box(light_intensity=5000.0))
+    r.set_shared_context(SharedContext(s))
+    r.init()
+    buf = r.create_buffer(BufferDesc(64, 64, BufferFormat.FLOAT4))
+    for _ in range(4):
+        r.render(buf)
+    img = np.clip(buf.map()[..., :3], 0, 1)
+    golden = read_png(golden_path)[..., :3]
+    return float(ssim(img, golden))
+
+
+def main() -> None:
+    import jax
+
+    quick = "--quick" in sys.argv
+    n_chips = max(jax.device_count(), 1)
+    results = {}
+    configs = [
+        ("cornell", 512, 512, 4, 4, 16),
+        ("box_field", 512, 512, 2, 4, 4),
+        ("coffeetable", 512, 512, 2, 4, 8),
+        ("hair_patch", 384, 384, 2, 4, 4),
+    ]
+    if quick:
+        configs = [("cornell", 256, 256, 2, 4, 8)]
+    for name, w, h, spp, depth, iters in configs:
+        try:
+            row = bench_scene(name, w, h, spp, depth, iters)
+        except Exception as e:  # noqa: BLE001 — never lose the headline line
+            row = {"scene": name, "error": str(e)[:200]}
+        print(json.dumps(row), flush=True)
+        results[name] = row
+
+    try:
+        ssim_score = round(golden_ssim(), 4)
+    except Exception:  # noqa: BLE001
+        ssim_score = -1.0
+
+    head = results.get("cornell", {})
+    value = head.get("mrays_per_sec", 0.0) / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_box_mrays_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(value / 100.0, 3),
+                "config": head.get("config", ""),
+                "ms_per_launch": head.get("ms_per_launch", -1.0),
+                "ssim_vs_cpu_golden": ssim_score,
+                "scenes": {
+                    k: {kk: v[kk] for kk in ("mrays_per_sec", "ms_per_launch", "tris") if kk in v}
+                    for k, v in results.items()
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

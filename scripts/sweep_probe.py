@@ -30,6 +30,10 @@ params = I.LaunchParams(subframe_index=jnp.int32(0),
 idx = jnp.arange(N, dtype=jnp.uint32)
 px = idx % 512; py = idx // 512
 o_cam, d_cam = I.generate_camera_rays(params, px, py, jnp.zeros(N), jnp.zeros(N), 512, 512)
+# Z-ORDER camera rays (as the integrator now enumerates pixels)
+zo, _ = I._pixel_zorder(512, 512)
+pz = jnp.asarray(zo % 512, jnp.uint32); pyz = jnp.asarray(zo // 512, jnp.uint32)
+o_camz, d_camz = I.generate_camera_rays(params, pz, pyz, jnp.zeros(N), jnp.zeros(N), 512, 512)
 
 # incoherent: origins on geometry-ish (random in world box), random dirs — SORTED by morton key
 rng = np.random.default_rng(0)
@@ -58,7 +62,7 @@ from functools import partial
 def run_mxu(o, d, tile, use_starts):
     starts = None
     if use_starts:
-        starts = PI.tile_start_offsets(o, scene.block_cents, tile)
+        starts = PI.tile_sweep_order(o, scene.block_cents, tile)
     return PI.pallas_intersect_closest_mxu(
         scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
         RAY_MASK_PRIMARY, starts=starts, tile=tile)
@@ -66,13 +70,14 @@ def run_mxu(o, d, tile, use_starts):
 def run_vpu(o, d, tile, use_starts):
     starts = None
     if use_starts:
-        starts = PI.tile_start_offsets(o, scene.block_cents, tile)
+        starts = PI.tile_sweep_order(o, scene.block_cents, tile)
     return PI.pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
         RAY_MASK_PRIMARY, starts=starts, tile=tile)
 
-for tile in (2048, 512):
+for tile in (1024, 512):
     for kern, runner in (("mxu", run_mxu), ("vpu", run_vpu)):
-        bench(f"cam  {kern} tile={tile} starts=1", lambda: runner(o_cam, d_cam, tile, True))
-        bench(f"inc+sort {kern} tile={tile} starts=1", lambda: runner(o_srt, d_srt, tile, True))
-        bench(f"inc+sort {kern} tile={tile} starts=0", lambda: runner(o_srt, d_srt, tile, False))
+        bench(f"camZ {kern} tile={tile} order=1", lambda: runner(o_camz, d_camz, tile, True))
+        bench(f"camROW {kern} tile={tile} order=1", lambda: runner(o_cam, d_cam, tile, True))
+        bench(f"inc+sort {kern} tile={tile} order=1", lambda: runner(o_srt, d_srt, tile, True))
+        bench(f"inc+sort {kern} tile={tile} order=0", lambda: runner(o_srt, d_srt, tile, False))

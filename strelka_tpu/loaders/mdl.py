@@ -136,9 +136,13 @@ def parse_mdl_materials(text: str) -> Dict[str, Dict[str, object]]:
 class MdlModule:
     """A loaded MDL module (createModule analog, mdlMaterialCompiler.cpp:40-50)."""
 
-    def __init__(self, path: str, materials: Dict[str, Dict[str, object]]):
+    def __init__(self, path: str, materials: Dict[str, Dict[str, object]], has_hair: bool = False):
         self.path = path
         self.materials = materials
+        # material uses an MDL hair df — the reference switches the link unit
+        # to "hair" instead of surface.scattering when the hair expression is
+        # non-constant (mdlPtxCodeGen.cpp:143-158)
+        self.has_hair = has_hair
 
 
 def load_mdl_module(file: str, search_paths: List[str]) -> Optional[MdlModule]:
@@ -150,7 +154,9 @@ def load_mdl_module(file: str, search_paths: List[str]) -> Optional[MdlModule]:
         if os.path.exists(cand):
             try:
                 with open(cand, "r", encoding="utf-8") as f:
-                    return MdlModule(cand, parse_mdl_materials(f.read()))
+                    text = f.read()
+                has_hair = "hair_bsdf" in text or "df::hair" in text
+                return MdlModule(cand, parse_mdl_materials(text), has_hair=has_hair)
             except OSError as e:
                 log.warning("mdl read failed {}: {}", cand, e)
                 return None

@@ -17,8 +17,8 @@ Replicates what the reference's Hydra stack bakes into oka::Scene
   * BasisCurves -> scene curves (BasisCurves.cpp:5-160)
   * references/payloads to sibling usda layers (flattened subset)
 
-Binary .usdc is not parseable without pxr — load fails with a clear message
-(the capability surface is USD-scene rendering; author flattened .usda).
+Binary .usdc stages are read through the pure-Python crate reader
+(loaders/crate.py) — the same Prim tree feeds both text and binary paths.
 """
 
 from __future__ import annotations
@@ -179,6 +179,35 @@ def _triangulate(counts: List[int], indices: List[int], left_handed: bool) -> np
                 tris.append((ofs, ofs + k, ofs + k + 1))
         ofs += c
     return np.asarray(tris, np.int64).reshape(-1, 3)
+
+
+# Node-id tables for network translation (the reverse of the reference's
+# Usd* -> ND_* rename table, MaterialNetworkTranslator.cpp:79-151).
+_PREVIEW_SURFACE_IDS = {"UsdPreviewSurface", "ND_UsdPreviewSurface_surfaceshader"}
+_STANDARD_SURFACE_IDS = {"ND_standard_surface_surfaceshader", "standard_surface"}
+_TEXTURE_NODE_IDS = {
+    "UsdUVTexture", "ND_UsdUVTexture", "ND_image_color3", "ND_image_float",
+    "ND_image_vector3", "ND_tiledimage_color3", "ND_tiledimage_float",
+}
+_TRANSFORM2D_IDS = {"UsdTransform2d", "ND_UsdTransform2d", "ND_place2d_vector2"}
+_MULTIPLY_NODE_IDS = {
+    "ND_multiply_color3", "ND_multiply_color3FA", "ND_multiply_float",
+    "ND_multiply_vector3",
+}
+# standard_surface input -> UsdPreviewSurface input (subset we consume)
+_STD_SURFACE_INPUT_MAP = {
+    "diffuseColor": "base_color",
+    "roughness": "specular_roughness",
+    "metallic": "metalness",
+    "emissiveColor": "emission_color",
+    "ior": "specular_IOR",
+    "opacity": "opacity",
+    "normal": "normal",
+}
+
+
+def node_attrs_of(prim):
+    return prim.attrs
 
 
 class UsdLoader:
@@ -351,12 +380,19 @@ class UsdLoader:
             self._walk_proto(proto, inst_xf, scene)
 
     def _walk_proto(self, prim: Prim, xf: np.ndarray, scene: Scene) -> None:
-        """Walk a prototype subtree for one instance (geometry only)."""
+        """Walk a prototype subtree for one instance (geometry only).
+
+        Nested PointInstancers compose recursively with the parent instance
+        transform — HdStrelkaInstancer walks parent instancers the same way
+        (Instancer.cpp:74-190)."""
         xf = xf @ local_transform(prim)
         if prim.type == "Mesh":
             self._bake_mesh(prim, xf, scene)
         elif prim.type == "BasisCurves":
             self._bake_curves(prim, xf, scene)
+        elif prim.type == "PointInstancer":
+            self._bake_point_instancer(prim, xf, scene)
+            return  # nested prototypes are instanced, not walked as geometry
         for c in prim.children:
             self._walk_proto(c, xf, scene)
 
@@ -514,6 +550,82 @@ class UsdLoader:
         self._material_ids[target] = mid
         return mid
 
+    def _resolve_network_input(self, node: Prim, name: str, depth: int = 0) -> dict:
+        """Follow one shader input through intermediate network nodes.
+
+        Handles (MaterialNetworkTranslator.cpp:79-300 capability): texture
+        nodes (UsdUVTexture / ND_image_*), their inputs:scale value
+        multipliers and UsdTransform2d st transforms (through
+        UsdPrimvarReader), and multiply/scale arithmetic nodes between a
+        texture and the surface. Returns {value, tex, mult, uv_scale,
+        uv_offset} (all optional).
+        """
+        out: dict = {}
+        a = node.attrs.get(f"inputs:{name}")
+        if a is None:
+            return out
+        if not a.connect:
+            if a.value is not None:
+                out["value"] = a.value
+            return out
+        if depth > 4:
+            return out
+        target = self._root.find(a.connect.split(".")[0])
+        if target is None:
+            return out
+        tid = _attr_val(target, "info:id")
+        if tid in _TEXTURE_NODE_IDS:
+            f = _attr_val(target, "inputs:file")
+            if isinstance(f, tuple) and f and f[0] == "__asset__":
+                out["tex"] = f[1]
+            fb = _attr_val(target, "inputs:fallback")
+            if fb is not None:
+                out["value"] = fb
+            scale = _attr_val(target, "inputs:scale")
+            if isinstance(scale, (tuple, list)) and len(scale) >= 3:
+                out["mult"] = [float(x) for x in scale[:3]]
+            # st chain: PrimvarReader or UsdTransform2d(st)
+            st = target.attrs.get("inputs:st")
+            if st is not None and st.connect:
+                st_node = self._root.find(st.connect.split(".")[0])
+                if st_node is not None and _attr_val(st_node, "info:id") in _TRANSFORM2D_IDS:
+                    sc = _attr_val(st_node, "inputs:scale")
+                    tr = _attr_val(st_node, "inputs:translation")
+                    if isinstance(sc, (tuple, list)):
+                        out["uv_scale"] = [float(x) for x in sc[:2]]
+                    if isinstance(tr, (tuple, list)):
+                        out["uv_offset"] = [float(x) for x in tr[:2]]
+            return out
+        if tid in _MULTIPLY_NODE_IDS:
+            # texture (or value) * constant factor: recurse on in1/in, take
+            # the constant side as the multiplier
+            inner = {}
+            factor = None
+            for in_name in ("in1", "in", "a"):
+                if f"inputs:{in_name}" in node_attrs_of(target):
+                    inner = self._resolve_network_input(target, in_name, depth + 1)
+                    if inner:
+                        break
+            for in_name in ("in2", "b", "scale"):
+                v = _attr_val(target, f"inputs:{in_name}")
+                if v is not None:
+                    factor = v
+                    break
+            if factor is not None:
+                prev = inner.get("mult")
+                fac = [float(x) for x in factor[:3]] if isinstance(factor, (tuple, list)) else float(factor)
+                if prev is None:
+                    inner["mult"] = fac
+                else:
+                    p = np.asarray(prev, np.float32)
+                    inner["mult"] = (p * np.asarray(fac, np.float32)).tolist()
+            return inner
+        # pass-through nodes (color conversions etc.): follow their main input
+        for in_name in ("in", "in1", "a"):
+            if f"inputs:{in_name}" in node_attrs_of(target):
+                return self._resolve_network_input(target, in_name, depth + 1)
+        return out
+
     def _material_from_network(self, mat_prim: Prim) -> MaterialDescription:
         """UsdPreviewSurface network -> material description
         (HdStrelkaMaterial::Sync param collection, Material.cpp:52-163)."""
@@ -557,22 +669,40 @@ class UsdLoader:
                 else:
                     desc.params[pname] = val
             return desc
-        if _attr_val(shader, "info:id") != "UsdPreviewSurface":
+        shader_id = _attr_val(shader, "info:id")
+        std_surface = shader_id in _STANDARD_SURFACE_IDS
+        if shader_id not in _PREVIEW_SURFACE_IDS and not std_surface:
             # unknown network: fall back to defaults (Material.cpp:181-187)
             return desc
 
         def shader_input(name, default=None):
-            a = shader.attrs.get(f"inputs:{name}")
-            if a is None:
-                return default, None
-            if a.connect:
-                tex_prim = self._root.find(a.connect.split(".")[0])
-                if tex_prim is not None and _attr_val(tex_prim, "info:id") == "UsdUVTexture":
-                    f = _attr_val(tex_prim, "inputs:file")
-                    if isinstance(f, tuple) and f[0] == "__asset__":
-                        return default, f[1]
-                return default, None
-            return a.value, None
+            """Resolve an input through the node network
+            (MaterialNetworkTranslator.cpp:79-300: multi-node graphs with
+            Usd*->ND_* name aliasing, scale/multiply nodes, texture nodes
+            with UsdTransform2d st transforms)."""
+            if std_surface:
+                name = _STD_SURFACE_INPUT_MAP.get(name, name)
+            r = self._resolve_network_input(shader, name)
+            if r.get("uv_scale") is not None:
+                desc.params["uv_scale"] = np.asarray(r["uv_scale"], np.float32)
+            if r.get("uv_offset") is not None:
+                desc.params["uv_offset"] = np.asarray(r["uv_offset"], np.float32)
+            val = r.get("value", default)
+            if val is None:
+                val = default
+            mult = r.get("mult")
+            if mult is not None and val is not None:
+                v = np.atleast_1d(np.asarray(val, np.float32))
+                m = np.atleast_1d(np.asarray(mult, np.float32))
+                k = min(len(v), len(m)) if len(v) > 1 and len(m) > 1 else max(len(v), len(m))
+                out = (v[:k] if len(v) > 1 else v) * (m[:k] if len(m) > 1 else m)
+                val = float(out[0]) if out.size == 1 else out.tolist()
+            return val, r.get("tex")
+
+        def _scalar(v):
+            if isinstance(v, (tuple, list, np.ndarray)):
+                return float(v[0]) if len(v) else 0.0
+            return float(v)
 
         dc, dc_tex = shader_input("diffuseColor", (0.18, 0.18, 0.18))
         desc.has_color = True
@@ -581,20 +711,20 @@ class UsdLoader:
         if dc_tex:
             desc.params["diffuse_texture"] = dc_tex
         rough, rough_tex = shader_input("roughness", 0.5)
-        desc.params["reflection_roughness_constant"] = float(rough)
+        desc.params["reflection_roughness_constant"] = _scalar(rough)
         if rough_tex:
             desc.params["reflectionroughness_texture"] = rough_tex
         metal, metal_tex = shader_input("metallic", 0.0)
-        desc.params["metallic_constant"] = float(metal)
+        desc.params["metallic_constant"] = _scalar(metal)
         if metal_tex:
             desc.params["metallic_texture"] = metal_tex
         _, nrm_tex = shader_input("normal")
         if nrm_tex:
             desc.params["normalmap_texture"] = nrm_tex
         ior, _ = shader_input("ior", 1.5)
-        desc.params["ior"] = float(ior)
+        desc.params["ior"] = _scalar(ior)
         opacity, _ = shader_input("opacity", 1.0)
-        desc.params["opacity"] = float(opacity)
+        desc.params["opacity"] = _scalar(opacity)
         emissive, _ = shader_input("emissiveColor", (0.0, 0.0, 0.0))
         desc.params["emissive_color"] = _vec(emissive).astype(np.float32)
         return desc

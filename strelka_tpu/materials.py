@@ -35,6 +35,7 @@ class BsdfType:
     DIFFUSE = 0
     OMNI_PBR = 1
     OMNI_GLASS = 2
+    HAIR = 3  # hair df path (mdlPtxCodeGen.cpp:143-158)
 
 
 class MaterialTable(NamedTuple):
@@ -204,7 +205,11 @@ class MaterialManager:
             module_name = str(module).lower()
 
         mat = CompiledMaterial(name=instance.get("name", ""))
-        if "omniglass" in module_name:
+        if isinstance(module, MdlModule) and module.has_hair:
+            mat.bsdf_type = BsdfType.HAIR
+        elif "hair" in module_name:
+            mat.bsdf_type = BsdfType.HAIR
+        elif "omniglass" in module_name:
             mat.bsdf_type = BsdfType.OMNI_GLASS
         elif "omnipbr" in module_name or "mtlx" in module_name:
             mat.bsdf_type = BsdfType.OMNI_PBR

@@ -212,6 +212,44 @@ def _pbr_eval_local(params: SurfaceParams, k1l: Vec3, k2l: Vec3):
     )
 
 
+def _hair_eval(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3):
+    """Hair fiber scattering (f*cos split + pdf).
+
+    The reference switches to the MDL hair df when present
+    (mdlPtxCodeGen.cpp:143-158, shading at
+    OptixRender_radiance_closest_hit.cu:423-454). Here: an energy-bounded
+    Kajiya-Kay/Scheuermann model in the curve frame — tangent_u is the fiber
+    tangent, normal the spine-offset normal — diffuse scales with sin(T,L)
+    and the specular strand lobe is pow(sin(T,H), exponent). Sampling is
+    cosine-hemisphere around the offset normal, so pdf = cos/pi.
+    """
+    t_f = frame.tangent_u
+    n = frame.normal
+    cos_nl = jnp.maximum(V.dot(n, k2), 0.0)
+    tdl = V.dot(t_f, k2)
+    sin_tl = jnp.sqrt(jnp.maximum(1.0 - tdl * tdl, 0.0))
+    h = V.normalize(k1 + k2)
+    tdh = V.dot(t_f, h)
+    sin_th = jnp.sqrt(jnp.maximum(1.0 - tdh * tdh, 0.0))
+    # exponent from roughness (rough hair -> wide strand highlight)
+    p = 2.0 / jnp.maximum(params.roughness * params.roughness, 1e-3)
+    # sin^p(T,H) is a RING lobe around the fiber (width ~1/sqrt(p), full
+    # circumference), not a Blinn spot: measured hemisphere integral of
+    # sin^p * cos is ~7.6/sqrt(p), so normalize by sqrt(p)/7.6 to keep the
+    # lobe's reflected energy ~= specular_level
+    spec_norm = jnp.sqrt(p) * (1.0 / 7.6)
+    spec = params.specular_level * spec_norm * jnp.power(jnp.maximum(sin_th, 0.0), p)
+    diff = params.diffuse_color * (sin_tl / M_PI)
+    pdf = cos_nl / M_PI
+    valid = cos_nl > 0.0
+    zero = V.full(cos_nl.shape, 0.0)
+    return (
+        V.where(valid, diff * cos_nl, zero),
+        V.where(valid, V.full(cos_nl.shape, 1.0) * (spec * cos_nl), zero),
+        jnp.where(valid, pdf, 0.0),
+    )
+
+
 def bsdf_evaluate(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3) -> BsdfEval:
     """mdlcode_evaluate equivalent: returns f*cos split diffuse/glossy + pdf."""
     k1l = _to_local(frame, k1)
@@ -222,14 +260,17 @@ def bsdf_evaluate(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3
     d_pdf = cos2 / M_PI
     # OMNI_PBR
     p_diff, p_spec_v, p_pdf = _pbr_eval_local(params, k1l, k2l)
+    # HAIR (fiber frame)
+    h_diff, h_spec, h_pdf = _hair_eval(params, frame, k1, k2)
     # OMNI_GLASS: pure specular -> zero
     t = params.bsdf_type
     is_d = t == BsdfType.DIFFUSE
     is_p = t == BsdfType.OMNI_PBR
+    is_h = t == BsdfType.HAIR
     zero = V.full(cos2.shape, 0.0)
-    bsdf_diffuse = V.where(is_d, d_diff, V.where(is_p, p_diff, zero))
-    bsdf_glossy = V.where(is_p, p_spec_v, zero)
-    pdf = jnp.where(is_d, d_pdf, jnp.where(is_p, p_pdf, 0.0))
+    bsdf_diffuse = V.where(is_d, d_diff, V.where(is_p, p_diff, V.where(is_h, h_diff, zero)))
+    bsdf_glossy = V.where(is_p, p_spec_v, V.where(is_h, h_spec, zero))
+    pdf = jnp.where(is_d, d_pdf, jnp.where(is_p, p_pdf, jnp.where(is_h, h_pdf, 0.0)))
     return BsdfEval(bsdf_diffuse, bsdf_glossy, pdf)
 
 
@@ -302,16 +343,32 @@ def bsdf_sample(
     diff_event = jnp.full(n_shape, BSDF_EVENT_DIFFUSE_REFLECTION, jnp.int32)
     diff_valid = (cos1 > 0.0) & (k2l_diff.z > 0.0)
 
+    # ---------------- hair: cosine-hemisphere sample around the offset
+    # normal, weighted by the Kajiya-Kay lobes (see _hair_eval)
+    k2_hair_world = _to_world(frame, k2l_diff)
+    hd, hs, hp = _hair_eval(params, frame, k1, V.normalize(k2_hair_world))
+    hair_over_pdf = (hd + hs) * (1.0 / jnp.maximum(hp, 1e-12))
+    hair_event = jnp.full(n_shape, BSDF_EVENT_GLOSSY_REFLECTION, jnp.int32)
+    hair_valid = (hp > 0.0) & (cos1 > -1.0)
+
     # ---------------- combine by material type
     t = params.bsdf_type
     is_d = t == BsdfType.DIFFUSE
     is_p = t == BsdfType.OMNI_PBR
+    is_h = t == BsdfType.HAIR
 
-    k2l = V.where(is_d, k2l_diff, V.where(is_p, k2l_pbr, k2l_glass))
-    pdf = jnp.where(is_d, pdf_diff, jnp.where(is_p, pbr_pdf, 0.0))
-    over_pdf = V.where(is_d, diff_over_pdf, V.where(is_p, pbr_over_pdf, glass_tint))
-    event = jnp.where(is_d, diff_event, jnp.where(is_p, pbr_event, glass_event))
-    valid = jnp.where(is_d, diff_valid, jnp.where(is_p, pbr_valid, glass_valid))
+    k2l = V.where(is_d | is_h, k2l_diff, V.where(is_p, k2l_pbr, k2l_glass))
+    pdf = jnp.where(is_d, pdf_diff, jnp.where(is_p, pbr_pdf, jnp.where(is_h, hp, 0.0)))
+    over_pdf = V.where(
+        is_d, diff_over_pdf,
+        V.where(is_p, pbr_over_pdf, V.where(is_h, hair_over_pdf, glass_tint)),
+    )
+    event = jnp.where(
+        is_d, diff_event, jnp.where(is_p, pbr_event, jnp.where(is_h, hair_event, glass_event))
+    )
+    valid = jnp.where(
+        is_d, diff_valid, jnp.where(is_p, pbr_valid, jnp.where(is_h, hair_valid, glass_valid))
+    )
 
     event = jnp.where(valid, event, BSDF_EVENT_ABSORB).astype(jnp.int32)
     zero = V.full(n_shape, 0.0)

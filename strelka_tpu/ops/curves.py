@@ -279,3 +279,331 @@ def curve_shading_frame_vec(curves, seg, u, hit_position):
     n = V.where(ok, n * inv, fallback)
     binormal = V.cross(n, tangent)
     return n, tangent, binormal
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU cone kernels — dense (ray tile x cone block) sweeps with Morton
+# block culling, the hair-scale path (einar/hairmat-class curve counts). Same
+# architecture as ops/pallas_intersect.py; the round-cone closed form replaces
+# Moller-Trumbore. The reference gets this from OptiX's built-in B-spline
+# intersector (OptixRender.cpp:554-560); flattened cones + dense blocks is
+# the TPU-native equivalent.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CONE_TBLK = 256  # cones per culled sub-block
+CONE_SUPER = 8  # sub-blocks per streamed superblock
+
+
+def morton_sort_cones(cones: FlatCones) -> np.ndarray:
+    """Permutation sorting cones by midpoint Morton code (host numpy)."""
+    from strelka_tpu.ops.pallas_intersect import morton_sort_tris
+
+    a = np.asarray(cones.a)
+    b = np.asarray(cones.b)
+    mid = 0.5 * (a + b)
+    # reuse the triangle Morton sorter via degenerate "corners"
+    return morton_sort_tris(np.stack([mid, mid, mid], axis=1))
+
+
+def pack_cones(cones: FlatCones, tblk: int = CONE_TBLK, super_: int = CONE_SUPER):
+    """FlatCones -> ([12, M_pad] kernel rows, [8, nb] sub-block AABBs).
+
+    Rows: a.xyz, b.xyz, ra, rb, u0, u1, seg_id, pad. Padded entries get
+    ra = rb = -1 (never hit) and inverted AABBs.
+    """
+    m = int(cones.a.shape[0])
+    step = tblk * super_
+    m_pad = ((m + step - 1) // step) * step
+    rows = np.zeros((12, m_pad), np.float32)
+    a = np.asarray(cones.a, np.float32)
+    b = np.asarray(cones.b, np.float32)
+    ra = np.asarray(cones.ra, np.float32)
+    rb = np.asarray(cones.rb, np.float32)
+    rows[0:3, :m] = a.T
+    rows[3:6, :m] = b.T
+    rows[6, :m] = ra
+    rows[7, :m] = rb
+    rows[8, :m] = np.asarray(cones.u0, np.float32)
+    rows[9, :m] = np.asarray(cones.u1, np.float32)
+    rows[10, :m] = np.asarray(cones.seg_id, np.float32)
+    rows[6, m:] = -1.0
+    rows[7, m:] = -1.0
+    # sub-block AABBs (sphere-swept segment bounds)
+    nb = m_pad // tblk
+    lo = np.full((m_pad, 3), 1e30, np.float32)
+    hi = np.full((m_pad, 3), -1e30, np.float32)
+    live = np.zeros(m_pad, bool)
+    live[:m] = ra >= 0.0
+    lo[:m] = np.minimum(a - ra[:, None], b - rb[:, None])
+    hi[:m] = np.maximum(a + ra[:, None], b + rb[:, None])
+    lo[~live] = 1e30
+    hi[~live] = -1e30
+    bounds = np.zeros((8, nb), np.float32)
+    bounds[0:3] = lo.reshape(nb, tblk, 3).min(axis=1).T
+    bounds[3:6] = hi.reshape(nb, tblk, 3).max(axis=1).T
+    return jnp.asarray(rows), jnp.asarray(bounds)
+
+
+def _cone_block(rays, cones, tmax_row=None):
+    """Round-cone test for a [CBLK] cone block x [TILE] ray tile.
+
+    rays: [8, TILE]; cones: [12, CBLK]. Returns (t, valid): [CBLK, TILE].
+    Same closed form as _ray_round_cone, restructured component-major.
+    """
+    o = (rays[0, :][None, :], rays[1, :][None, :], rays[2, :][None, :])
+    d = (rays[3, :][None, :], rays[4, :][None, :], rays[5, :][None, :])
+    tmin = rays[6, :][None, :]
+    tmax = (rays[7, :] if tmax_row is None else tmax_row)[None, :]
+    a = (cones[0, :][:, None], cones[1, :][:, None], cones[2, :][:, None])
+    b = (cones[3, :][:, None], cones[4, :][:, None], cones[5, :][:, None])
+    ra = cones[6, :][:, None]
+    rb = cones[7, :][:, None]
+
+    def dot(x, y):
+        return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+    ba = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
+    oa = (o[0] - a[0], o[1] - a[1], o[2] - a[2])
+    rr = ra - rb
+    m0 = dot(ba, ba)
+    m1 = dot(oa, ba)
+    m2 = dot(d, ba)
+    m3 = dot(d, oa)
+    m5 = dot(oa, oa)
+    d2 = m0 - rr * rr
+    k2 = d2 - m2 * m2
+    k1 = d2 * m3 - m1 * m2 + m2 * rr * ra
+    k0 = d2 * m5 - m1 * m1 + 2.0 * m1 * rr * ra - d2 * ra * ra
+    h = k1 * k1 - k0 * k2
+    safe_k2 = jnp.where(jnp.abs(k2) > 1e-12, k2, 1e-12)
+    t_body = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / safe_k2
+    y = m1 + t_body * m2
+    body_ok = (h > 0.0) & (y > 0.0) & (y < d2)
+
+    def sphere(c, r):
+        oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+        bq = dot(oc, d)
+        cq = dot(oc, oc) - r * r
+        hq = bq * bq - cq
+        tq = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
+        return tq, hq > 0.0
+
+    t_ca, ok_ca = sphere(a, ra)
+    t_cb, ok_cb = sphere(b, rb)
+    t = jnp.where(body_ok, t_body, _BIG)
+    t = jnp.minimum(t, jnp.where(ok_ca, t_ca, _BIG))
+    t = jnp.minimum(t, jnp.where(ok_cb, t_cb, _BIG))
+    valid = (t > tmin) & (t < tmax) & (ra >= 0.0)
+    return t, valid
+
+
+def _cone_closest_kernel(
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, cones_ref, t_ref, cone_ref,
+    *, tblk: int, super_: int,
+):
+    from strelka_tpu.ops.pallas_intersect import _block_of, _tile_hits_block
+
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
+
+    @pl.when(k == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        cone_ref[:, :] = jnp.full_like(cone_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=t_ref[0, :])
+
+    @pl.when(super_hit)
+    def _super():
+        tile = rays.shape[1]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _cone_block(
+                    rays, cones_ref[:, j * tblk : (j + 1) * tblk], tmax_row=t_ref[0, :]
+                )
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < t_ref[0, :]
+                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+                cone_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, cone_ref[0, :])
+
+
+def _cone_any_kernel(
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, cones_ref, occ_ref,
+    *, tblk: int, super_: int,
+):
+    from strelka_tpu.ops.pallas_intersect import _block_of, _tile_hits_block
+
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
+
+    @pl.when(k == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+    done = jnp.all(occ_ref[0, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
+
+    @pl.when(super_hit)
+    def _super():
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _cone_block(rays, cones_ref[:, j * tblk : (j + 1) * tblk])
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
+def pallas_intersect_cones(
+    cones_packed: jnp.ndarray,  # [12, M] (pack_cones)
+    bounds: jnp.ndarray,  # [8, nb]
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    tile: int = 1024,
+    tblk: int = CONE_TBLK,
+    super_: int = CONE_SUPER,
+    interpret: bool = False,
+    any_hit: bool = False,
+):
+    """Dense block-culled cone sweep -> (t [N], cone [N] i32) or occ [N]."""
+    from strelka_tpu.ops.pallas_intersect import _pack_rays
+
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    m_total = cones_packed.shape[1]
+    step = tblk * super_
+    nsb = m_total // step
+    sbounds = jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
+    )
+    n_tiles = n_pad // tile
+    # per-tile sweep order table ([n_tiles, nsb]; plain Morton order for now)
+    starts = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[None, :], (n_tiles, nsb))
+    grid = (n_tiles, nsb)
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (12, step),
+            lambda r, k, sb, b, order: (0, order[r, k]),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if any_hit:
+        kernel = functools.partial(_cone_any_kernel, tblk=tblk, super_=super_)
+        occ = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(sbounds, bounds, starts, rays, cones_packed)
+        return occ[0, :n]
+    kernel = functools.partial(_cone_closest_kernel, tblk=tblk, super_=super_)
+    t_out, cone_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(sbounds, bounds, starts, rays, cones_packed)
+    t = t_out[0, :n]
+    cone = cone_out[0, :n]
+    return jnp.where(cone >= 0, t, _BIG), cone
+
+
+def cone_hit_to_seg_u(cones: FlatCones, origins, directions, t, cone_idx) -> CurveHit:
+    """Map a winning cone index + t to (seg, spline u) — one row gather + the
+    axial solve in XLA (mirrors recompute_barycentrics for triangles)."""
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.vec import Vec3
+
+    if not isinstance(origins, Vec3):
+        origins = V.from_rows(origins)
+    if not isinstance(directions, Vec3):
+        directions = V.from_rows(directions)
+    c = jnp.maximum(cone_idx, 0)
+    a = V.gather_rows(cones.a, c)
+    b = V.gather_rows(cones.b, c)
+    ra = cones.ra[c]
+    rb = cones.rb[c]
+    u0 = cones.u0[c]
+    u1 = cones.u1[c]
+    seg = cones.seg_id[c]
+    ba = b - a
+    p = origins + directions * t
+    pa = p - a
+    rr = ra - rb
+    m0 = V.dot(ba, ba)
+    d2 = m0 - rr * rr
+    y = V.dot(pa, ba)
+    y_norm = jnp.clip(y / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    u = u0 + (u1 - u0) * y_norm
+    miss = cone_idx < 0
+    return CurveHit(
+        t=jnp.where(miss, _BIG, t),
+        seg=jnp.where(miss, -1, seg).astype(jnp.int32),
+        u=jnp.where(miss, 0.0, u),
+    )
+
+
+def intersect_curves_closest_scene(scene, origins, directions, tmin, tmax, active=None) -> CurveHit:
+    """Dispatch: Pallas cone kernel on TPU, jnp scan sweep otherwise."""
+    if getattr(scene, "cones_packed", None) is not None:
+        if active is not None:
+            tmax = jnp.where(active, tmax, 0.0)
+        t, cone = pallas_intersect_cones(
+            scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax
+        )
+        return cone_hit_to_seg_u(scene.cones, origins, directions, t, cone)
+    return intersect_curves_closest(scene.cones, origins, directions, tmin, tmax, active)
+
+
+def intersect_curves_any_scene(scene, origins, directions, tmin, tmax, active=None) -> jnp.ndarray:
+    if getattr(scene, "cones_packed", None) is not None:
+        if active is not None:
+            tmax = jnp.where(active, tmax, 0.0)
+        return pallas_intersect_cones(
+            scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax, any_hit=True
+        )
+    return intersect_curves_any(scene.cones, origins, directions, tmin, tmax, active)

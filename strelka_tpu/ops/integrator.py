@@ -231,6 +231,35 @@ def _apply_textures(scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFr
     return mat, frame
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _pixel_zorder(width: int, height: int):
+    """Static Z-order (Morton) pixel enumeration + its inverse (numpy).
+
+    zorder[k] = linear pixel index of the k-th ray; inv[p] = rank of pixel p.
+    Works for arbitrary (non-pow2) sizes via argsort of interleaved coords.
+    """
+    import numpy as _np
+
+    yy, xx = _np.mgrid[0:height, 0:width].astype(_np.uint64)
+
+    def part1by1(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & _np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & _np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & _np.uint64(0x33333333)
+        v = (v | (v << 1)) & _np.uint64(0x55555555)
+        return v
+
+    code = (part1by1(xx) | (part1by1(yy) << _np.uint64(1))).ravel()
+    zorder = _np.argsort(code, kind="stable").astype(_np.int64)
+    inv = _np.empty_like(zorder)
+    inv[zorder] = _np.arange(zorder.size, dtype=_np.int64)
+    return zorder, inv
+
+
 def _spread3(v):
     """Spread the low 10 bits of a u32 to every third bit (Morton)."""
     v = (v | (v << 16)) & jnp.uint32(0x030000FF)
@@ -262,6 +291,17 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         | ((direction.z > 0).astype(jnp.uint32) << 2)
     )
     return ((mx | (my << 1) | (mz << 2)) << 3) | octant
+
+
+def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits):
+    """Reorder the whole wavefront by spatial key; DEAD lanes get the max key
+    so they cluster into tail tiles that the intersector culls in one slab
+    test each — stream compaction without any queue machinery."""
+    n = alive.shape[0]
+    key = _ray_sort_key(scene, origin, direction)
+    key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
+    return _permute_packed(perm, state_f32, state_bits)
 
 
 def _permute_packed(perm, f32_cols, bit_cols):
@@ -330,16 +370,14 @@ def trace_paths(
     tmin_mat = jnp.full(n, material_ray_tmin, jnp.float32)
     tmax_big = jnp.full(n, 1e16, jnp.float32)
 
-    inv_perm = None
+    # ray_id[i] = the original wavefront slot of lane i (identity unless sorted)
+    ray_id = None
     for depth in range(max_depth):
-        if sort_rays and depth == 1:
-            key = _ray_sort_key(scene, origin, direction)
-            perm = jnp.argsort(key)
-            inv_perm = jnp.zeros(n, jnp.int32).at[perm].set(
-                jnp.arange(n, dtype=jnp.int32)
-            )
-            f32s, bits = _permute_packed(
-                perm,
+        if sort_rays and depth >= 1:
+            if ray_id is None:
+                ray_id = jnp.arange(n, dtype=jnp.int32)
+            f32s, bits = _sort_wavefront(
+                scene, origin, direction, alive,
                 [
                     origin.x, origin.y, origin.z,
                     direction.x, direction.y, direction.z,
@@ -347,14 +385,15 @@ def trace_paths(
                     throughput.x, throughput.y, throughput.z,
                     last_bsdf_pdf,
                 ],
-                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive],
+                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id],
             )
             origin = Vec3(*f32s[0:3])
             direction = Vec3(*f32s[3:6])
             radiance = Vec3(*f32s[6:9])
             throughput = Vec3(*f32s[9:12])
             last_bsdf_pdf = f32s[12]
-            sample_idx, first_event, prev_prim, inside, specular_bounce, alive = bits
+            (sample_idx, first_event, prev_prim, inside, specular_bounce,
+             alive, ray_id) = bits
 
         # One batched draw of the 5 folded Sobol dimensions per bounce.
         # (dimension = Dim % 5, RandomSampler.h:224 — e.g. eBSDF2 and
@@ -370,10 +409,10 @@ def trace_paths(
         is_curve = jnp.zeros(n, bool)
         chit = None
         if scene.cones is not None:
-            from strelka_tpu.ops.curves import intersect_curves_closest
+            from strelka_tpu.ops.curves import intersect_curves_closest_scene
 
-            chit = intersect_curves_closest(
-                scene.cones, origin, direction, tmin_mat, tmax_big, active=alive
+            chit = intersect_curves_closest_scene(
+                scene, origin, direction, tmin_mat, tmax_big, active=alive
             )
             is_curve = alive & (chit.seg >= 0) & (chit.t < hit.t)
         missed = alive & (hit.prim < 0) & ~is_curve
@@ -518,10 +557,10 @@ def trace_paths(
                 exclude=shadow_excl,
             )
             if scene.cones is not None:
-                from strelka_tpu.ops.curves import intersect_curves_any
+                from strelka_tpu.ops.curves import intersect_curves_any_scene
 
-                occluded = occluded | intersect_curves_any(
-                    scene.cones,
+                occluded = occluded | intersect_curves_any_scene(
+                    scene,
                     shadow_org,
                     to_light,
                     jnp.full(n, shadow_ray_tmin, jnp.float32),
@@ -578,9 +617,12 @@ def trace_paths(
             alive = alive & ~kill_rr
         alive = alive & (V.dot(throughput, throughput) >= 1e-5)
 
-    if inv_perm is not None:
+    if ray_id is not None:
+        # restore original wavefront order: one i32 scatter builds the
+        # inverse permutation, then one packed row-gather
+        inv = jnp.zeros(n, jnp.int32).at[ray_id].set(jnp.arange(n, dtype=jnp.int32))
         f32s, bits = _permute_packed(
-            inv_perm, [radiance.x, radiance.y, radiance.z], [first_event]
+            inv, [radiance.x, radiance.y, radiance.z], [first_event]
         )
         radiance = Vec3(*f32s)
         first_event = bits[0]
@@ -614,9 +656,19 @@ def render_launch(
     spl = 1 if debug == 1 else samples_per_launch
 
     # All samples of the launch ride ONE wavefront of spl*W*H rays.
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    px = jnp.tile(idx % jnp.uint32(width), spl)
-    py = jnp.tile(idx // jnp.uint32(width), spl)
+    # On the Pallas path, pixels are enumerated in Z-ORDER so each ray tile
+    # is a compact square screen block (a row-major tile is a thin strip
+    # whose frustum crosses the whole scene and defeats block culling);
+    # results are unsorted once at the end with a packed row-gather.
+    zorder = None
+    if getattr(scene, "use_pallas", False):
+        zorder, z_inv = _pixel_zorder(width, height)
+        px = jnp.tile(jnp.asarray(zorder % width, jnp.uint32), spl)
+        py = jnp.tile(jnp.asarray(zorder // width, jnp.uint32), spl)
+    else:
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        px = jnp.tile(idx % jnp.uint32(width), spl)
+        py = jnp.tile(idx // jnp.uint32(width), spl)
     s_of_ray = jnp.repeat(jnp.arange(spl, dtype=jnp.uint32), n)
     sample_index = params.subframe_index.astype(jnp.uint32) + s_of_ray
     sample_idx = S.make_sample_index(px, py, sample_index, max_sample_count)
@@ -649,6 +701,22 @@ def render_launch(
     ssum = Vec3(*[jnp.where(is_s, c, 0.0).sum(0) for c in rad])
     dcount = is_d.astype(jnp.int32).sum(0)
     scount = is_s.astype(jnp.int32).sum(0)
+
+    if zorder is not None:
+        # restore row-major pixel order (one packed [n, 11] row-gather)
+        f32s, bits = _permute_packed(
+            jnp.asarray(z_inv, jnp.int32),
+            [
+                result.x, result.y, result.z,
+                dsum.x, dsum.y, dsum.z,
+                ssum.x, ssum.y, ssum.z,
+            ],
+            [dcount, scount],
+        )
+        result = Vec3(*f32s[0:3])
+        dsum = Vec3(*f32s[3:6])
+        ssum = Vec3(*f32s[6:9])
+        dcount, scount = bits
 
     # planar [3, H, W] images
     img = lambda v: jnp.stack([v.x, v.y, v.z]).reshape(3, height, width)

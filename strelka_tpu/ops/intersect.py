@@ -101,15 +101,15 @@ def _as_vec3(x) -> Vec3:
 
 
 def _tile_starts(scene, origins):
-    """Per-ray-tile near-to-far sweep offsets (None when unavailable)."""
+    """Per-ray-tile near-to-far sweep order (None when unavailable)."""
     cents = getattr(scene, "block_cents", None)
     if cents is None:
         return None
-    from strelka_tpu.ops.pallas_intersect import DEFAULT_TILE, tile_start_offsets
+    from strelka_tpu.ops.pallas_intersect import DEFAULT_TILE, tile_sweep_order
 
     if cents.shape[0] < 8:  # tiny scenes: ordering buys nothing
         return None
-    return tile_start_offsets(origins, cents, DEFAULT_TILE)
+    return tile_sweep_order(origins, cents, DEFAULT_TILE)
 
 
 def intersect_closest(

@@ -5,24 +5,29 @@ traversal on the TPU's terms. Measurement on v5e showed XLA gathers inside
 lax loops run ~50x below peak, so per-ray pointer-chasing traversal is the
 WRONG shape for this hardware. The right shape is dense: tile the ray
 wavefront into VMEM-resident blocks ([8, TILE] component-major layout) and
-stream triangle blocks through the Pallas grid pipeline; each
-(ray-tile, tri-block) cell is pure elementwise VPU math (or 4 small MXU
-matmuls, see below) over [TBLK, TILE] tiles with a sublane reduction — no
-gathers, no divergence, full lanes.
+stream triangle SUPERBLOCKS through the Pallas grid pipeline; each
+(ray-tile, superblock) grid step culls and intersects its SUB-blocks with
+pure elementwise VPU math (or small MXU matmuls) over [TBLK, TILE] tiles —
+no gathers, no divergence, full lanes.
 
-Sub-quadratic behaviour on large scenes comes from three mechanisms:
-  1. Block culling: triangles are Morton-sorted so fixed-size blocks are
-     spatially tight; a whole (ray-tile, tri-block) cell is skipped when no
-     ray can hit the block's AABB (scalar-prefetched bounds).
-  2. Near-to-far block ordering: each ray tile starts its block sweep at the
-     block nearest its rays' centroid (scalar-prefetched per-tile start
-     offset) and walks the Morton order outward, so closest-hit tmax
-     pruning rejects far blocks after the first nearby hits land.
+Why superblocks: grid-step overhead on v5e measured ~1.2us/step; at 256-tri
+steps a 400k-tri scene costs 1600 steps/tile in bookkeeping alone. Each grid
+step now streams SUPER x TBLK triangles (one DMA) and runs SUPER scalar-
+predicated sub-block passes inside the body, so fine-grained culling is
+retained at 1/SUPER the step count.
+
+Sub-quadratic behaviour on large scenes comes from four mechanisms:
+  1. Morton-sorted triangles => spatially tight fixed-size blocks; per-SUB-
+     block AABBs (scalar-prefetched) skip each [TBLK, TILE] pass, and a
+     per-SUPERBLOCK AABB skips the whole step.
+  2. Near-to-far superblock ordering per ray tile (scalar-prefetched start
+     offset into the Morton order) so closest-hit tmax pruning rejects far
+     blocks once nearby hits land.
   3. Exclude-prim: each ray carries the primitive id it originated from and
      the kernel rejects it exactly — the self-intersection guard that lets
-     the fast bf16x3 MXU path run without shadow acne (the reference's
-     offset_ray epsilon alone is defeated by bf16 t error; carrying the id
-     is exact and free).
+     the fast bf16x3 MXU path run artifact-free (offset_ray epsilons alone
+     are defeated by bf16 t error; rejecting by id is exact and free).
+  4. Any-hit early-out once every ray in the tile is occluded.
 
 Layouts:
   rays:  [8, N]  rows = (ox, oy, oz, dx, dy, dz, tmin, tmax)
@@ -43,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e16  # python float: jnp scalars become captured consts in pallas kernels
 
-DEFAULT_TILE = 2048  # rays per grid cell (lanes; tuned on v5e)
-DEFAULT_TBLK = 256  # triangles per streamed block (sublanes)
+DEFAULT_TILE = 1024  # rays per grid cell (lanes; v5e scoped-VMEM bound with SUPER=8)
+DEFAULT_TBLK = 256  # triangles per culled sub-block (sublanes)
+DEFAULT_SUPER = 8  # sub-blocks per streamed superblock (one grid step)
 
 
 def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
@@ -97,25 +103,28 @@ def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
 
 
 def _prim_ids(blk, tblk: int, tile: int):
-    """[TBLK, TILE] global primitive ids of block blk's rows."""
+    """[TBLK, TILE] global primitive ids of sub-block blk's rows."""
     row = jax.lax.broadcasted_iota(jnp.int32, (tblk, tile), 0)
     return blk * tblk + row
 
 
-def _block_of(starts_ref, r, k, nb: int):
-    """Per-tile block schedule: walk the Morton order from the tile's start
-    offset outward (Morton locality => approximately near-to-far)."""
-    s = starts_ref[r] + k
-    return jnp.where(s >= nb, s - nb, s)
+def _block_of(order_ref, r, k, nsb: int):
+    """Per-tile superblock schedule: order_ref is a scalar-prefetched
+    [n_tiles, nsb] i32 table, row r = tile r's superblocks sorted near-to-far
+    from the tile's ray centroid, so closest-hit tmax pruning rejects the far
+    tail after nearby hits land (the TPU stand-in for the RT-core's ordered
+    BVH descent)."""
+    return order_ref[r, k]
 
 
 def _closest_kernel(
-    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, super_: int,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
-    nb = pl.num_programs(1)
-    blk = _block_of(starts_ref, r, k, nb)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
 
     @pl.when(k == 0)
     def _init():
@@ -123,29 +132,39 @@ def _closest_kernel(
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
     rays = rays_ref[:, :]
-    any_box = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=t_ref[0, :])
 
-    @pl.when(any_box)
-    def _work():
-        # current best as tmax so farther hits are rejected cheaply
-        t, valid = _mt_block(rays, tris_ref[:, :], ray_mask, tmax_row=t_ref[0, :])
+    @pl.when(super_hit)
+    def _super():
         tile = rays.shape[1]
-        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
-        t_masked = jnp.where(valid, t, _BIG)
-        blk_best = jnp.min(t_masked, axis=0)  # [TILE]
-        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-        better = blk_best < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _mt_block(
+                    rays, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=t_ref[0, :],
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)  # [TILE]
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < t_ref[0, :]
+                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+                prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
 
 
 def _any_kernel(
-    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, occ_ref,
+    *, ray_mask: int, tblk: int, super_: int,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
-    nb = pl.num_programs(1)
-    blk = _block_of(starts_ref, r, k, nb)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
 
     @pl.when(k == 0)
     def _init():
@@ -154,14 +173,21 @@ def _any_kernel(
     rays = rays_ref[:, :]
     # skip once every ray in the tile is occluded (common for interior tiles)
     done = jnp.all(occ_ref[0, :])
-    any_box = _tile_hits_block(rays, bounds_ref, blk) & ~done
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
 
-    @pl.when(any_box)
-    def _work():
-        _, valid = _mt_block(rays, tris_ref[:, :], ray_mask)
+    @pl.when(super_hit)
+    def _super():
         tile = rays.shape[1]
-        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
-        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _mt_block(rays, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask)
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -192,14 +218,19 @@ def morton_sort_tris(p):
     return np.argsort(code, kind="stable")
 
 
-def block_bounds(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
-    """Per-block AABBs for the culled kernels -> [8, n_blocks] f32.
+def _pad_count(t: int, tblk: int, super_: int) -> int:
+    step = tblk * super_
+    return ((t + step - 1) // step) * step
+
+
+def block_bounds(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER):
+    """Per-SUB-block AABBs -> [8, n_blocks] f32 (n_blocks = padded_T/tblk).
 
     Rows: (min xyz, max xyz, pad, pad). Padded/masked-out triangles get an
     inverted AABB so empty blocks never pass the slab test.
     """
     t = v0.shape[0]
-    t_pad = ((t + tblk - 1) // tblk) * tblk
+    t_pad = _pad_count(t, tblk, super_)
     nb = t_pad // tblk
     v0 = np.asarray(v0, np.float32)
     p0 = v0
@@ -223,21 +254,59 @@ def block_bounds(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
     return _jnp.asarray(out)
 
 
-def block_centroids(bounds) -> jnp.ndarray:
-    """[n_blocks, 3] block AABB centers (for per-tile start-offset pick).
-    Empty blocks (inverted AABB) get a far-away centroid."""
+def super_bounds(bounds, super_: int = DEFAULT_SUPER):
+    """Union sub-block AABBs into per-superblock AABBs -> [8, nsb]."""
     b = np.asarray(bounds)
-    c = 0.5 * (b[0:3] + b[3:6])  # [3, nb]
+    nb = b.shape[1]
+    nsb = nb // super_
+    lo = b[0:3, : nsb * super_].reshape(3, nsb, super_).min(axis=2)
+    hi = b[3:6, : nsb * super_].reshape(3, nsb, super_).max(axis=2)
+    out = np.zeros((8, nsb), np.float32)
+    out[0:3] = lo
+    out[3:6] = hi
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(out)
+
+
+def block_centroids(sbounds) -> jnp.ndarray:
+    """[nsb, 3] SUPERBLOCK AABB centers (for per-tile start-offset pick).
+    Empty superblocks (inverted AABB) get a far-away centroid."""
+    b = np.asarray(sbounds)
+    c = 0.5 * (b[0:3] + b[3:6])  # [3, nsb]
     empty = b[0] > b[3]
     c = np.where(empty[None, :], 1e30, c)
     return jnp.asarray(c.T.astype(np.float32))
 
 
-def tile_start_offsets(origins, centroids, tile: int) -> jnp.ndarray:
-    """Per-ray-tile start block: the Morton-order block nearest the tile's
-    mean ray origin. origins: Vec3 of [N] (component-major). -> [n_tiles] i32.
+def tile_sweep_order(origins, centroids, tile: int) -> jnp.ndarray:
+    """Per-ray-tile full near-to-far superblock order -> [n_tiles, nsb] i32.
 
-    Cheap XLA-side prep per sweep: [n_tiles, nb] distance matrix argmin.
+    argsort of the [n_tiles, nsb] tile-centroid -> superblock-centroid
+    distance matrix (small: tiles x superblocks)."""
+    n = origins.x.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def mean_tiles(c):
+        if pad:
+            c = jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+        return c.reshape(-1, tile).mean(axis=1)
+
+    cx, cy, cz = mean_tiles(origins.x), mean_tiles(origins.y), mean_tiles(origins.z)
+    d2 = (
+        (cx[:, None] - centroids[None, :, 0]) ** 2
+        + (cy[:, None] - centroids[None, :, 1]) ** 2
+        + (cz[:, None] - centroids[None, :, 2]) ** 2
+    )
+    return jnp.argsort(d2, axis=1).astype(jnp.int32)
+
+
+def tile_start_offsets(origins, centroids, tile: int) -> jnp.ndarray:
+    """Per-ray-tile start superblock: the Morton-order superblock nearest the
+    tile's mean ray origin. origins: Vec3 of [N]. -> [n_tiles] i32.
+
+    Cheap XLA-side prep per sweep: [n_tiles, nsb] distance matrix argmin.
     """
     n = origins.x.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
@@ -261,7 +330,7 @@ def _tile_hits_block(rays, bounds_ref, tb, tmax_row=None):
     """Scalar: does ANY ray in the [8, TILE] tile hit block tb's AABB?
 
     bounds_ref: scalar-prefetch SMEM ref [8, n_blocks]; scalar reads at
-    column tb (the tri-block grid index).
+    column tb (the block index).
     """
     tmin = rays[6, :]
     tmax = rays[7, :] if tmax_row is None else tmax_row
@@ -296,14 +365,14 @@ def _tile_hits_block(rays, bounds_ref, tb, tmax_row=None):
 _FDIM = 16  # feature rows (10 used, padded for sublane tiling)
 
 
-def pack_tris_mxu(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
+def pack_tris_mxu(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER):
     """Triangle features for the MXU kernel.
 
     Returns (feats [4, T, 16] f32, mask [1, T] f32). Output order:
     0=det, 1=t*det, 2=u*det, 3=v*det.
     """
     t = v0.shape[0]
-    t_pad = ((t + tblk - 1) // tblk) * tblk
+    t_pad = _pad_count(t, tblk, super_)
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -342,19 +411,16 @@ def _ray_features(rays):
     return jnp.concatenate([d, oxd, o, ones, zeros], axis=0)
 
 
-def _mt_block_mxu(rays, feats, mask_row, ray_mask: int, tmax_row=None, precision=None):
+def _mt_block_mxu(rt, rays, feats, mask_row, ray_mask: int, tmax_row=None, precision=None):
     """(t, valid) [TBLK, TILE] via 4 MXU matmuls + VPU epilogue.
 
-    precision None -> MXU default (bf16x3 passes): ~2x faster than the VPU
-    kernel. Its reduced t precision is made artifact-free by the
-    exclude-prim guard (self-hits rejected by id, not epsilon); residual
-    grazing-edge winner flips are subpixel noise far below Monte-Carlo
-    variance. Pass jax.lax.Precision.HIGHEST (bf16x6 == f32-exact) for
-    bit-parity runs.
+    rt: precomputed [16, TILE] ray features. precision None -> MXU default
+    (bf16x3 passes): ~2x faster than the VPU kernel; made artifact-free by
+    the exclude-prim guard (self-hits rejected by id, not epsilon). Pass
+    jax.lax.Precision.HIGHEST (bf16x6 == f32-exact) for bit-parity runs.
     """
     tmin = rays[6, :][None, :]
     tmax = (rays[7, :] if tmax_row is None else tmax_row)[None, :]
-    rt = _ray_features(rays)  # [16, TILE]
     dot = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32, precision=precision
     )
@@ -383,47 +449,55 @@ def _mt_block_mxu(rays, feats, mask_row, ray_mask: int, tmax_row=None, precision
 
 
 def _closest_kernel_mxu(
-    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
-    *, ray_mask: int, tblk: int, precision=None,
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref,
+    t_ref, prim_ref, *, ray_mask: int, tblk: int, super_: int, precision=None,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
-    nb = pl.num_programs(1)
-    blk = _block_of(starts_ref, r, k, nb)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
 
     @pl.when(k == 0)
     def _init():
         t_ref[:, :] = rays_ref[7, :][None, :]
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
 
-    # block culling: skip the whole cell when no ray can hit the block AABB
     rays = rays_ref[:, :]
-    any_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=t_ref[0, :])
 
-    @pl.when(any_hit)
-    def _work():
-        t, valid = _mt_block_mxu(
-            rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask,
-            tmax_row=t_ref[0, :], precision=precision,
-        )
+    @pl.when(super_hit)
+    def _super():
         tile = rays.shape[1]
-        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
-        t_masked = jnp.where(valid, t, _BIG)
-        blk_best = jnp.min(t_masked, axis=0)
-        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-        better = blk_best < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _mt_block_mxu(
+                    rt, rays, feats_ref[:, j * tblk : (j + 1) * tblk, :],
+                    mask_ref[0, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=t_ref[0, :], precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < t_ref[0, :]
+                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+                prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
 
 
 def _any_kernel_mxu(
-    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
-    *, ray_mask: int, tblk: int, precision=None,
+    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref,
+    occ_ref, *, ray_mask: int, tblk: int, super_: int, precision=None,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
-    nb = pl.num_programs(1)
-    blk = _block_of(starts_ref, r, k, nb)
+    nsb = pl.num_programs(1)
+    sb = _block_of(starts_ref, r, k, nsb)
 
     @pl.when(k == 0)
     def _init():
@@ -431,32 +505,53 @@ def _any_kernel_mxu(
 
     rays = rays_ref[:, :]
     done = jnp.all(occ_ref[0, :])
-    any_hit = _tile_hits_block(rays, bounds_ref, blk) & ~done
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
 
-    @pl.when(any_hit)
-    def _work():
-        _, valid = _mt_block_mxu(
-            rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
-        )
+    @pl.when(super_hit)
+    def _super():
         tile = rays.shape[1]
-        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
-        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _mt_block_mxu(
+                    rt, rays, feats_ref[:, j * tblk : (j + 1) * tblk, :],
+                    mask_ref[0, j * tblk : (j + 1) * tblk], ray_mask,
+                    precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
-def _prep_common(origins, directions, tmin, tmax, exclude, starts, tile, nb):
-    """Shared ray/exclude/starts packing for all four kernel wrappers."""
+def _prep_common(origins, directions, tmin, tmax, exclude, starts, tile, nsb):
+    """Shared ray/exclude/order packing for all four kernel wrappers.
+
+    starts: None | [n_tiles] i32 (legacy start offsets -> rotated iota rows)
+    | [n_tiles, nsb] i32 full per-tile sweep order."""
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
+    iota = jnp.arange(nsb, dtype=jnp.int32)
     if starts is None:
-        starts = jnp.zeros(n_tiles, jnp.int32)
+        order = jnp.broadcast_to(iota[None, :], (n_tiles, nsb))
+    elif starts.ndim == 2:
+        order = jnp.clip(starts.astype(jnp.int32), 0, nsb - 1)
     else:
-        starts = jnp.clip(starts.astype(jnp.int32), 0, nb - 1)
-    return rays, excl, starts, n, n_pad, n_tiles
+        s0 = jnp.clip(starts.astype(jnp.int32), 0, nsb - 1)
+        rot = s0[:, None] + iota[None, :]
+        order = jnp.where(rot >= nsb, rot - nsb, rot)
+    return rays, excl, order, n, n_pad, n_tiles
 
 
-@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+)
 def pallas_intersect_closest_mxu(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
     mask: jnp.ndarray,  # [1, T]
@@ -467,33 +562,44 @@ def pallas_intersect_closest_mxu(
     tmax: jnp.ndarray,
     ray_mask: int,
     exclude: jnp.ndarray | None = None,  # [N] i32 origin prim (-1 none)
-    starts: jnp.ndarray | None = None,  # [n_tiles] i32 block sweep offsets
+    starts: jnp.ndarray | None = None,  # [n_tiles] i32 superblock offsets
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
 ):
     t_total = feats.shape[1]
-    nb = t_total // tblk
-    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
-        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    step = tblk * super_
+    nsb = t_total // step
+    sbounds = jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
     )
-    grid = (n_tiles, nb)
-    kernel = functools.partial(_closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nsb
+    )
+    grid = (n_tiles, nsb)
+    kernel = functools.partial(
+        _closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (4, tblk, _FDIM),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb), 0),
+                (4, step, _FDIM),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tblk),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                (1, step),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -518,13 +624,16 @@ def pallas_intersect_closest_mxu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bounds, starts, rays, excl, feats, mask)
+    )(sbounds, bounds, starts, rays, excl, feats, mask)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     return jnp.where(prim >= 0, t, _BIG), prim
 
 
-@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+)
 def pallas_intersect_any_mxu(
     feats: jnp.ndarray,
     mask: jnp.ndarray,
@@ -538,30 +647,41 @@ def pallas_intersect_any_mxu(
     starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
 ):
     t_total = feats.shape[1]
-    nb = t_total // tblk
-    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
-        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    step = tblk * super_
+    nsb = t_total // step
+    sbounds = jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
     )
-    grid = (n_tiles, nb)
-    kernel = functools.partial(_any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nsb
+    )
+    grid = (n_tiles, nsb)
+    kernel = functools.partial(
+        _any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (4, tblk, _FDIM),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb), 0),
+                (4, step, _FDIM),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tblk),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                (1, step),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -575,7 +695,7 @@ def pallas_intersect_any_mxu(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bounds, starts, rays, excl, feats, mask)
+    )(sbounds, bounds, starts, rays, excl, feats, mask)
     return occ[0, :n]
 
 
@@ -607,10 +727,10 @@ def _pack_exclude(exclude, n: int, n_pad: int) -> jnp.ndarray:
     return exclude[None, :]
 
 
-def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
+def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER):
     """Host-side packing of triangle SoA to the [12, T] kernel layout."""
     t = v0.shape[0]
-    t_pad = ((t + tblk - 1) // tblk) * tblk
+    t_pad = _pad_count(t, tblk, super_)
     tris = jnp.zeros((12, t_pad), jnp.float32)
     tris = tris.at[0:3, :t].set(jnp.asarray(v0).T)
     tris = tris.at[3:6, :t].set(jnp.asarray(e1).T)
@@ -620,7 +740,7 @@ def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
 )
 def pallas_intersect_closest(
     tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
@@ -634,25 +754,34 @@ def pallas_intersect_closest(
     starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
     interpret: bool = False,
 ):
     """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N])."""
     t_total = tris_packed.shape[1]
-    nb = t_total // tblk
-    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
-        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    step = tblk * super_
+    nsb = t_total // step
+    sbounds = jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
     )
-    grid = (n_tiles, nb)
-    kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk)
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nsb
+    )
+    grid = (n_tiles, nsb)
+    kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (12, tblk),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                (12, step),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -675,7 +804,7 @@ def pallas_intersect_closest(
             flops=60 * n_pad * t_total, bytes_accessed=4 * (8 * n_pad + 12 * t_total), transcendentals=0
         ),
         interpret=interpret,
-    )(bounds, starts, rays, excl, tris_packed)
+    )(sbounds, bounds, starts, rays, excl, tris_packed)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     t = jnp.where(prim >= 0, t, _BIG)
@@ -683,7 +812,7 @@ def pallas_intersect_closest(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
 )
 def pallas_intersect_any(
     tris_packed: jnp.ndarray,
@@ -697,25 +826,34 @@ def pallas_intersect_any(
     starts: jnp.ndarray | None = None,
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
     interpret: bool = False,
 ):
     """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool."""
     t_total = tris_packed.shape[1]
-    nb = t_total // tblk
-    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
-        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    step = tblk * super_
+    nsb = t_total // step
+    sbounds = jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
     )
-    grid = (n_tiles, nb)
-    kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk)
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common(
+        origins, directions, tmin, tmax, exclude, starts, tile, nsb
+    )
+    grid = (n_tiles, nsb)
+    kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (12, tblk),
-                lambda r, k, bounds, starts: (0, _block_of(starts, r, k, nb)),
+                (12, step),
+                lambda r, k, sb, b, starts: (0, _block_of(starts, r, k, nsb)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -729,7 +867,7 @@ def pallas_intersect_any(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bounds, starts, rays, excl, tris_packed)
+    )(sbounds, bounds, starts, rays, excl, tris_packed)
     return occ[0, :n]
 
 

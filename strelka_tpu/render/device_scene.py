@@ -88,6 +88,8 @@ class DeviceScene:
     bvh: Optional[object] = None  # BvhNodes (triangles reordered leaf-contiguous)
     textures: Optional[object] = None  # TextureAtlas
     cones: Optional[object] = None  # FlatCones (curves flattened to round cones)
+    cones_packed: Optional[jnp.ndarray] = None  # [12, M] pallas cone kernel rows
+    cone_bounds: Optional[jnp.ndarray] = None  # [8, nb] cone sub-block AABBs
     tris_packed: Optional[jnp.ndarray] = None  # [12, T] pallas VPU kernel layout
     tris_feats: Optional[jnp.ndarray] = None  # [4, T, 16] pallas MXU features
     tris_mask: Optional[jnp.ndarray] = None  # [1, T] geom mask for MXU kernel
@@ -244,7 +246,7 @@ def build_device_scene(
     material_manager: Optional[MaterialManager] = None,
     pad_multiple: int = 128,
     use_bvh: Optional[bool] = None,
-    intersector: str = "mxu",
+    intersector: str = "auto",
 ) -> DeviceScene:
     """Full host->device build: flatten, compile materials, build BVH
     (the optixAccelBuild analog), reorder leaf-contiguous, pad, upload.
@@ -349,6 +351,7 @@ def build_device_scene(
             morton_sort_tris,
             pack_tris,
             pack_tris_mxu,
+            super_bounds,
         )
 
         if num_tri > 2 * DEFAULT_TBLK:
@@ -367,7 +370,8 @@ def build_device_scene(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
         )
         tri_bounds = block_bounds(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
-        blk_cents = block_centroids(tri_bounds)
+        # per-tile sweep start offsets index SUPERBLOCKS (the grid step unit)
+        blk_cents = block_centroids(super_bounds(tri_bounds))
 
     # fat gather tables
     num_pad = p.shape[0]
@@ -411,6 +415,15 @@ def build_device_scene(
     else:
         world_lo, world_hi = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
 
+    cones_flat = _build_cones(curves)
+    cones_packed = cone_bounds = None
+    if cones_flat is not None and use_pallas:
+        from strelka_tpu.ops.curves import FlatCones, morton_sort_cones, pack_cones
+
+        perm_c = morton_sort_cones(cones_flat)
+        cones_flat = FlatCones(*[jnp.asarray(np.asarray(f)[perm_c]) for f in cones_flat])
+        cones_packed, cone_bounds = pack_cones(cones_flat)
+
     dl = build_device_lights(scene)
     light_table = jnp.concatenate(
         [
@@ -423,6 +436,11 @@ def build_device_scene(
         axis=1,
     )
 
+    if intersector == "auto":
+        # MXU matmul MT wins on small scenes (dense, culling moot); the VPU
+        # form wins on big culled scenes (smaller per-pass fixed cost +
+        # 5x less triangle DMA). Crossover measured on v5e (round 2).
+        intersector = "mxu" if num_tri <= 65536 else "vpu"
     log.info(
         "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,
@@ -452,7 +470,9 @@ def build_device_scene(
         curves=curves,
         bvh=bvh_nodes,
         textures=atlas,
-        cones=_build_cones(curves),
+        cones=cones_flat,
+        cones_packed=cones_packed,
+        cone_bounds=cone_bounds,
         tris_packed=tris_packed,
         tris_feats=tris_feats,
         tris_mask=tris_mask,

@@ -233,3 +233,59 @@ def furnace_scene(albedo: float = 1.0, radius: float = 1.0) -> Scene:
     cam.set_position([0.0, 0.0, 4.0])
     scene.add_camera(cam)
     return scene
+
+
+def hair_patch(n_curves: int = 256, ctrl_per_curve: int = 8, seed: int = 3) -> Scene:
+    """Curve/hair stress scene: a patch of wavy cubic B-spline hairs over a
+    diffuse ground plane under a distant light (hairmat/einar-class shape,
+    BASELINE config 3). n_curves=256 -> ~1280 cubic segments; 10k+ for the
+    scale benchmark."""
+    from strelka_tpu.scene.scene import CurveType
+
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    ground = scene.add_material(_diffuse_material("ground", [0.4, 0.38, 0.35]))
+    hair = MaterialDescription(type="mdl", file="OmniHair.mdl", name="OmniHair")
+    hair.params = {"reflection_roughness_constant": 0.3}
+    hair_id = scene.add_material(hair)
+
+    e = 2.0
+    pos, idx, nrm, uv = _quad([-e, 0, e], [e, 0, e], [e, 0, -e], [-e, 0, -e])
+    mesh = scene.create_mesh(pos, idx, normals=nrm, uvs=uv)
+    scene.create_instance(InstanceType.eMesh, mesh, ground, m3.identity4())
+
+    pts = []
+    counts = []
+    widths = []
+    for _ in range(n_curves):
+        x, z = rng.uniform(-1.0, 1.0, 2)
+        sway = rng.uniform(-0.3, 0.3, 2)
+        h = rng.uniform(0.8, 1.2)
+        ys = np.linspace(0.0, h, ctrl_per_curve)
+        cx = x + sway[0] * (ys / h) ** 2 + rng.normal(0, 0.02, ctrl_per_curve)
+        cz = z + sway[1] * (ys / h) ** 2 + rng.normal(0, 0.02, ctrl_per_curve)
+        pts.append(np.stack([cx, ys, cz], axis=1))
+        counts.append(ctrl_per_curve)
+        widths.append(np.linspace(0.012, 0.004, ctrl_per_curve))
+    cid = scene.create_curve(
+        CurveType.eCubic,
+        np.asarray(counts, np.uint32),
+        np.concatenate(pts).astype(np.float32),
+        np.concatenate(widths).astype(np.float32),
+    )
+    scene.create_instance(InstanceType.eCurve, cid, hair_id, m3.identity4())
+
+    scene.create_light(
+        UniformLightDesc(
+            type=3,
+            orientation=np.array([-55.0, 30.0, 0.0]),
+            half_angle=np.radians(3.0),
+            intensity=40000.0,
+            color=np.array([1.0, 0.97, 0.9]),
+        )
+    )
+    cam = Camera(name="Main", fov=40.0, aspect=1.0)
+    cam.look_at([2.4, 1.6, 2.4], [0.0, 0.5, 0.0])
+    scene.add_camera(cam)
+    scene.model_path = "builtin://hair_patch"
+    return scene

@@ -147,3 +147,57 @@ def test_hair_render_end_to_end():
     # strands visible: some pixels have red>blue (hair color), bg has blue only
     assert (img[0] > img[2]).any()
     assert (img[2] > img[0]).any()
+
+
+def test_pallas_cone_kernel_matches_sweep():
+    """Pallas cone kernel (interpret) == jnp dense sweep on random curves."""
+    import jax.numpy as jnp
+    from strelka_tpu.ops.curves import (
+        FlatCones,
+        cone_hit_to_seg_u,
+        intersect_curves_closest,
+        morton_sort_cones,
+        pack_cones,
+        pallas_intersect_cones,
+    )
+
+    rng = np.random.default_rng(11)
+    m = 300
+    a = rng.uniform(-5, 5, (m, 3)).astype(np.float32)
+    b = a + rng.normal(0, 0.5, (m, 3)).astype(np.float32)
+    ra = rng.uniform(0.02, 0.2, m).astype(np.float32)
+    rb = rng.uniform(0.02, 0.2, m).astype(np.float32)
+    cones = FlatCones(
+        a=jnp.asarray(a), b=jnp.asarray(b), ra=jnp.asarray(ra), rb=jnp.asarray(rb),
+        seg_id=jnp.arange(m, dtype=jnp.int32),
+        u0=jnp.zeros(m), u1=jnp.ones(m),
+    )
+    perm = morton_sort_cones(cones)
+    cones = FlatCones(*[jnp.asarray(np.asarray(f)[perm]) for f in cones])
+    packed, bounds = pack_cones(cones, tblk=128, super_=2)
+
+    n = 400
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmin = np.zeros(n, np.float32)
+    tmax = np.full(n, 1e16, np.float32)
+
+    t, cone = pallas_intersect_cones(
+        packed, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), tile=256, tblk=128, super_=2, interpret=True,
+    )
+    hit = cone_hit_to_seg_u(cones, jnp.asarray(o), jnp.asarray(d), t, cone)
+    ref = intersect_curves_closest(cones, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax))
+    np.testing.assert_array_equal(np.asarray(hit.seg) >= 0, np.asarray(ref.seg) >= 0)
+    hits = np.asarray(ref.seg) >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[hits], np.asarray(ref.t)[hits], rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hit.seg)[hits], np.asarray(ref.seg)[hits])
+    np.testing.assert_allclose(np.asarray(hit.u)[hits], np.asarray(ref.u)[hits], atol=2e-3)
+    # any-hit variant agrees with closest-derived occlusion
+    occ = pallas_intersect_cones(
+        packed, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.full(n, 8.0, jnp.float32), tile=256, tblk=128, super_=2, interpret=True, any_hit=True,
+    )
+    ref2 = intersect_curves_closest(cones, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.full(n, 8.0, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref2.seg) >= 0)

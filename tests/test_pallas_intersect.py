@@ -197,22 +197,23 @@ def test_pallas_start_offsets_invariant():
         block_centroids,
         pack_tris_mxu,
         pallas_intersect_closest_mxu,
+        super_bounds,
         tile_start_offsets,
     )
     from strelka_tpu.ops.vec import from_rows
 
-    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128)
-    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
-    cents = block_centroids(bounds)
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    cents = block_centroids(super_bounds(bounds, super_=2))
     starts = tile_start_offsets(from_rows(jnp.asarray(o)), cents, 256)
     assert starts.shape[0] == 2 and (np.asarray(starts) >= 0).all()
     base = pallas_intersect_closest_mxu(
         feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
-        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True,
     )
     ordered = pallas_intersect_closest_mxu(
         feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
-        jnp.asarray(tmax), RAY_MASK_PRIMARY, starts=starts, tile=256, tblk=128, interpret=True,
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, starts=starts, tile=256, tblk=128, super_=2, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(ordered[1]))
     np.testing.assert_allclose(np.asarray(base[0]), np.asarray(ordered[0]), rtol=1e-6)

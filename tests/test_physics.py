@@ -268,3 +268,45 @@ def test_offset_ray_bit_exact():
 
     want = np.stack([scalar(p[i], n[i]) for i in range(64)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_hair_sample_eval_consistency():
+    """HAIR (Kajiya-Kay fiber lobes): eval pdf == sample pdf, f/pdf == over_pdf."""
+    n = 4096
+    rng = np.random.default_rng(7)
+    frame = _frame(n)
+    params = _params(n, BsdfType.HAIR, roughness=np.full(n, 0.35))
+    k1 = _k1(n, rng)
+    xi = tuple(jnp.asarray(rng.uniform(size=n).astype(np.float32)) for _ in range(4))
+    smp = B.bsdf_sample(params, frame, k1, xi, jnp.ones(n), jnp.full(n, 1.5))
+    ev = B.bsdf_evaluate(params, frame, k1, smp.k2)
+    ok = (np.asarray(smp.event_type) != B.BSDF_EVENT_ABSORB) & (np.asarray(smp.pdf) > 1e-5)
+    assert ok.mean() > 0.8
+    np.testing.assert_allclose(np.asarray(ev.pdf)[ok], np.asarray(smp.pdf)[ok], rtol=1e-3)
+    f_total = np.asarray(V.to_rows(ev.bsdf_diffuse + ev.bsdf_glossy))[ok]
+    ratio = f_total / np.asarray(smp.pdf)[ok][:, None]
+    np.testing.assert_allclose(ratio, np.asarray(V.to_rows(smp.bsdf_over_pdf))[ok], rtol=2e-3, atol=1e-4)
+    # strand specular peaks where sin(T,H) is max: k2 perpendicular to tangent
+    assert float(np.asarray(ev.bsdf_glossy.x)[ok].max()) > 0.0
+
+
+def test_hair_energy_bounded():
+    """Hemisphere integral of f*cos stays <= ~1 (no energy explosion)."""
+    n = 1 << 16
+    rng = np.random.default_rng(8)
+    frame = _frame(n)
+    params = _params(
+        n, BsdfType.HAIR,
+        diffuse_color=np.tile([1.0, 1.0, 1.0], (n, 1)),
+        roughness=np.full(n, 0.4),
+        specular_level=np.full(n, 0.5),
+    )
+    # fixed view, uniform-hemisphere MC over k2
+    k1 = _v3(np.tile([0.4, 0.2, np.sqrt(1 - 0.2)], (n, 1)) / np.linalg.norm([0.4, 0.2, np.sqrt(1 - 0.2)]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ev = B.bsdf_evaluate(params, frame, k1, _v3(d))
+    f = np.asarray(V.to_rows(ev.bsdf_diffuse + ev.bsdf_glossy))
+    integral = f.mean(axis=0) * 2 * np.pi  # uniform hemisphere pdf = 1/(2pi)
+    assert (integral < 1.6).all(), f"hair lobes leak energy: {integral}"

@@ -132,3 +132,14 @@ def test_thin_walled_glass_straight_through():
     # definitely bright and with the emitter's color ratio
     assert c[0] > 1.0, f"thin glass should transmit straight, got {c}"
     assert c[0] > 3.0 * c[2]
+
+
+def test_hair_patch_renders():
+    """Curves shade with the HAIR bsdf (hair df parity) and produce a finite,
+    lit image."""
+    from strelka_tpu.scene.testscenes import hair_patch
+
+    scene = hair_patch(n_curves=12)
+    img = _render(scene, width=20, height=20, spp=2, depth=2)
+    assert np.isfinite(img).all()
+    assert img.max() > 1e-4

@@ -20,7 +20,11 @@ def test_atlas_pack_and_sample_exact():
     tid = tm.add_array(img, "checker")
     flat = tm.add_array(np.full((64, 64, 3), 0.25, np.float32), "flat")
     atlas = tm.build_atlas()
-    assert atlas.data.shape == (2, 64, 64, 4)
+    # shelf-packed sheet: both 64x64 layers present at native resolution
+    assert atlas.data.shape[-1] == 4
+    r = np.asarray(atlas.rects)
+    assert r.shape == (2, 5)
+    assert (r[:, 2] == 64).all() and (r[:, 3] == 64).all()
     # sample at texel centers: u=(x+0.5)/64, v flipped
     xs = np.array([0, 5, 17, 63])
     ys = np.array([0, 9, 30, 63])
@@ -58,6 +62,30 @@ def test_wrap_addressing():
     a = np.asarray(sample_bilinear(atlas, jnp.array([tid], jnp.int32), uv0))
     b = np.asarray(sample_bilinear(atlas, jnp.array([tid], jnp.int32), uv1))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_variable_resolution_and_clamp():
+    """Textures keep native size; clamp address mode holds edge texels."""
+    from strelka_tpu.textures import ADDRESS_CLAMP
+
+    tm = TextureManager()
+    big = np.zeros((256, 512, 3), np.float32)
+    big[:, -1] = (1.0, 0.0, 0.0)  # red right edge column
+    small = np.full((16, 16, 3), 0.5, np.float32)
+    tb = tm.add_array(big, "big", address_mode=ADDRESS_CLAMP)
+    ts = tm.add_array(small, "small")
+    atlas = tm.build_atlas()
+    r = np.asarray(atlas.rects)
+    assert tuple(r[tb][2:4]) == (512, 256)  # native w, h preserved
+    assert tuple(r[ts][2:4]) == (16, 16)
+    # clamp: u > 1 stays on the red edge column (wrap would blend to col 0)
+    uv = jnp.asarray([[1.5, 0.5]], jnp.float32)
+    out = np.asarray(sample_bilinear(atlas, jnp.array([tb], jnp.int32), uv))
+    np.testing.assert_allclose(out[0, :3], [1.0, 0.0, 0.0], atol=1e-5)
+    # small texture sampling is exact at its own resolution
+    uv2 = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    out2 = np.asarray(sample_bilinear(atlas, jnp.array([ts], jnp.int32), uv2))
+    np.testing.assert_allclose(out2[0, :3], 0.5, atol=1e-5)
 
 
 def test_normal_map():

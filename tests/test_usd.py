@@ -334,3 +334,127 @@ def Xform "World"
     assert offsets == [(0.0, 0.0, 0.0), (0.0, 0.0, 5.0), (5.0, 0.0, 0.0)]
     scales = sorted(float(i.transform[0, 0]) for i in mesh_insts)
     assert scales == [1.0, 1.0, 2.0]
+
+
+_NETWORK_STAGE = """#usda 1.0
+def Xform "World"
+{
+    def Mesh "quad"
+    {
+        point3f[] points = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        int[] faceVertexCounts = [4]
+        rel material:binding = </World/Mat>
+    }
+
+    def Material "Mat"
+    {
+        token outputs:surface.connect = </World/Mat/Surface.outputs:surface>
+
+        def Shader "Surface"
+        {
+            uniform token info:id = "UsdPreviewSurface"
+            color3f inputs:diffuseColor.connect = </World/Mat/Mult.outputs:out>
+            float inputs:roughness.connect = </World/Mat/RoughTex.outputs:r>
+        }
+
+        def Shader "Mult"
+        {
+            uniform token info:id = "ND_multiply_color3"
+            color3f inputs:in1.connect = </World/Mat/DiffTex.outputs:rgb>
+            color3f inputs:in2 = (0.5, 0.25, 1.0)
+        }
+
+        def Shader "DiffTex"
+        {
+            uniform token info:id = "UsdUVTexture"
+            asset inputs:file = @textures/diffuse.png@
+            float4 inputs:fallback = (0.8, 0.4, 0.2, 1)
+            float2 inputs:st.connect = </World/Mat/Xf2d.outputs:result>
+        }
+
+        def Shader "Xf2d"
+        {
+            uniform token info:id = "UsdTransform2d"
+            float2 inputs:scale = (2, 3)
+            float2 inputs:translation = (0.1, 0.2)
+        }
+
+        def Shader "RoughTex"
+        {
+            uniform token info:id = "UsdUVTexture"
+            asset inputs:file = @textures/rough.png@
+            float4 inputs:fallback = (0.35, 0.35, 0.35, 1)
+        }
+    }
+}
+"""
+
+
+def test_multi_node_network_translation(tmp_path):
+    """texture -> multiply -> surface chains and UsdTransform2d st transforms
+    translate (MaterialNetworkTranslator.cpp:79-300 capability)."""
+    p = tmp_path / "net.usda"
+    p.write_text(_NETWORK_STAGE)
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+    desc = scene.materials[-1]
+    assert desc.params.get("diffuse_texture") == "textures/diffuse.png"
+    # fallback color scaled by the multiply node constant
+    np.testing.assert_allclose(
+        np.asarray(desc.params["diffuse_color_constant"], np.float32),
+        [0.8 * 0.5, 0.4 * 0.25, 0.2 * 1.0],
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(desc.params["uv_scale"]), [2, 3])
+    np.testing.assert_allclose(np.asarray(desc.params["uv_offset"]), [0.1, 0.2])
+    assert desc.params.get("reflectionroughness_texture") == "textures/rough.png"
+    assert abs(desc.params["reflection_roughness_constant"] - 0.35) < 1e-5
+
+
+def test_nested_point_instancer(tmp_path):
+    """instancer-over-instancer composes transforms recursively
+    (Instancer.cpp:74-190)."""
+    stage = """#usda 1.0
+def Xform "World"
+{
+    def PointInstancer "outer"
+    {
+        rel prototypes = [</World/outer/protoA>]
+        int[] protoIndices = [0, 0]
+        point3f[] positions = [(0, 0, 0), (10, 0, 0)]
+
+        def Xform "protoA"
+        {
+            def PointInstancer "inner"
+            {
+                rel prototypes = [</World/outer/protoA/inner/leaf>]
+                int[] protoIndices = [0, 0, 0]
+                point3f[] positions = [(0, 0, 0), (1, 0, 0), (2, 0, 0)]
+
+                def Xform "leaf"
+                {
+                    def Mesh "tri"
+                    {
+                        point3f[] points = [(0, 0, 0), (0.1, 0, 0), (0, 0.1, 0)]
+                        int[] faceVertexIndices = [0, 1, 2]
+                        int[] faceVertexCounts = [3]
+                    }
+                }
+            }
+        }
+    }
+}
+"""
+    p = tmp_path / "nested.usda"
+    p.write_text(stage)
+    scene = Scene()
+    assert UsdLoader().load(str(p), scene)
+    # 2 outer x 3 inner = 6 instances of the leaf triangle
+    n_mesh_instances = sum(1 for i in scene.instances if i.type == InstanceType.eMesh)
+    assert n_mesh_instances == 6
+    from strelka_tpu.render.device_scene import flatten_scene_geometry
+
+    cat = flatten_scene_geometry(scene)
+    xs = sorted(np.round(cat["p"][:, 0, 0], 4).tolist())
+    assert xs == [0.0, 1.0, 2.0, 10.0, 11.0, 12.0]
