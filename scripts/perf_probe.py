@@ -35,7 +35,7 @@ def build(scene_name, width, height, spp, depth, intersector="mxu"):
     return step, scene, params, state, scene.num_triangles
 
 
-def run(name, width=512, height=512, spp=2, depth=4, iters=6, intersector="mxu"):
+def run(name, width=512, height=512, spp=2, depth=4, iters=6, intersector="auto"):
     import jax
     step, scene, params, state, ntri = build(name, width, height, spp, depth, intersector)
     fn = jax.jit(step, donate_argnums=(2,))
@@ -62,6 +62,6 @@ if __name__ == "__main__":
         run("cornell", spp=4, intersector="mxu")
         run("cornell", spp=4, intersector="vpu")
     if which in ("all", "box"):
-        run("box:48", spp=2, iters=3, intersector="mxu")
+        run("box:48", spp=2, iters=3, intersector="auto")
     if which == "box24":
         run("box:24", spp=2, iters=3, intersector="mxu")

@@ -168,16 +168,29 @@ def _convert_to_omni_pbr(doc: dict, material: dict) -> MaterialDescription:
     nt = material.get("normalTexture", {}).get("index", -1)
     if nt >= 0 and tex_uri(nt):
         desc.params["normalmap_texture"] = tex_uri(nt)
+    emissive = material.get("emissiveFactor")
+    if emissive and any(float(c) > 0 for c in emissive):
+        strength = (
+            material.get("extensions", {})
+            .get("KHR_materials_emissive_strength", {})
+            .get("emissiveStrength", 1.0)
+        )
+        desc.params["emissive_color"] = np.asarray(emissive[:3], np.float32)
+        desc.params["emissive_intensity"] = float(strength)
+        desc.params["enable_emission"] = True
     return desc
 
 
 def _convert_to_omni_glass(doc: dict, material: dict) -> MaterialDescription:
-    """gltfloader.cpp:358-404."""
+    """gltfloader.cpp:358-404 (+ MASK alpha -> stochastic cutout opacity)."""
     pbr = material.get("pbrMetallicRoughness", {})
     desc = MaterialDescription(type="mdl", file="OmniGlass.mdl", name="OmniGlass")
     desc.params["enable_opacity"] = True
     desc.params["thin_walled"] = False
     desc.params["frosting_roughness"] = float(pbr.get("roughnessFactor", 0.0))
+    base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    if len(base) > 3 and float(base[3]) < 1.0:
+        desc.params["opacity"] = float(base[3])
     return desc
 
 

@@ -245,6 +245,24 @@ class MaterialManager:
         else:
             log.debug("MaterialManager: ignoring unknown param '{}'", name)
 
+    def dump_params(self, mat: CompiledMaterial) -> str:
+        """Debug print of a compiled material's effective parameters
+        (Context::dumpParams parity, materialmanager.cpp:337-411)."""
+        lines = [f"material {mat.name or '<anonymous>'} (bsdf_type={mat.bsdf_type})"]
+        for f in (
+            "diffuse_color", "metallic", "roughness", "specular_level", "ior",
+            "glass_color", "emission_color", "emissive_intensity",
+            "enable_emission", "opacity", "thin_walled", "diffuse_tex",
+            "normal_tex", "roughness_tex", "metallic_tex", "uv_scale", "uv_offset",
+        ):
+            v = getattr(mat, f)
+            if isinstance(v, np.ndarray):
+                v = np.asarray(v).tolist()
+            lines.append(f"  {f} = {v}")
+        text = "\n".join(lines)
+        log.debug("{}", text)
+        return text
+
     def compile_scene_materials(self, descs: List[MaterialDescription]) -> List[CompiledMaterial]:
         """createOptixMaterials equivalent (OptixRender.cpp:1270-1433)."""
         compiled = []

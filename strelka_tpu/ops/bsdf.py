@@ -250,8 +250,15 @@ def _hair_eval(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3):
     )
 
 
-def bsdf_evaluate(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3) -> BsdfEval:
-    """mdlcode_evaluate equivalent: returns f*cos split diffuse/glossy + pdf."""
+def bsdf_evaluate(
+    params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3,
+    enable_hair: bool = True,
+) -> BsdfEval:
+    """mdlcode_evaluate equivalent: returns f*cos split diffuse/glossy + pdf.
+
+    enable_hair: STATIC flag — scenes without hair materials skip the fiber
+    lobes entirely (pow/sqrt transcendentals cost real VPU time when traced
+    for every lane)."""
     k1l = _to_local(frame, k1)
     k2l = _to_local(frame, k2)
     cos2 = jnp.maximum(k2l.z, 0.0)
@@ -260,22 +267,26 @@ def bsdf_evaluate(params: SurfaceParams, frame: ShadingFrame, k1: Vec3, k2: Vec3
     d_pdf = cos2 / M_PI
     # OMNI_PBR
     p_diff, p_spec_v, p_pdf = _pbr_eval_local(params, k1l, k2l)
-    # HAIR (fiber frame)
-    h_diff, h_spec, h_pdf = _hair_eval(params, frame, k1, k2)
     # OMNI_GLASS: pure specular -> zero
     t = params.bsdf_type
     is_d = t == BsdfType.DIFFUSE
     is_p = t == BsdfType.OMNI_PBR
-    is_h = t == BsdfType.HAIR
     zero = V.full(cos2.shape, 0.0)
-    bsdf_diffuse = V.where(is_d, d_diff, V.where(is_p, p_diff, V.where(is_h, h_diff, zero)))
-    bsdf_glossy = V.where(is_p, p_spec_v, V.where(is_h, h_spec, zero))
-    pdf = jnp.where(is_d, d_pdf, jnp.where(is_p, p_pdf, jnp.where(is_h, h_pdf, 0.0)))
+    bsdf_diffuse = V.where(is_d, d_diff, V.where(is_p, p_diff, zero))
+    bsdf_glossy = V.where(is_p, p_spec_v, zero)
+    pdf = jnp.where(is_d, d_pdf, jnp.where(is_p, p_pdf, 0.0))
+    if enable_hair:
+        is_h = t == BsdfType.HAIR
+        h_diff, h_spec, h_pdf = _hair_eval(params, frame, k1, k2)
+        bsdf_diffuse = V.where(is_h, h_diff, bsdf_diffuse)
+        bsdf_glossy = V.where(is_h, h_spec, bsdf_glossy)
+        pdf = jnp.where(is_h, h_pdf, pdf)
     return BsdfEval(bsdf_diffuse, bsdf_glossy, pdf)
 
 
 def bsdf_sample(
-    params: SurfaceParams, frame: ShadingFrame, k1: Vec3, xi, ior1, ior2
+    params: SurfaceParams, frame: ShadingFrame, k1: Vec3, xi, ior1, ior2,
+    enable_hair: bool = True,
 ) -> BsdfSample:
     """mdlcode_sample equivalent.
 
@@ -343,32 +354,31 @@ def bsdf_sample(
     diff_event = jnp.full(n_shape, BSDF_EVENT_DIFFUSE_REFLECTION, jnp.int32)
     diff_valid = (cos1 > 0.0) & (k2l_diff.z > 0.0)
 
-    # ---------------- hair: cosine-hemisphere sample around the offset
-    # normal, weighted by the Kajiya-Kay lobes (see _hair_eval)
-    k2_hair_world = _to_world(frame, k2l_diff)
-    hd, hs, hp = _hair_eval(params, frame, k1, V.normalize(k2_hair_world))
-    hair_over_pdf = (hd + hs) * (1.0 / jnp.maximum(hp, 1e-12))
-    hair_event = jnp.full(n_shape, BSDF_EVENT_GLOSSY_REFLECTION, jnp.int32)
-    hair_valid = (hp > 0.0) & (cos1 > -1.0)
-
     # ---------------- combine by material type
     t = params.bsdf_type
     is_d = t == BsdfType.DIFFUSE
     is_p = t == BsdfType.OMNI_PBR
-    is_h = t == BsdfType.HAIR
 
-    k2l = V.where(is_d | is_h, k2l_diff, V.where(is_p, k2l_pbr, k2l_glass))
-    pdf = jnp.where(is_d, pdf_diff, jnp.where(is_p, pbr_pdf, jnp.where(is_h, hp, 0.0)))
-    over_pdf = V.where(
-        is_d, diff_over_pdf,
-        V.where(is_p, pbr_over_pdf, V.where(is_h, hair_over_pdf, glass_tint)),
-    )
-    event = jnp.where(
-        is_d, diff_event, jnp.where(is_p, pbr_event, jnp.where(is_h, hair_event, glass_event))
-    )
-    valid = jnp.where(
-        is_d, diff_valid, jnp.where(is_p, pbr_valid, jnp.where(is_h, hair_valid, glass_valid))
-    )
+    k2l = V.where(is_d, k2l_diff, V.where(is_p, k2l_pbr, k2l_glass))
+    pdf = jnp.where(is_d, pdf_diff, jnp.where(is_p, pbr_pdf, 0.0))
+    over_pdf = V.where(is_d, diff_over_pdf, V.where(is_p, pbr_over_pdf, glass_tint))
+    event = jnp.where(is_d, diff_event, jnp.where(is_p, pbr_event, glass_event))
+    valid = jnp.where(is_d, diff_valid, jnp.where(is_p, pbr_valid, glass_valid))
+
+    if enable_hair:
+        # hair: cosine-hemisphere sample around the offset normal, weighted
+        # by the Kajiya-Kay fiber lobes (see _hair_eval)
+        is_h = t == BsdfType.HAIR
+        k2_hair_world = _to_world(frame, k2l_diff)
+        hd, hs, hp = _hair_eval(params, frame, k1, V.normalize(k2_hair_world))
+        hair_over_pdf = (hd + hs) * (1.0 / jnp.maximum(hp, 1e-12))
+        hair_event = jnp.full(n_shape, BSDF_EVENT_GLOSSY_REFLECTION, jnp.int32)
+        hair_valid = (hp > 0.0) & (cos1 > -1.0)
+        k2l = V.where(is_h, k2l_diff, k2l)
+        pdf = jnp.where(is_h, hp, pdf)
+        over_pdf = V.where(is_h, hair_over_pdf, over_pdf)
+        event = jnp.where(is_h, hair_event, event)
+        valid = jnp.where(is_h, hair_valid, valid)
 
     event = jnp.where(valid, event, BSDF_EVENT_ABSORB).astype(jnp.int32)
     zero = V.full(n_shape, 0.0)

@@ -395,10 +395,14 @@ def trace_paths(
             (sample_idx, first_event, prev_prim, inside, specular_bounce,
              alive, ray_id) = bits
 
-        # One batched draw of the 5 folded Sobol dimensions per bounce.
-        # (dimension = Dim % 5, RandomSampler.h:224 — e.g. eBSDF2 and
-        # eLightId collide on dim 2 in the reference too; bit-identical.)
-        dim_rows = S.random_dims(sample_idx, depth, (0, 1, 2, 3, 4))
+        # One batched draw of the 5 folded Sobol dimensions per bounce,
+        # fused into a single Pallas kernel on TPU (bit-identical to the XLA
+        # path; dimension = Dim % 5, RandomSampler.h:224 — e.g. eBSDF2 and
+        # eLightId collide on dim 2 in the reference too).
+        if getattr(scene, "use_pallas", False):
+            dim_rows = S.random_dims_pallas(sample_idx, depth, (0, 1, 2, 3, 4))
+        else:
+            dim_rows = S.random_dims(sample_idx, depth, (0, 1, 2, 3, 4))
         rnd = lambda dim: dim_rows[int(dim) % 5]
 
         hit = intersect_closest(
@@ -474,37 +478,45 @@ def trace_paths(
             first_event = jnp.where(hit_surface, EventType.eUndef, first_event)
             break
 
+        import os as _os  # perf-bisect toggles (temporary diagnostics)
+        _no_emis = _os.environ.get("STRELKA_NO_EMISSION") == "1"
+        _no_cut = _os.environ.get("STRELKA_NO_CUTOUT") == "1"
         # ---- emissive materials (EDF): the reference links per-material MDL
         # emission functions into the hit program (mdlPtxCodeGen.cpp:133-172).
         # Emissive surfaces are NOT in the NEE light list, so the full
         # contribution is added on every BSDF/camera hit (unbiased, no MIS).
-        emissive = hit_surface & V.any_nonzero(mat.emission_color)
-        front = V.dot(frame.geom_normal, direction) < 0.0
-        radiance = V.where(
-            emissive & front, radiance + throughput * mat.emission_color, radiance
-        )
+        if not _no_emis:
+            emissive = hit_surface & V.any_nonzero(mat.emission_color)
+            front = V.dot(frame.geom_normal, direction) < 0.0
+            radiance = V.where(
+                emissive & front, radiance + throughput * mat.emission_color, radiance
+            )
 
         ior1 = jnp.where(inside, mat.ior, 1.0)
         ior2 = jnp.where(inside, 1.0, mat.ior)
         xi = (rnd(Dim.eBSDF0), rnd(Dim.eBSDF1), rnd(Dim.eBSDF2), rnd(Dim.eBSDF3))
         k1 = -direction
-        smp = B.bsdf_sample(mat, frame, k1, xi, ior1, ior2)
+        enable_hair = scene.cones is not None or bool(getattr(scene, "has_hair", False))
+        smp = B.bsdf_sample(mat, frame, k1, xi, ior1, ior2, enable_hair=enable_hair)
 
         # ---- stochastic alpha cutout (opacity < 1): pass straight through as
         # a specular-transmission event without flipping the medium. Maps the
         # reference's alpha-mode -> OmniGlass/enable_opacity handling
         # (gltfloader.cpp:358-421) onto any material's opacity value.
-        u_cut = S.uniform_hash(sample_idx, depth)
-        cut = hit_surface & (mat.opacity < 1.0) & (u_cut >= mat.opacity)
-        ones3 = V.full(n, 1.0)
-        smp = B.BsdfSample(
-            k2=V.where(cut, direction, smp.k2),
-            pdf=jnp.where(cut, 0.0, smp.pdf),
-            bsdf_over_pdf=V.where(cut, ones3, smp.bsdf_over_pdf),
-            event_type=jnp.where(
-                cut, B.BSDF_EVENT_SPECULAR_TRANSMISSION, smp.event_type
-            ).astype(jnp.int32),
-        )
+        if _no_cut:
+            cut = jnp.zeros(n, bool)
+        else:
+            u_cut = S.uniform_hash(sample_idx, depth)
+            cut = hit_surface & (mat.opacity < 1.0) & (u_cut >= mat.opacity)
+            ones3 = V.full(n, 1.0)
+            smp = B.BsdfSample(
+                k2=V.where(cut, direction, smp.k2),
+                pdf=jnp.where(cut, 0.0, smp.pdf),
+                bsdf_over_pdf=V.where(cut, ones3, smp.bsdf_over_pdf),
+                event_type=jnp.where(
+                    cut, B.BSDF_EVENT_SPECULAR_TRANSMISSION, smp.event_type
+                ).astype(jnp.int32),
+            )
 
         absorbed = hit_surface & (smp.event_type == B.BSDF_EVENT_ABSORB)
         if depth == 0:
@@ -576,7 +588,7 @@ def trace_paths(
             nan1 = nee_able & (V.any_nan(nee_radiance) | jnp.isnan(light_pdf))
 
             next_event_valid = ((cos_nl > 0.0) != inside) & (light_pdf != 0.0) & nee_able
-            ev = B.bsdf_evaluate(mat, frame, k1, to_light)
+            ev = B.bsdf_evaluate(mat, frame, k1, to_light, enable_hair=enable_hair)
             nan2 = nee_able & (V.any_nan(ev.bsdf_diffuse) | V.any_nan(ev.bsdf_glossy))
             contribute = next_event_valid & (ev.pdf > 0.0) & ~nan1 & ~nan2
             inv_lpdf = 1.0 / jnp.maximum(light_pdf, 1e-20)

@@ -100,6 +100,13 @@ def _as_vec3(x) -> Vec3:
     return x if isinstance(x, Vec3) else V.from_rows(jnp.asarray(x))
 
 
+FLAT_KERNEL_MAX_TRIS = 65536  # below this the flat single-pass kernels win
+
+
+def _use_flat(scene) -> bool:
+    return scene.num_triangles <= FLAT_KERNEL_MAX_TRIS
+
+
 def _tile_starts(scene, origins):
     """Per-ray-tile near-to-far sweep order (None when unavailable)."""
     cents = getattr(scene, "block_cents", None)
@@ -139,17 +146,37 @@ def intersect_closest(
 
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        starts = _tile_starts(scene, origins)
-        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
-            t, prim = pallas_intersect_closest_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+        use_mxu = getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None
+        if _use_flat(scene):
+            # small scenes: the flat single-pass kernels win (no culling to
+            # exploit; measured cornell e2e 158 vs 265 ms vs superblock)
+            from strelka_tpu.ops.pallas_intersect import (
+                pallas_intersect_closest_flat,
+                pallas_intersect_closest_mxu_flat,
             )
+
+            if use_mxu:
+                t, prim = pallas_intersect_closest_mxu_flat(
+                    scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
+                    directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                )
+            else:
+                t, prim = pallas_intersect_closest_flat(
+                    scene.tris_packed, scene.tri_bounds, origins, directions,
+                    tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                )
         else:
-            t, prim = pallas_intersect_closest(
-                scene.tris_packed, scene.tri_bounds, origins, directions,
-                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
-            )
+            starts = _tile_starts(scene, origins)
+            if use_mxu:
+                t, prim = pallas_intersect_closest_mxu(
+                    scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                )
+            else:
+                t, prim = pallas_intersect_closest(
+                    scene.tris_packed, scene.tri_bounds, origins, directions,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
         return Hit(t=t, prim=prim, u=jnp.where(miss, 0.0, u), v=jnp.where(miss, 0.0, v))
@@ -199,8 +226,24 @@ def intersect_any(
 
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
+        use_mxu = getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None
+        if _use_flat(scene):
+            from strelka_tpu.ops.pallas_intersect import (
+                pallas_intersect_any_flat,
+                pallas_intersect_any_mxu_flat,
+            )
+
+            if use_mxu:
+                return pallas_intersect_any_mxu_flat(
+                    scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
+                    directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                )
+            return pallas_intersect_any_flat(
+                scene.tris_packed, scene.tri_bounds, origins, directions,
+                tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+            )
         starts = _tile_starts(scene, origins)
-        if getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None:
+        if use_mxu:
             return pallas_intersect_any_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
                 tmin, tmax, ray_mask, exclude=exclude, starts=starts,

@@ -893,3 +893,395 @@ def recompute_barycentrics(scene_v0, scene_e1, scene_e2, origins, directions, pr
     qvec = V.cross(tvec, e1)
     v = V.dot(directions, qvec) * inv_det
     return u, v
+
+
+# ---------------------------------------------------------------------------
+# FLAT kernels (round-1 structure): grid (ray tiles, tri blocks) with one MT
+# pass per step and 1D rotate-offset sweep order. Measured FASTER than the
+# superblock kernels on small scenes (cornell e2e 158 vs 265 ms) where
+# per-step overhead and culling don't matter; the dispatcher picks them below
+# the superblock crossover (intersect.py).
+# ---------------------------------------------------------------------------
+
+def _prep_common_flat(origins, directions, tmin, tmax, exclude, starts, tile, nb):
+    """Shared ray/exclude/starts packing for all four kernel wrappers."""
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    if starts is None:
+        starts = jnp.zeros(n_tiles, jnp.int32)
+    else:
+        starts = jnp.clip(starts.astype(jnp.int32), 0, nb - 1)
+    return rays, excl, starts, n, n_pad, n_tiles
+
+
+
+def _block_of_flat(starts_ref, r, k, nb: int):
+    """Per-tile block schedule: walk the Morton order from the tile's start
+    offset outward (Morton locality => approximately near-to-far)."""
+    s = starts_ref[r] + k
+    return jnp.where(s >= nb, s - nb, s)
+
+
+
+def _closest_kernel_flat(
+    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, t_ref, prim_ref, *, ray_mask: int, tblk: int
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of_flat(starts_ref, r, k, nb)
+
+    @pl.when(k == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+    any_box = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+    @pl.when(any_box)
+    def _work():
+        # current best as tmax so farther hits are rejected cheaply
+        t, valid = _mt_block(rays, tris_ref[:, :], ray_mask, tmax_row=t_ref[0, :])
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
+        t_masked = jnp.where(valid, t, _BIG)
+        blk_best = jnp.min(t_masked, axis=0)  # [TILE]
+        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+        better = blk_best < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+
+
+
+def _any_kernel_flat(
+    bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref, occ_ref, *, ray_mask: int, tblk: int
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of_flat(starts_ref, r, k, nb)
+
+    @pl.when(k == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+    # skip once every ray in the tile is occluded (common for interior tiles)
+    done = jnp.all(occ_ref[0, :])
+    any_box = _tile_hits_block(rays, bounds_ref, blk) & ~done
+
+    @pl.when(any_box)
+    def _work():
+        _, valid = _mt_block(rays, tris_ref[:, :], ray_mask)
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
+        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Block culling: Morton-sorted triangle blocks + per-cell AABB skip.
+# ---------------------------------------------------------------------------
+
+
+
+def _closest_kernel_mxu_flat(
+    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, precision=None,
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of_flat(starts_ref, r, k, nb)
+
+    @pl.when(k == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+
+    # block culling: skip the whole cell when no ray can hit the block AABB
+    rays = rays_ref[:, :]
+    any_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+    @pl.when(any_hit)
+    def _work():
+        rt = _ray_features(rays)
+        t, valid = _mt_block_mxu(
+            rt, rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask,
+            tmax_row=t_ref[0, :], precision=precision,
+        )
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
+        t_masked = jnp.where(valid, t, _BIG)
+        blk_best = jnp.min(t_masked, axis=0)
+        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+        better = blk_best < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+
+
+
+def _any_kernel_mxu_flat(
+    bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
+    *, ray_mask: int, tblk: int, precision=None,
+):
+    r = pl.program_id(0)
+    k = pl.program_id(1)
+    nb = pl.num_programs(1)
+    blk = _block_of_flat(starts_ref, r, k, nb)
+
+    @pl.when(k == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+    done = jnp.all(occ_ref[0, :])
+    any_hit = _tile_hits_block(rays, bounds_ref, blk) & ~done
+
+    @pl.when(any_hit)
+    def _work():
+        rt = _ray_features(rays)
+        _, valid = _mt_block_mxu(
+            rt, rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
+        )
+        tile = rays.shape[1]
+        valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
+        occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+def pallas_intersect_closest_mxu_flat(
+    feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
+    mask: jnp.ndarray,  # [1, T]
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,  # [N] i32 origin prim (-1 none)
+    starts: jnp.ndarray | None = None,  # [n_tiles] i32 block sweep offsets
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+    precision=None,
+):
+    t_total = feats.shape[1]
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common_flat(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
+    kernel = functools.partial(_closest_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, tblk, _FDIM),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tblk),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * _FDIM * n_pad * t_total,
+            bytes_accessed=4 * (8 * n_pad + 4 * _FDIM * t_total),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bounds, starts, rays, excl, feats, mask)
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+def pallas_intersect_any_mxu_flat(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    bounds: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+    precision=None,
+):
+    t_total = feats.shape[1]
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common_flat(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
+    kernel = functools.partial(_any_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, tblk, _FDIM),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tblk),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bounds, starts, rays, excl, feats, mask)
+    return occ[0, :n]
+
+
+
+def pallas_intersect_closest_flat(
+    tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+):
+    """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N])."""
+    t_total = tris_packed.shape[1]
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common_flat(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
+    kernel = functools.partial(_closest_kernel_flat, ray_mask=ray_mask, tblk=tblk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (12, tblk),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_pad * t_total, bytes_accessed=4 * (8 * n_pad + 12 * t_total), transcendentals=0
+        ),
+        interpret=interpret,
+    )(bounds, starts, rays, excl, tris_packed)
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    t = jnp.where(prim >= 0, t, _BIG)
+    return t, prim
+
+
+
+def pallas_intersect_any_flat(
+    tris_packed: jnp.ndarray,
+    bounds: jnp.ndarray,  # [8, n_blocks] (block_bounds)
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    starts: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+):
+    """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool."""
+    t_total = tris_packed.shape[1]
+    nb = t_total // tblk
+    rays, excl, starts, n, n_pad, n_tiles = _prep_common_flat(
+        origins, directions, tmin, tmax, exclude, starts, tile, nb
+    )
+    grid = (n_tiles, nb)
+    kernel = functools.partial(_any_kernel_flat, ray_mask=ray_mask, tblk=tblk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (12, tblk),
+                lambda r, k, bounds, starts: (0, _block_of_flat(starts, r, k, nb)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bounds, starts, rays, excl, tris_packed)
+    return occ[0, :n]
+

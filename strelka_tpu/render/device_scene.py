@@ -107,6 +107,8 @@ class DeviceScene:
     world_lo: tuple = dataclasses.field(metadata=dict(static=True), default=(0.0, 0.0, 0.0))
     world_hi: tuple = dataclasses.field(metadata=dict(static=True), default=(1.0, 1.0, 1.0))
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # any material uses the hair df (static: gates the fiber-lobe trace)
+    has_hair: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # "mxu" (default: bf16x3 matmul Moller-Trumbore, ~2x faster; exact-by-id
     # self-intersection guard makes it artifact-free) | "vpu" (exact f32)
     intersector: str = dataclasses.field(metadata=dict(static=True), default="mxu")
@@ -483,6 +485,7 @@ def build_device_scene(
         light_table=light_table,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
+        has_hair=bool((np.asarray(table.bsdf_type) == 3).any()),
         world_lo=world_lo,
         world_hi=world_hi,
         use_pallas=use_pallas,

@@ -217,3 +217,79 @@ def test_pallas_start_offsets_invariant():
     )
     np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(ordered[1]))
     np.testing.assert_allclose(np.asarray(base[0]), np.asarray(ordered[0]), rtol=1e-6)
+
+
+def test_pallas_multi_superblock_oracle():
+    """nsb > 1 (several streamed superblocks) matches bruteforce — the
+    per-tile order-table path must visit every superblock exactly once."""
+    rng = np.random.default_rng(6)
+    v0, e1, e2, mask = _scene(1024, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds, pack_tris, pack_tris_mxu,
+        pallas_intersect_closest_mxu, super_bounds, block_centroids,
+        tile_sweep_order,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    # super_=2, tblk=128 -> nsb = 1024/256 = 4 superblocks
+    tris = pack_tris(v0, e1, e2, mask, tblk=128, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=2)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY,
+    )
+    for starts in (None, tile_sweep_order(from_rows(jnp.asarray(o)), block_centroids(super_bounds(bounds, super_=2)), 256)):
+        t, prim = pallas_intersect_closest(
+            tris, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+            RAY_MASK_PRIMARY, starts=starts, tile=256, tblk=128, super_=2, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(prim), np.asarray(bf.prim))
+        tm, pm = pallas_intersect_closest_mxu(
+            feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax),
+            RAY_MASK_PRIMARY, starts=starts, tile=256, tblk=128, super_=2, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(pm), np.asarray(bf.prim))
+
+
+def test_pallas_flat_kernels_match_oracle():
+    """The small-scene FLAT kernels (round-1 structure) match bruteforce."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds, pack_tris, pack_tris_mxu,
+        pallas_intersect_closest_flat, pallas_intersect_closest_mxu_flat,
+        pallas_intersect_any_flat, pallas_intersect_any_mxu_flat,
+    )
+
+    rng = np.random.default_rng(9)
+    v0, e1, e2, mask = _scene(700, rng)
+    o, d = _rays(500, rng)
+    tmin = jnp.zeros(500)
+    tmax = jnp.full(500, 1e16)
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), tmin, tmax, RAY_MASK_PRIMARY,
+    )
+    t1, p1 = pallas_intersect_closest_flat(
+        tris, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+        RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(bf.prim))
+    t2, p2 = pallas_intersect_closest_mxu_flat(
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+        RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(bf.prim))
+    occ_bf = intersect_any_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), tmin,
+        jnp.full(500, 20.0), RAY_MASK_SHADOW)
+    o1 = pallas_intersect_any_flat(
+        tris, bounds, jnp.asarray(o), jnp.asarray(d), tmin, jnp.full(500, 20.0),
+        RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(occ_bf))
+    o2 = pallas_intersect_any_mxu_flat(
+        feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), tmin, jnp.full(500, 20.0),
+        RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(occ_bf))
