@@ -672,8 +672,9 @@ def render_launch(
     # is a compact square screen block (a row-major tile is a thin strip
     # whose frustum crosses the whole scene and defeats block culling);
     # results are unsorted once at the end with a packed row-gather.
+    import os as _os
     zorder = None
-    if getattr(scene, "use_pallas", False):
+    if getattr(scene, "use_pallas", False) and _os.environ.get("STRELKA_NO_ZORDER") != "1":
         zorder, z_inv = _pixel_zorder(width, height)
         px = jnp.tile(jnp.asarray(zorder % width, jnp.uint32), spl)
         py = jnp.tile(jnp.asarray(zorder // width, jnp.uint32), spl)

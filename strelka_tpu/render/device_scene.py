@@ -346,7 +346,9 @@ def build_device_scene(
         use_pallas = False
     tris_feats = tris_mask = tri_bounds = blk_cents = None
     if use_pallas:
+        from strelka_tpu.ops.intersect import FLAT_KERNEL_MAX_TRIS
         from strelka_tpu.ops.pallas_intersect import (
+            DEFAULT_SUPER,
             DEFAULT_TBLK,
             block_bounds,
             block_centroids,
@@ -355,6 +357,10 @@ def build_device_scene(
             pack_tris_mxu,
             super_bounds,
         )
+
+        # flat-path scenes pad to TBLK only: padded-empty blocks cost real
+        # time even when culled (measured cornell 280 -> 185 ms/launch)
+        pack_super = 1 if num_tri <= FLAT_KERNEL_MAX_TRIS else DEFAULT_SUPER
 
         if num_tri > 2 * DEFAULT_TBLK:
             perm2 = morton_sort_tris(cat["p"])
@@ -367,13 +373,19 @@ def build_device_scene(
             material_id = _pad_to(cat["material_id"], padded)
             light_id = _pad_to(cat["light_id"], padded, fill=-1)
             geom_mask = _pad_to(cat["geom_mask"], padded, fill=0)
-        tris_packed = pack_tris(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
-        tris_feats, tris_mask = pack_tris_mxu(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]]
+        tris_packed = pack_tris(
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
         )
-        tri_bounds = block_bounds(p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]])
-        # per-tile sweep start offsets index SUPERBLOCKS (the grid step unit)
-        blk_cents = block_centroids(super_bounds(tri_bounds))
+        tris_feats, tris_mask = pack_tris_mxu(
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
+        )
+        tri_bounds = block_bounds(
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
+        )
+        if pack_super > 1:
+            # per-tile sweep start offsets index SUPERBLOCKS (grid step unit);
+            # the flat path has no superblocks and no ordering
+            blk_cents = block_centroids(super_bounds(tri_bounds))
 
     # fat gather tables
     num_pad = p.shape[0]
