@@ -101,6 +101,11 @@ def _as_vec3(x) -> Vec3:
 
 
 FLAT_KERNEL_MAX_TRIS = 65536  # below this the flat single-pass kernels win
+import os as _os
+
+# superblock-path ray tile (incoherent bounce tiles cull better when small;
+# overridable for tuning)
+SUPER_PATH_TILE = int(_os.environ.get("STRELKA_SUPER_TILE", "1024"))
 
 
 def _use_flat(scene) -> bool:
@@ -112,11 +117,11 @@ def _tile_starts(scene, origins):
     cents = getattr(scene, "block_cents", None)
     if cents is None:
         return None
-    from strelka_tpu.ops.pallas_intersect import DEFAULT_TILE, tile_sweep_order
+    from strelka_tpu.ops.pallas_intersect import tile_sweep_order
 
     if cents.shape[0] < 8:  # tiny scenes: ordering buys nothing
         return None
-    return tile_sweep_order(origins, cents, DEFAULT_TILE)
+    return tile_sweep_order(origins, cents, SUPER_PATH_TILE)
 
 
 def intersect_closest(
@@ -170,12 +175,12 @@ def intersect_closest(
             if use_mxu:
                 t, prim = pallas_intersect_closest_mxu(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
                 )
             else:
                 t, prim = pallas_intersect_closest(
                     scene.tris_packed, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
                 )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
@@ -246,11 +251,11 @@ def intersect_any(
         if use_mxu:
             return pallas_intersect_any_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
             )
         return pallas_intersect_any(
             scene.tris_packed, scene.tri_bounds, origins, directions,
-            tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+            tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
         )
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh
