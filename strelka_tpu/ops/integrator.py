@@ -689,8 +689,10 @@ def render_launch(
     origin, direction = generate_camera_rays(params, px, py, jxy[0], jxy[1], width, height)
     if sort_rays is None:
         # worth the ~1 argsort+2 packed permutes only when the block-culled
-        # intersector has enough blocks for coherence to matter
-        sort_rays = bool(getattr(scene, "use_pallas", False)) and scene.num_triangles >= 16384
+        # intersectors have enough blocks for coherence to matter
+        sort_rays = bool(getattr(scene, "use_pallas", False)) and (
+            scene.num_triangles >= 16384 or scene.num_curve_segments >= 2048
+        )
     radiance, first_event = trace_paths(
         scene,
         params,
