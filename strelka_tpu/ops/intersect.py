@@ -113,15 +113,26 @@ def _use_flat(scene) -> bool:
 
 
 def _tile_starts(scene, origins):
-    """Per-ray-tile near-to-far sweep order (None when unavailable)."""
+    """Per-ray-tile near-to-far sweep order (None when unavailable).
+
+    SMEM is 1MB; the full [n_tiles, nsb] order table only fits for
+    moderate tile-count x superblock-count products — beyond that fall back
+    to 1D start offsets (Morton-rotate from the nearest superblock)."""
     cents = getattr(scene, "block_cents", None)
     if cents is None:
         return None
-    from strelka_tpu.ops.pallas_intersect import tile_sweep_order
+    from strelka_tpu.ops.pallas_intersect import tile_sweep_order, tile_start_offsets
 
-    if cents.shape[0] < 8:  # tiny scenes: ordering buys nothing
+    nsb = int(cents.shape[0])
+    if nsb < 8:  # tiny scenes: ordering buys nothing
         return None
-    return tile_sweep_order(origins, cents, SUPER_PATH_TILE)
+    n = int(origins.x.shape[0])
+    n_tiles = -(-n // SUPER_PATH_TILE)
+    # lane padding to 128 multiples in SMEM
+    padded_bytes = n_tiles * (-(-nsb // 128) * 128) * 4
+    if padded_bytes <= 600_000:
+        return tile_sweep_order(origins, cents, SUPER_PATH_TILE)
+    return tile_start_offsets(origins, cents, SUPER_PATH_TILE)
 
 
 def intersect_closest(
@@ -164,23 +175,28 @@ def intersect_closest(
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                    tblk=scene.kernel_tblk,
                 )
             else:
                 t, prim = pallas_intersect_closest_flat(
                     scene.tris_packed, scene.tri_bounds, origins, directions,
                     tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                    tblk=scene.kernel_tblk,
                 )
         else:
             starts = _tile_starts(scene, origins)
+            tb, sp = scene.kernel_tblk, scene.kernel_super
             if use_mxu:
                 t, prim = pallas_intersect_closest_mxu(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                    tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
                 )
             else:
                 t, prim = pallas_intersect_closest(
                     scene.tris_packed, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
+                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                    tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
                 )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
@@ -242,20 +258,25 @@ def intersect_any(
                 return pallas_intersect_any_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                    tblk=scene.kernel_tblk,
                 )
             return pallas_intersect_any_flat(
                 scene.tris_packed, scene.tri_bounds, origins, directions,
                 tmin, tmax, ray_mask, exclude=exclude, tile=2048,
+                tblk=scene.kernel_tblk,
             )
         starts = _tile_starts(scene, origins)
+        tb, sp = scene.kernel_tblk, scene.kernel_super
         if use_mxu:
             return pallas_intersect_any_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
+                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+                tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
             )
         return pallas_intersect_any(
             scene.tris_packed, scene.tri_bounds, origins, directions,
-            tmin, tmax, ray_mask, exclude=exclude, starts=starts, tile=SUPER_PATH_TILE,
+            tmin, tmax, ray_mask, exclude=exclude, starts=starts,
+            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
         )
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh

@@ -112,6 +112,9 @@ class DeviceScene:
     # "mxu" (default: bf16x3 matmul Moller-Trumbore, ~2x faster; exact-by-id
     # self-intersection guard makes it artifact-free) | "vpu" (exact f32)
     intersector: str = dataclasses.field(metadata=dict(static=True), default="mxu")
+    # sub-block/superblock pack granularity the kernels must be called with
+    kernel_tblk: int = dataclasses.field(metadata=dict(static=True), default=256)
+    kernel_super: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def num_curve_segments(self) -> int:
@@ -359,8 +362,15 @@ def build_device_scene(
         )
 
         # flat-path scenes pad to TBLK only: padded-empty blocks cost real
-        # time even when culled (measured cornell 280 -> 185 ms/launch)
-        pack_super = 1 if num_tri <= FLAT_KERNEL_MAX_TRIS else DEFAULT_SUPER
+        # time even when culled (measured cornell 280 -> 185 ms/launch).
+        # Superblock scenes keep 256-tri sub-blocks: finer blocks measured
+        # ~1.25x on isolated bounce sweeps BUT their bounds table + the full
+        # per-tile order table overflow the 1MB SMEM, and dropping the order
+        # table costs more than fine blocks gain (box e2e 1.86 -> 2.64 s).
+        if num_tri <= FLAT_KERNEL_MAX_TRIS:
+            pack_tblk, pack_super = DEFAULT_TBLK, 1
+        else:
+            pack_tblk, pack_super = DEFAULT_TBLK, DEFAULT_SUPER
 
         if num_tri > 2 * DEFAULT_TBLK:
             perm2 = morton_sort_tris(cat["p"])
@@ -374,13 +384,16 @@ def build_device_scene(
             light_id = _pad_to(cat["light_id"], padded, fill=-1)
             geom_mask = _pad_to(cat["geom_mask"], padded, fill=0)
         tris_packed = pack_tris(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+            tblk=pack_tblk, super_=pack_super,
         )
         tris_feats, tris_mask = pack_tris_mxu(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+            tblk=pack_tblk, super_=pack_super,
         )
         tri_bounds = block_bounds(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]], super_=pack_super
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+            tblk=pack_tblk, super_=pack_super,
         )
         if pack_super > 1:
             # per-tile sweep start offsets index SUPERBLOCKS (grid step unit);
@@ -497,6 +510,8 @@ def build_device_scene(
         light_table=light_table,
         num_lights=len(scene.lights),
         num_triangles=num_tri,
+        kernel_tblk=pack_tblk if use_pallas else 256,
+        kernel_super=pack_super if use_pallas else 8,
         has_hair=bool((np.asarray(table.bsdf_type) == 3).any()),
         world_lo=world_lo,
         world_hi=world_hi,
