@@ -180,6 +180,22 @@ def _parse_value(tz: _Tokenizer):
     return t
 
 
+def _first_time_sample(raw_tokens) -> object:
+    """Parse the first sample value out of a raw timeSamples token list.
+
+    The block tokens look like: time, value-tokens..., time, value-tokens...
+    (':' separators are dropped by the tokenizer)."""
+    if not raw_tokens:
+        return None
+    tz = _Tokenizer("")
+    tz.toks = list(raw_tokens[1:])  # skip the first time key
+    tz.i = 0
+    try:
+        return _parse_value(tz)
+    except SyntaxError:
+        return None
+
+
 def _parse_metadata_block(tz: _Tokenizer) -> Dict[str, object]:
     """Parse '( ... )' prim/attr metadata into a dict (values best-effort)."""
     meta: Dict[str, object] = {}
@@ -266,7 +282,12 @@ def _parse_attr(tz: _Tokenizer, prim: Prim) -> None:
             if isinstance(val, tuple) and val and val[0] == "__path__":
                 attr.connect = val[1]
         elif is_timesamples:
-            pass  # animation: first-sample semantics not needed yet
+            # static-render semantics: resolve to the FIRST time sample
+            # (hdRunner renders one SetTime; our bake is static)
+            if attr.value is None and isinstance(val, dict):
+                first = _first_time_sample(val.get("__raw__", []))
+                if first is not None:
+                    attr.value = first
         elif type_str == "rel" or (type_str == "" and isinstance(val, tuple) and val and val[0] == "__path__"):
             if isinstance(val, tuple) and val[0] == "__path__":
                 attr.targets = [val[1]]

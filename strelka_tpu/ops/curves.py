@@ -457,14 +457,15 @@ def _cone_any_kernel(
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    done = jnp.all(occ_ref[0, :])
-    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
+    # progressive pruning: occluded lanes drop out of the slab tests
+    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=live_tmax)
 
     @pl.when(super_hit)
     def _super():
         for j in range(super_):
             blk = sb * super_ + j
-            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
 
             @pl.when(sub_hit)
             def _work(j=j, blk=blk):

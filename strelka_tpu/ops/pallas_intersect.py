@@ -171,9 +171,11 @@ def _any_kernel(
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    # skip once every ray in the tile is occluded (common for interior tiles)
-    done = jnp.all(occ_ref[0, :])
-    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
+    # progressive pruning: occluded lanes drop out of the slab tests (their
+    # effective tmax goes to 0), so a block is visited only while it can
+    # still occlude a LIVE ray; fully-occluded tiles skip everything
+    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=live_tmax)
 
     @pl.when(super_hit)
     def _super():
@@ -181,7 +183,7 @@ def _any_kernel(
         excl = excl_ref[0, :][None, :]
         for j in range(super_):
             blk = sb * super_ + j
-            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
 
             @pl.when(sub_hit)
             def _work(j=j, blk=blk):
@@ -504,8 +506,8 @@ def _any_kernel_mxu(
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    done = jnp.all(occ_ref[0, :])
-    super_hit = _tile_hits_block(rays, sbounds_ref, sb) & ~done
+    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=live_tmax)
 
     @pl.when(super_hit)
     def _super():
@@ -514,7 +516,7 @@ def _any_kernel_mxu(
         excl = excl_ref[0, :][None, :]
         for j in range(super_):
             blk = sb * super_ + j
-            sub_hit = _tile_hits_block(rays, bounds_ref, blk)
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
 
             @pl.when(sub_hit)
             def _work(j=j, blk=blk):
@@ -969,9 +971,9 @@ def _any_kernel_flat(
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    # skip once every ray in the tile is occluded (common for interior tiles)
-    done = jnp.all(occ_ref[0, :])
-    any_box = _tile_hits_block(rays, bounds_ref, blk) & ~done
+    # progressive pruning: occluded lanes drop out of the slab test
+    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+    any_box = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
 
     @pl.when(any_box)
     def _work():
@@ -1037,8 +1039,8 @@ def _any_kernel_mxu_flat(
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
 
     rays = rays_ref[:, :]
-    done = jnp.all(occ_ref[0, :])
-    any_hit = _tile_hits_block(rays, bounds_ref, blk) & ~done
+    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+    any_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
 
     @pl.when(any_hit)
     def _work():

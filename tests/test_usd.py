@@ -458,3 +458,38 @@ def Xform "World"
     cat = flatten_scene_geometry(scene)
     xs = sorted(np.round(cat["p"][:, 0, 0], 4).tolist())
     assert xs == [0.0, 1.0, 2.0, 10.0, 11.0, 12.0]
+
+
+def test_timesamples_first_sample():
+    """timeSamples attributes resolve to the first sample for the static bake."""
+    stage = """#usda 1.0
+def Xform "World"
+{
+    def Mesh "tri"
+    {
+        point3f[] points.timeSamples = {
+            0: [(0, 0, 0), (1, 0, 0), (0, 1, 0)],
+            10: [(5, 0, 0), (6, 0, 0), (5, 1, 0)],
+        }
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+        double3 xformOp:translate.timeSamples = { 0: (2, 0, 0), 5: (9, 9, 9) }
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+    }
+}
+"""
+    root = parse_usda(stage)
+    tri = root.find("/World/tri")
+    pts = np.asarray(tri.attrs["points"].value, np.float32)
+    np.testing.assert_allclose(pts[1], [1, 0, 0])
+    np.testing.assert_allclose(np.asarray(tri.attrs["xformOp:translate"].value), [2, 0, 0])
+    scene = Scene()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.usda")
+        open(p, "w").write(stage)
+        assert UsdLoader().load(p, scene)
+    from strelka_tpu.render.device_scene import flatten_scene_geometry
+    cat = flatten_scene_geometry(scene)
+    assert cat["p"].shape[0] == 1
+    np.testing.assert_allclose(cat["p"][0, 0], [2, 0, 0], atol=1e-6)
