@@ -5,10 +5,11 @@ sys.path.insert(0, ".")
 import jax, jax.numpy as jnp
 from strelka_tpu.ops import integrator as I
 from strelka_tpu.render.device_scene import build_device_scene
-from strelka_tpu.scene.testscenes import box_field
+from strelka_tpu.scene.testscenes import box_field, cornell_box
 
-W = H = 512; spp = 2; depth = 4
-sh = box_field(grid=48)
+import sys as _sys
+W = H = 512; spp = 4 if "cornell" in _sys.argv else 2; depth = 4
+sh = cornell_box(light_intensity=5000., metal_box=True, glass_sphere=True) if "cornell" in _sys.argv else box_field(grid=48)
 scene = build_device_scene(sh)
 cam = sh.get_camera(0); cam.update_aspect_ratio(1.0)
 params = I.LaunchParams(subframe_index=jnp.int32(0),
@@ -39,6 +40,25 @@ agg = defaultdict(float)
 for e in events:
     name = e.get("name", "")
     agg[name] += e["dur"]
+# category aggregation over ALL events (device lanes only: skip host $ frames)
+cat = defaultdict(float)
+for name, us in agg.items():
+    if name.startswith("$") or "asarray" in name or "Pjit" in name or name.startswith("jit_"):
+        continue
+    key = ("pallas_closest" if "closest" in name else
+           "pallas_any" if "any" in name else
+           "pallas_sampler" if "random_dims" in name else
+           "pallas_cones" if "cones" in name else
+           "slice_reduce(transposes)" if "slice_reduce" in name else
+           "sort" if "sort" in name.lower() else
+           "scatter" if "scatter" in name.lower() else
+           "gather" if "gather" in name.lower() else
+           "copy" if name.startswith("copy") else
+           "fusion(misc)" if "fusion" in name else name.split(".")[0].split("(")[0])
+    cat[key] += us
+print("=== categories ===")
+for name, us in sorted(cat.items(), key=lambda kv: -kv[1])[:20]:
+    print(f"{us/1e3:9.2f} ms  {name}")
 top = sorted(agg.items(), key=lambda kv: -kv[1])[:35]
 for name, us in top:
     print(f"{us/1e3:9.2f} ms  {name[:110]}")

@@ -31,16 +31,15 @@ def render(name, host, spp_total, spl, depth, W=512, H=512, exposure=6.25e-4, bg
     out = np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
     dt = time.perf_counter() - t0
     path = f"images/{name}_{spp_total}spp_{depth}d.png"
-    write_png(path, out, flip=False)
+    write_png(path, out)  # default flip matches app screenshot orientation
     print(f"{path}: {dt:.1f}s", flush=True)
 
 render("cornell", TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True), 512, 8, 4)
-render("coffeetable_note", None, 0, 0, 0) if False else None
 # coffeetable via USD
 from strelka_tpu.loaders.usd import UsdLoader
 from strelka_tpu.scene.scene import Scene
 host = Scene()
 UsdLoader().load("data/scenes/coffeetable.usda", host)
 render("coffeetable", host, 512, 8, 4)
-render("hair_patch", TS.hair_patch(n_curves=256), 128, 4, 4, exposure=1.6e-4)
+render("hair_patch", TS.hair_patch(n_curves=256), 128, 4, 4, exposure=8e-4, bg=0.35)
 render("box_field", TS.box_field(grid=48), 32, 2, 4, exposure=2e-4)
