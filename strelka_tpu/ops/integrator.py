@@ -290,7 +290,13 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         | ((direction.y > 0).astype(jnp.uint32) << 1)
         | ((direction.z > 0).astype(jnp.uint32) << 2)
     )
-    return ((mx | (my << 1) | (mz << 2)) << 3) | octant
+    morton = mx | (my << 1) | (mz << 2)  # 24 bits (8/axis)
+    import os as _os
+    if _os.environ.get("STRELKA_KEY_OCTANT_MAJOR") == "1":
+        # direction-octant-major: tiles become direction-pure, so blocks
+        # behind a tile fail every slab test (halves+ the touched set)
+        return (octant << 24) | morton
+    return (morton << 3) | octant
 
 
 def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits):

@@ -132,3 +132,40 @@ def test_crate_rejects_garbage(tmp_path):
         f.write(b"NOT-USDC" + b"\x00" * 100)
     with pytest.raises(ValueError):
         read_usdc(p)
+
+
+def test_coffeetable_usdc_renders(tmp_path):
+    """Reference workflow parity: a BINARY .usdc stage renders end-to-end
+    (README.md:66-68 `./Strelka -s misc/coffeemaker.usdc`)."""
+    import jax
+    import jax.numpy as jnp
+    from strelka_tpu.loaders.usda_parser import parse_usda
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+
+    src = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "data", "scenes", "coffeetable.usda")
+    root = parse_usda(open(src).read())
+    path_c = str(tmp_path / "coffeetable.usdc")
+    write_usdc(path_c, root)
+
+    scene = Scene()
+    assert UsdLoader().load(path_c, scene)
+    assert len(scene.meshes) > 0 and len(scene.lights) > 0
+    dev = build_device_scene(scene)
+    cam = scene.get_camera(0)
+    cam.update_aspect_ratio(1.0)
+    params = I.LaunchParams(
+        subframe_index=jnp.int32(0),
+        clip_to_view=jnp.asarray(cam.clip_to_view(), jnp.float32),
+        view_to_world=jnp.asarray(cam.view_to_world(), jnp.float32),
+        exposure=jnp.asarray([6.25e-4] * 3, jnp.float32),
+        bg_color=jnp.zeros(3, jnp.float32),
+    )
+    state = I.make_frame_state(16, 16)
+    _, img = I.render_launch(
+        dev, params, state, width=16, height=16, samples_per_launch=2,
+        max_sample_count=8, max_depth=2, enable_accumulation=False,
+    )
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.max() > 0
