@@ -367,10 +367,13 @@ def build_device_scene(
         # ~1.25x on isolated bounce sweeps BUT their bounds table + the full
         # per-tile order table overflow the 1MB SMEM, and dropping the order
         # table costs more than fine blocks gain (box e2e 1.86 -> 2.64 s).
+        import os as _os
+
         if num_tri <= FLAT_KERNEL_MAX_TRIS:
             pack_tblk, pack_super = DEFAULT_TBLK, 1
         else:
-            pack_tblk, pack_super = DEFAULT_TBLK, DEFAULT_SUPER
+            pack_tblk = DEFAULT_TBLK
+            pack_super = int(_os.environ.get("STRELKA_PACK_SUPER", DEFAULT_SUPER))
 
         if num_tri > 2 * DEFAULT_TBLK:
             perm2 = morton_sort_tris(cat["p"])
