@@ -9,14 +9,6 @@ from strelka_tpu.render.device_scene import build_device_scene
 from strelka_tpu.scene.testscenes import cornell_box
 
 mode = sys.argv[1]
-if "nozorder" in mode:
-    real = I._pixel_zorder
-    I._pixel_zorder = None  # force row-major: patch the branch instead
-    # patch: make use_pallas check fail for zorder only
-    orig_launch = I.render_launch
-    import types
-    # simpler: monkeypatch _pixel_zorder to raise -> but branch calls it... patch the getattr:
-    I._pixel_zorder = real
 if "nosampler" in mode:
     S.random_dims_pallas = lambda idx, depth, dims, tile=4096: S.random_dims(idx, depth, dims)
 
@@ -24,10 +16,7 @@ W = H = 512; spp = 4; depth = 4
 sh = cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
 scene = build_device_scene(sh, intersector="mxu")
 if "nozorder" in mode:
-    import dataclasses
-    # zorder branch keys off use_pallas; add a wrapper flag by patching the fn
-    orig = I.render_launch
-    src_zorder = I._pixel_zorder
+    # identity "z-order": row-major tiles but the unsort gather still runs
     I._pixel_zorder = lambda w, h: (np.arange(w*h, dtype=np.int64), np.arange(w*h, dtype=np.int64))
 cam = sh.get_camera(0); cam.update_aspect_ratio(1.0)
 params = I.LaunchParams(subframe_index=jnp.int32(0),

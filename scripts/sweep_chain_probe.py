@@ -28,11 +28,9 @@ def sweeps(o, d):
         occ = intersect_any(scene, o, d, tmin, jnp.full(N, 3.0), RAY_MASK_SHADOW)
         t_acc = t_acc + hit.t * 1e-20 + occ.astype(jnp.float32) * 1e-20
         # perturb rays so sweeps can't be CSE'd
-        o = o + Vec3(t_acc * 0, t_acc * 0, t_acc * 0) if False else o
         d = d._replace(x=d.x + t_acc * 1e-30)
     return t_acc
 
-from strelka_tpu.ops.vec import Vec3
 fn = jax.jit(sweeps)
 r = fn(o, d); _ = np.asarray(r[0])
 t0 = time.perf_counter()

@@ -45,6 +45,12 @@ from strelka_tpu.render.device_scene import (
     DeviceScene,
 )
 
+import os as _os
+
+# perf-bisection toggles (scripts/bisect_probe.py) — read once at import
+_NO_EMISSION = _os.environ.get("STRELKA_NO_EMISSION") == "1"
+_NO_CUTOUT = _os.environ.get("STRELKA_NO_CUTOUT") == "1"
+
 Dim = S.SampleDimension
 
 
@@ -291,7 +297,6 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         | ((direction.z > 0).astype(jnp.uint32) << 2)
     )
     morton = mx | (my << 1) | (mz << 2)  # 24 bits (8/axis)
-    import os as _os
     if _os.environ.get("STRELKA_KEY_OCTANT_MAJOR") == "1":
         # direction-octant-major: tiles become direction-pure, so blocks
         # behind a tile fail every slab test (halves+ the touched set)
@@ -484,14 +489,11 @@ def trace_paths(
             first_event = jnp.where(hit_surface, EventType.eUndef, first_event)
             break
 
-        import os as _os  # perf-bisect toggles (temporary diagnostics)
-        _no_emis = _os.environ.get("STRELKA_NO_EMISSION") == "1"
-        _no_cut = _os.environ.get("STRELKA_NO_CUTOUT") == "1"
         # ---- emissive materials (EDF): the reference links per-material MDL
         # emission functions into the hit program (mdlPtxCodeGen.cpp:133-172).
         # Emissive surfaces are NOT in the NEE light list, so the full
         # contribution is added on every BSDF/camera hit (unbiased, no MIS).
-        if not _no_emis:
+        if not _NO_EMISSION:
             emissive = hit_surface & V.any_nonzero(mat.emission_color)
             front = V.dot(frame.geom_normal, direction) < 0.0
             radiance = V.where(
@@ -509,7 +511,7 @@ def trace_paths(
         # a specular-transmission event without flipping the medium. Maps the
         # reference's alpha-mode -> OmniGlass/enable_opacity handling
         # (gltfloader.cpp:358-421) onto any material's opacity value.
-        if _no_cut:
+        if _NO_CUTOUT:
             cut = jnp.zeros(n, bool)
         else:
             u_cut = S.uniform_hash(sample_idx, depth)
@@ -678,7 +680,6 @@ def render_launch(
     # is a compact square screen block (a row-major tile is a thin strip
     # whose frustum crosses the whole scene and defeats block culling);
     # results are unsorted once at the end with a packed row-gather.
-    import os as _os
     zorder = None
     if getattr(scene, "use_pallas", False) and _os.environ.get("STRELKA_NO_ZORDER") != "1":
         zorder, z_inv = _pixel_zorder(width, height)

@@ -169,3 +169,11 @@ def test_coffeetable_usdc_renders(tmp_path):
     )
     img = np.asarray(img)
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_lz4_long_matches_and_runs():
+    """Matches longer than the 15+255 extension steps decode correctly."""
+    data = b"A" * 5000 + b"pattern" * 800 + b"B" * 3
+    comp = lz4_block_compress(data)
+    assert len(comp) < len(data) // 4
+    assert lz4_block_decompress(comp, len(data)) == data
