@@ -232,8 +232,6 @@ def _read_compressed_ints(r: "_Reader", n: int, wide: bool = False) -> np.ndarra
 
 def _lenient_decompress(comp: bytes, max_size: int) -> bytes:
     """Decompress when the exact decoded size is unknown (bounded above)."""
-    from strelka_tpu.loaders.lz4 import lz4_block_decompress
-
     n_chunks = comp[0]
     if n_chunks != 0:
         raise ValueError("multi-chunk int-compression unsupported (file > 2GB)")

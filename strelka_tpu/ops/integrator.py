@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from strelka_tpu.ops import bsdf as B
 from strelka_tpu.ops import light_sampling as LS
 from strelka_tpu.ops import sampler as S
-from strelka_tpu.ops import tonemap as TM
 from strelka_tpu.ops import vec as V
 from strelka_tpu.ops.intersect import (
     Hit,
