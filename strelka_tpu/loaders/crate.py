@@ -227,12 +227,29 @@ def _read_compressed_ints(r: "_Reader", n: int, wide: bool = False) -> np.ndarra
     # decompressed size upper bound: common + codes + n * maxint
     max_size = (8 if wide else 4) + (n * 2 + 7) // 8 + n * (8 if wide else 4)
     buf = _lenient_decompress(comp, max_size)
+    try:
+        from strelka_tpu.native import native_int_decode
+
+        out = native_int_decode(buf, n, wide)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     return _decode_ints(buf, n, wide)
 
 
 def _lenient_decompress(comp: bytes, max_size: int) -> bytes:
     """Decompress when the exact decoded size is unknown (bounded above)."""
     n_chunks = comp[0]
+    if n_chunks == 0:
+        try:
+            from strelka_tpu.native import native_lz4_decompress_lenient
+
+            out = native_lz4_decompress_lenient(comp[1:], max_size)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     if n_chunks != 0:
         raise ValueError("multi-chunk int-compression unsupported (file > 2GB)")
     # decode without the exact-size assertion

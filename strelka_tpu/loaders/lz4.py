@@ -22,7 +22,18 @@ _LZ4_MAX_INPUT = 0x7E000000
 
 
 def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
-    """Decode one raw LZ4 block into exactly dst_size bytes."""
+    """Decode one raw LZ4 block into exactly dst_size bytes.
+
+    Uses the native C++ decoder when available (~GB/s; the Python loop below
+    is the fallback at ~MB/s — it matters for production-size usdc stages)."""
+    try:
+        from strelka_tpu.native import native_lz4_decompress
+
+        out = native_lz4_decompress(bytes(src), dst_size)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     src = memoryview(src)
     dst = bytearray()
     i = 0
