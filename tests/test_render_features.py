@@ -114,3 +114,38 @@ if __name__ == "__main__":
         img = np.clip(buf.map()[..., :3], 0, 1)
         write_png(os.path.join(GOLDEN_DIR, "cornell_64_16spp.png"), img, flip=False)
         print("golden written")
+
+
+def test_zero_lights_renders_background():
+    """A scene with no lights renders the bg color, not a crash (the
+    num_lights static gate)."""
+    from strelka_tpu.scene.scene import MaterialDescription, Scene
+    from strelka_tpu.scene.testscenes import furnace_scene
+
+    r = RenderFactory.create_render()
+    s = make_default_settings(24, 24)
+    s.set("render/pt/sppTotal", 4)
+    s.set("render/pt/spp", 2)
+    s.set("render/bgColor", (0.25, 0.5, 0.75))
+    ctx = SharedContext(s)
+    r.set_scene(furnace_scene())  # sphere, NO lights
+    r.set_shared_context(ctx)
+    r.init()
+    buf = r.create_buffer(BufferDesc(24, 24, BufferFormat.FLOAT4))
+    r.render(buf)
+    img = buf.map()
+    assert not np.isnan(img).any()
+    # corners see the background
+    assert img[0, 0, 2] > img[0, 0, 0]  # blue-ish bg after tonemap
+
+
+def test_camera_move_resets_accumulation():
+    """Camera change -> subframe reset (OptixRender.cpp:895-908 parity)."""
+    r, ctx, buf, _ = _make(width=24, height=24, spp=2, total=64)
+    r.render(buf)
+    r.render(buf)
+    assert ctx.subframe_index == 4
+    cam = r._scene.get_camera(0)
+    cam.set_position([0.3, 1.1, 3.5])
+    r.render(buf)
+    assert ctx.subframe_index == 2, "camera move must restart accumulation"
