@@ -293,3 +293,43 @@ def test_pallas_flat_kernels_match_oracle():
         feats, maskp, bounds, jnp.asarray(o), jnp.asarray(d), tmin, jnp.full(500, 20.0),
         RAY_MASK_SHADOW, tile=256, tblk=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(o2), np.asarray(occ_bf))
+
+
+def test_tile_sweep_order_is_nearest_first():
+    """Each tile's sweep order lists superblocks by ascending centroid
+    distance and is a permutation of all superblocks."""
+    from strelka_tpu.ops.pallas_intersect import tile_sweep_order
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(12)
+    cents = jnp.asarray(rng.uniform(-10, 10, (24, 3)).astype(np.float32))
+    o = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+    order = np.asarray(tile_sweep_order(from_rows(jnp.asarray(o)), cents, 256))
+    assert order.shape == (2, 24)
+    c = np.asarray(cents)
+    for r in range(2):
+        assert sorted(order[r].tolist()) == list(range(24))
+        centroid = o[r * 256 : (r + 1) * 256].mean(axis=0)
+        d = np.linalg.norm(c[order[r]] - centroid, axis=1)
+        assert (np.diff(d) >= -1e-4).all(), "order must be ascending distance"
+
+
+def test_exclude_prim_shadow_semantics():
+    """A ray leaving a planar triangle never re-hits it even with tmin=0 and
+    a grazing direction (the exact-by-id guard, not epsilons)."""
+    v0 = np.array([[0, 0, 0]], np.float32)
+    e1 = np.array([[1, 0, 0]], np.float32)
+    e2 = np.array([[0, 1, 0]], np.float32)
+    mask = np.ones(1, np.int32)
+    from strelka_tpu.ops.pallas_intersect import block_bounds, pack_tris
+
+    tris = pack_tris(v0, e1, e2, mask, tblk=128)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128)
+    # origin ON the triangle plane, direction nearly in-plane
+    o = jnp.asarray([[0.25, 0.25, 0.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 1e-7]], jnp.float32)
+    occ = pallas_intersect_any(
+        tris, bounds, o, d, jnp.zeros(1), jnp.full(1, 1e16), RAY_MASK_PRIMARY,
+        exclude=jnp.asarray([0], jnp.int32), tile=256, tblk=128, interpret=True,
+    )
+    assert not bool(np.asarray(occ)[0])

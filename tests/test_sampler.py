@@ -159,3 +159,21 @@ def test_random_dims_batch_matches_single():
         for dim in range(5):
             single = np.asarray(S.random_dim(idx, depth, S.SampleDimension(dim)))
             np.testing.assert_array_equal(batch[dim], single)
+
+
+def test_uniform_hash_statistics_and_decorrelation():
+    """The auxiliary cutout uniform is uniform-ish and decorrelated from the
+    Sobol dims at the same index."""
+    import jax.numpy as jnp
+    from strelka_tpu.ops import sampler as S
+
+    idx = jnp.arange(1 << 16, dtype=jnp.uint32)
+    u = np.asarray(S.uniform_hash(idx, 1))
+    assert 0.49 < u.mean() < 0.51
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # depth changes the stream
+    u2 = np.asarray(S.uniform_hash(idx, 2))
+    assert abs(np.corrcoef(u, u2)[0, 1]) < 0.02
+    # decorrelated from sobol dim 0 at the same depth
+    s0 = np.asarray(S.random_dims(idx, 1, (0,)))[0]
+    assert abs(np.corrcoef(u, s0)[0, 1]) < 0.02
