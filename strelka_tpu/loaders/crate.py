@@ -770,11 +770,19 @@ def crate_to_stage(cf: CrateFile) -> Prim:
 
 
 def read_usdc(path: str) -> Prim:
-    """Open a .usdc file -> pseudo-stage Prim tree (same shape as parse_usda)."""
+    """Open a .usdc file -> pseudo-stage Prim tree (same shape as parse_usda).
+
+    Corrupt/truncated files raise ValueError (low-level decode errors are
+    converted so callers need only one failure path)."""
     with open(path, "rb") as f:
         data = f.read()
-    cf = CrateFile(data, name=path)
-    return crate_to_stage(cf)
+    try:
+        cf = CrateFile(data, name=path)
+        return crate_to_stage(cf)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, EOFError, OverflowError) as e:
+        raise ValueError(f"{path}: corrupt usdc file ({e})") from e
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,29 @@ def test_lz4_long_matches_and_runs():
     comp = lz4_block_compress(data)
     assert len(comp) < len(data) // 4
     assert lz4_block_decompress(comp, len(data)) == data
+
+
+def test_crate_truncation_robustness(tmp_path):
+    """Truncated/corrupted crate files raise ValueError, never crash with
+    unhandled struct/index errors."""
+    root = parse_usda(_STAGE)
+    path = str(tmp_path / "whole.usdc")
+    write_usdc(path, root)
+    data = open(path, "rb").read()
+    for cut in (16, 80, 88, len(data) // 3, len(data) - 7):
+        p = str(tmp_path / f"cut_{cut}.usdc")
+        with open(p, "wb") as f:
+            f.write(data[:cut])
+        try:
+            read_usdc(p)
+        except ValueError:
+            pass
+
+
+def test_crate_version_gate(tmp_path):
+    data = bytearray(open_fixture := b"PXR-USDC" + bytes([0, 3, 0]) + b"\x00" * 80)
+    p = str(tmp_path / "old.usdc")
+    with open(p, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError):
+        read_usdc(p)
