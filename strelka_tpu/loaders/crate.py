@@ -154,22 +154,18 @@ def _decode_ints(buf: bytes, n: int, wide: bool = False) -> np.ndarray:
     out = np.empty(n, itype)
     prev = 0
     pos = vints_off
+    # Per-code explicit-delta widths. pxr's 64-bit codec
+    # (Usd_IntegerCompression64, integerCoding.cpp) is int16/int32/int64 for
+    # codes 1/2/3; the 32-bit codec is int8/int16/int32.
+    fmts = (("<h", 2), ("<i", 4), ("<q", 8)) if wide else (("<b", 1), ("<h", 2), ("<i", 4))
     for i in range(n):
         code = (buf[codes_off + (i >> 2)] >> ((i & 3) * 2)) & 3
         if code == 0:
             delta = common
-        elif code == 1:
-            delta = struct.unpack_from("<b", buf, pos)[0]
-            pos += 1
-        elif code == 2:
-            delta = struct.unpack_from("<h", buf, pos)[0]
-            pos += 2
-        elif not wide:
-            delta = struct.unpack_from("<i", buf, pos)[0]
-            pos += 4
         else:
-            delta = struct.unpack_from("<q", buf, pos)[0]
-            pos += 8
+            fmt, sz = fmts[code - 1]
+            delta = struct.unpack_from(fmt, buf, pos)[0]
+            pos += sz
         prev = _wrap(prev + delta, wide)
         out[i] = prev
     return out
@@ -203,18 +199,21 @@ def _encode_ints(values, wide: bool = False) -> bytes:
     out += struct.pack("<q" if wide else "<i", common)
     codes = bytearray((n * 2 + 7) // 8)
     vints = bytearray()
+    # widths must mirror _decode_ints (pxr: 64-bit codec shifts one size up)
+    fmts = (("<h", 1 << 15), ("<i", 1 << 31)) if wide else (("<b", 1 << 7), ("<h", 1 << 15))
+    widest = "<q" if wide else "<i"
     for i, d in enumerate(deltas):
         if d == common:
             code = 0
-        elif -128 <= d < 128:
+        elif -fmts[0][1] <= d < fmts[0][1]:
             code = 1
-            vints += struct.pack("<b", d)
-        elif -32768 <= d < 32768:
+            vints += struct.pack(fmts[0][0], d)
+        elif -fmts[1][1] <= d < fmts[1][1]:
             code = 2
-            vints += struct.pack("<h", d)
+            vints += struct.pack(fmts[1][0], d)
         else:
             code = 3
-            vints += struct.pack("<q" if wide else "<i", d)
+            vints += struct.pack(widest, d)
         codes[i >> 2] |= code << ((i & 3) * 2)
     out += codes
     out += vints
@@ -792,8 +791,12 @@ def read_usdc(path: str) -> Prim:
 
 class _CrateWriter:
     def __init__(self):
-        self.tokens: List[str] = []
-        self._tok_idx: Dict[str, int] = {}
+        # Reserve the empty string as token 0 (pxr does the same): property
+        # path elements are encoded as NEGATED token indices, and -0 == 0
+        # would make a property at token 0 indistinguishable from a prim
+        # child.
+        self.tokens: List[str] = [""]
+        self._tok_idx: Dict[str, int] = {"": 0}
         self.fields: List[Tuple[int, int]] = []
         self._field_idx: Dict[Tuple[int, int], int] = {}
         self.fieldsets: List[int] = []

@@ -80,20 +80,39 @@ int64_t strelka_int_decode(const uint8_t* buf, int64_t buf_len, int64_t n,
     for (int64_t idx = 0; idx < n; ++idx) {
         int code = (buf[codes_off + (idx >> 2)] >> ((idx & 3) * 2)) & 3;
         int64_t delta;
+        // pxr per-code widths: 32-bit codec int8/int16/int32 for codes
+        // 1/2/3; the 64-bit codec (Usd_IntegerCompression64) shifts one
+        // size up, int16/int32/int64.
         switch (code) {
             case 0: delta = common; break;
             case 1: {
-                if (pos + 1 > buf_len) return -1;
-                delta = (int8_t)buf[pos];
-                pos += 1;
+                if (wide) {
+                    if (pos + 2 > buf_len) return -1;
+                    int16_t d;
+                    std::memcpy(&d, buf + pos, 2);
+                    delta = d;
+                    pos += 2;
+                } else {
+                    if (pos + 1 > buf_len) return -1;
+                    delta = (int8_t)buf[pos];
+                    pos += 1;
+                }
                 break;
             }
             case 2: {
-                if (pos + 2 > buf_len) return -1;
-                int16_t d;
-                std::memcpy(&d, buf + pos, 2);
-                delta = d;
-                pos += 2;
+                if (wide) {
+                    if (pos + 4 > buf_len) return -1;
+                    int32_t d;
+                    std::memcpy(&d, buf + pos, 4);
+                    delta = d;
+                    pos += 4;
+                } else {
+                    if (pos + 2 > buf_len) return -1;
+                    int16_t d;
+                    std::memcpy(&d, buf + pos, 2);
+                    delta = d;
+                    pos += 2;
+                }
                 break;
             }
             default: {

@@ -313,6 +313,7 @@ def intersect_bvh(
     ray_mask: int,
     active: jnp.ndarray | None = None,
     any_hit: bool = False,
+    exclude: jnp.ndarray | None = None,
 ):
     """Lockstep stackless traversal over the threaded BVH.
 
@@ -321,7 +322,9 @@ def intersect_bvh(
     loop at num_nodes+1 (DFS position is strictly increasing), so the loop
     terminates even on malformed input. Returns (t, prim, u, v); prim indexes
     the REORDERED triangle arrays, -1 on miss. any_hit=True retires lanes on
-    the first accepted hit (occlusion semantics).
+    the first accepted hit (occlusion semantics). exclude: [N] i32 origin
+    primitive id rejected exactly (same self-intersection guard as the
+    pallas kernels), -1/None = none.
     """
     n = origins.shape[0]
     n_nodes = bvh.skip.shape[0]
@@ -357,6 +360,8 @@ def intersect_bvh(
             )
             mask_ok = (tri_mask[prim] & ray_mask) != 0
             hit = hit & proc_leaf & (k < cnt) & mask_ok
+            if exclude is not None:
+                hit = hit & (prim != exclude)
             best_prim = jnp.where(hit, prim, best_prim)
             best_u = jnp.where(hit, u, best_u)
             best_v = jnp.where(hit, v, best_v)

@@ -492,8 +492,17 @@ def trace_paths(
         # emission functions into the hit program (mdlPtxCodeGen.cpp:133-172).
         # Emissive surfaces are NOT in the NEE light list, so the full
         # contribution is added on every BSDF/camera hit (unbiased, no MIS).
+        # cutout decision FIRST: a lane that passes through as transparent
+        # must not collect emission either (emission would otherwise be
+        # overcounted by 1/opacity on emissive+cutout materials)
+        if _NO_CUTOUT:
+            cut = jnp.zeros(n, bool)
+        else:
+            u_cut = S.uniform_hash(sample_idx, depth)
+            cut = hit_surface & (mat.opacity < 1.0) & (u_cut >= mat.opacity)
+
         if not _NO_EMISSION:
-            emissive = hit_surface & V.any_nonzero(mat.emission_color)
+            emissive = hit_surface & ~cut & V.any_nonzero(mat.emission_color)
             front = V.dot(frame.geom_normal, direction) < 0.0
             radiance = V.where(
                 emissive & front, radiance + throughput * mat.emission_color, radiance
@@ -510,11 +519,7 @@ def trace_paths(
         # a specular-transmission event without flipping the medium. Maps the
         # reference's alpha-mode -> OmniGlass/enable_opacity handling
         # (gltfloader.cpp:358-421) onto any material's opacity value.
-        if _NO_CUTOUT:
-            cut = jnp.zeros(n, bool)
-        else:
-            u_cut = S.uniform_hash(sample_idx, depth)
-            cut = hit_surface & (mat.opacity < 1.0) & (u_cut >= mat.opacity)
+        if not _NO_CUTOUT:
             ones3 = V.full(n, 1.0)
             smp = B.BsdfSample(
                 k2=V.where(cut, direction, smp.k2),

@@ -216,6 +216,7 @@ def intersect_closest(
             tmax,
             ray_mask,
             active=active,
+            exclude=exclude,
         )
         return Hit(t=t, prim=prim, u=u, v=v)
     return intersect_closest_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active, exclude=exclude)
@@ -294,6 +295,7 @@ def intersect_any(
             ray_mask,
             active=active,
             any_hit=True,
+            exclude=exclude,
         )
         return prim >= 0
     return intersect_any_bruteforce(scene, origins, directions, tmin, tmax, ray_mask, active, exclude=exclude)

@@ -41,6 +41,23 @@ class TextureAtlas(NamedTuple):
     size: int  # sheet width (kept for back-compat introspection)
 
 
+def _resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side bilinear resize of an [H,W,C] f32 image (no PIL dependency
+    for in-memory arrays)."""
+    h, w = im.shape[:2]
+    yy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(yy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    ty = np.clip(yy - y0, 0.0, 1.0)[:, None, None]
+    tx = np.clip(xx - x0, 0.0, 1.0)[None, :, None]
+    top = im[y0][:, x0] * (1 - tx) + im[y0][:, x1] * tx
+    bot = im[y1][:, x0] * (1 - tx) + im[y1][:, x1] * tx
+    return (top * (1 - ty) + bot * ty).astype(np.float32)
+
+
 class TextureManager:
     """Host registry: load images at native size, dedupe by path, shelf-pack
     the sheet. The 'registerResource' analog (materialmanager.cpp:611-618):
@@ -116,12 +133,21 @@ class TextureManager:
         sheet_w = max(128, min(self.max_dim, max(im.shape[1] for im in self._images)))
         sheet_w = 1 << (sheet_w - 1).bit_length()  # pow2 lanes
         # shelves: place tallest-first rows
+        # downscale (never crop) any registered image wider than the sheet —
+        # loader-capped images are safe, in-memory add_array() ones may not be
+        for i, im in enumerate(self._images):
+            h, w = im.shape[:2]
+            if w > sheet_w:
+                s = sheet_w / w
+                self._images[i] = _resize_bilinear(im, max(1, int(round(h * s))), sheet_w)
+                log.warning(
+                    "Texture {} ({}x{}) wider than sheet ({}); downscaled", i, w, h, sheet_w
+                )
         order = sorted(range(len(self._images)), key=lambda i: -self._images[i].shape[0])
         rects = np.zeros((len(self._images), 5), np.int32)
         x = y = shelf_h = 0
         for i in order:
             h, w = self._images[i].shape[:2]
-            w = min(w, sheet_w)
             if x + w > sheet_w:
                 y += shelf_h
                 x = shelf_h = 0

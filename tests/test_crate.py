@@ -67,6 +67,67 @@ def test_integer_coding_roundtrip():
     np.testing.assert_array_equal(dec, np.asarray(wide, np.int64))
 
 
+def test_integer_coding_64bit_pxr_fixture():
+    """Hand-constructed bytes per pxr Usd_IntegerCompression64
+    (integerCoding.cpp): NOT produced by our own encoder, so a mirrored
+    encode/decode misunderstanding cannot pass. The 64-bit codec uses
+    int16/int32/int64 explicit deltas for codes 1/2/3 (one size up from the
+    32-bit codec's int8/int16/int32).
+    """
+    import struct
+
+    # deltas: [7, 7, 7, 300, 2**20, 2**40] -> common = 7 (repeated, so any
+    # encoder must pick it); 300 fits int16 (code 1); 2**20 needs int32
+    # (code 2); 2**40 needs int64 (code 3)
+    vals = [7, 14, 21, 321, 321 + 2**20, 321 + 2**20 + 2**40]
+    buf = struct.pack("<q", 7)  # common delta (int64 in the 64-bit codec)
+    # 2-bit codes, LSB-first within each byte
+    codes = [0, 0, 0, 1, 2, 3]
+    nbytes = (len(codes) * 2 + 7) // 8
+    cb = bytearray(nbytes)
+    for i, c in enumerate(codes):
+        cb[i >> 2] |= c << ((i & 3) * 2)
+    buf += bytes(cb)
+    buf += struct.pack("<h", 300)  # code 1 -> int16
+    buf += struct.pack("<i", 2**20)  # code 2 -> int32
+    buf += struct.pack("<q", 2**40)  # code 3 -> int64
+    dec = _decode_ints(buf, len(vals), wide=True)
+    np.testing.assert_array_equal(dec, np.asarray(vals, np.int64))
+    # the native decoder must agree
+    from strelka_tpu.native import native_int_decode
+
+    nat = native_int_decode(buf, len(vals), True)
+    if nat is not None:
+        np.testing.assert_array_equal(nat, np.asarray(vals, np.int64))
+    # and our encoder must emit exactly the widths the fixture uses
+    assert _encode_ints(vals, wide=True) == buf
+
+
+def test_integer_coding_32bit_pxr_fixture():
+    """Same non-circular check for the 32-bit codec: int8/int16/int32."""
+    import struct
+
+    vals = [5, 10, 15, 115, 115 + 2**10, 115 + 2**10 + 2**20]
+    # deltas: [5, 5, 5, 100, 2**10, 2**20] -> common=5, int8, int16, int32
+    buf = struct.pack("<i", 5)  # common delta (int32)
+    codes = [0, 0, 0, 1, 2, 3]
+    cb = bytearray((len(codes) * 2 + 7) // 8)
+    for i, c in enumerate(codes):
+        cb[i >> 2] |= c << ((i & 3) * 2)
+    buf += bytes(cb)
+    buf += struct.pack("<b", 100)
+    buf += struct.pack("<h", 2**10)
+    buf += struct.pack("<i", 2**20)
+    dec = _decode_ints(buf, len(vals), wide=False)
+    np.testing.assert_array_equal(dec, np.asarray(vals, np.int64))
+    from strelka_tpu.native import native_int_decode
+
+    nat = native_int_decode(buf, len(vals), False)
+    if nat is not None:
+        np.testing.assert_array_equal(nat, np.asarray(vals, np.int64))
+    assert _encode_ints(vals, wide=False) == buf
+
+
 def _tree_flat(root):
     out = {}
     for p in root.walk():
