@@ -319,23 +319,28 @@ def _permute_packed(perm, f32_cols, bit_cols):
 
     Per-array 1D gathers run ~0.06 G/s on TPU (measured round 1: permuting
     16 arrays = 293ms); a single fat row gather + one transpose is ~100x
-    cheaper. bit_cols are carried bit-exact via f32 bitcast.
+    cheaper. The table is INT32: floats ride as i32 bitcasts. (The reverse —
+    ints bitcast to f32 — is NOT safe on TPU: int values < 2^23 are f32
+    subnormals and get flushed to zero somewhere in the gather/transpose
+    lowering; measured 261881/262144 corrupted. Integer lanes never flush.)
     """
-    def to_f32(c):
+    def to_i32(c):
         if c.dtype == jnp.bool_:
-            return c.astype(jnp.float32)  # exact 0/1
-        return jax.lax.bitcast_convert_type(c, jnp.float32)
+            return c.astype(jnp.int32)  # exact 0/1
+        if c.dtype in (jnp.int32, jnp.uint32):
+            return jax.lax.bitcast_convert_type(c, jnp.int32)
+        return jax.lax.bitcast_convert_type(c, jnp.int32)
 
-    cols = list(f32_cols) + [to_f32(c) for c in bit_cols]
-    table = jnp.stack(cols, axis=1)  # [N, F]
+    cols = [to_i32(c) for c in f32_cols] + [to_i32(c) for c in bit_cols]
+    table = jnp.stack(cols, axis=1)  # [N, F] i32
     rows = table[perm].T  # [F, N]
     nf = len(f32_cols)
-    out_f32 = [rows[i] for i in range(nf)]
+    out_f32 = [jax.lax.bitcast_convert_type(rows[i], jnp.float32) for i in range(nf)]
     out_bits = []
     for i, c in enumerate(bit_cols):
         r = rows[nf + i]
         if c.dtype == jnp.bool_:
-            out_bits.append(r > 0.5)
+            out_bits.append(r != 0)
         else:
             out_bits.append(jax.lax.bitcast_convert_type(r, c.dtype))
     return out_f32, out_bits
@@ -417,7 +422,7 @@ def trace_paths(
 
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
-            active=alive, exclude=prev_prim,
+            active=alive, exclude=prev_prim, shared_origin=(depth == 0),
         )
         # curve (hair) primitives: dense round-cone sweep, closest wins
         is_curve = jnp.zeros(n, bool)

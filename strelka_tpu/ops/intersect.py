@@ -112,6 +112,257 @@ def _use_flat(scene) -> bool:
     return scene.num_triangles <= FLAT_KERNEL_MAX_TRIS
 
 
+# Residual two-pass sweep (the TPU stand-in for per-ray ordered BVH
+# termination): phase 1 sweeps each tile's K nearest superblocks; rays whose
+# remaining unswept blocks cannot beat their current best are RESOLVED; the
+# open remainder is stable-partitioned to the front (compaction) and swept
+# against the full near-to-far order with tmax primed by phase 1. One
+# incoherent lane no longer drags its whole 1024-ray tile through the scene.
+RESIDUAL_K = int(_os.environ.get("STRELKA_RESIDUAL_K", "16"))
+_NO_RESIDUAL = _os.environ.get("STRELKA_NO_RESIDUAL") == "1"
+
+
+def _use_residual(scene) -> bool:
+    if _NO_RESIDUAL or getattr(scene, "block_cents", None) is None:
+        return False
+    step = scene.kernel_tblk * scene.kernel_super
+    nsb = -(-scene.num_triangles // step)
+    return nsb >= 2 * RESIDUAL_K
+
+
+def _partition_perm(flag):
+    """Stable open-first partition permutation (no argsort: 1 cumsum + 1
+    scatter). Returns (perm, pos): perm gathers rays into partitioned order,
+    pos maps each original lane to its partitioned slot (the inverse)."""
+    n = flag.shape[0]
+    r = jnp.cumsum(flag.astype(jnp.int32))
+    total = r[n - 1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(flag, r - 1, total + idx - r)
+    perm = jnp.zeros(n, jnp.int32).at[pos].set(idx)
+    return perm, pos
+
+
+def _gather_ray_rows(perm, origins, directions, tmin, tmax, exclude):
+    """Permute the 8 ray rows + exclude with ONE [N, 9] row-gather.
+
+    The table is i32 (floats bitcast): TPU flushes f32-subnormal lanes in
+    this gather+transpose shape, so small ints must never ride as f32."""
+    excl = exclude if exclude is not None else jnp.full(tmin.shape[0], -1, jnp.int32)
+    f = lambda c: jax.lax.bitcast_convert_type(c, jnp.int32)
+    table = jnp.stack(
+        [
+            f(origins.x), f(origins.y), f(origins.z),
+            f(directions.x), f(directions.y), f(directions.z),
+            f(tmin), f(tmax),
+            excl,
+        ],
+        axis=1,
+    )
+    rows = table[perm].T
+    g = lambda r: jax.lax.bitcast_convert_type(r, jnp.float32)
+    o = Vec3(g(rows[0]), g(rows[1]), g(rows[2]))
+    d = Vec3(g(rows[3]), g(rows[4]), g(rows[5]))
+    return o, d, g(rows[6]), g(rows[7]), rows[8]
+
+
+def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_closest,
+        pallas_intersect_closest_mxu,
+    )
+
+    tb, sp = scene.kernel_tblk, scene.kernel_super
+    if use_mxu:
+        return pallas_intersect_closest_mxu(
+            scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
+            ray_mask, exclude=exclude, starts=starts,
+            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        )
+    return pallas_intersect_closest(
+        scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
+        ray_mask, exclude=exclude, starts=starts,
+        tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+    )
+
+
+def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_any,
+        pallas_intersect_any_mxu,
+    )
+
+    tb, sp = scene.kernel_tblk, scene.kernel_super
+    if use_mxu:
+        return pallas_intersect_any_mxu(
+            scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
+            ray_mask, exclude=exclude, starts=starts,
+            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        )
+    return pallas_intersect_any(
+        scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
+        ray_mask, exclude=exclude, starts=starts,
+        tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+    )
+
+
+# work-list capacity per tile for the phase-2 sweep; overflow falls back to
+# the rectangular grid via lax.cond (rare: phase-2 lists measured ~18/tile)
+_WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
+
+
+def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open_):
+    """Shared phase-2 setup: partition open rays to the front, permute the
+    wavefront, and build the (tile, superblock) work list."""
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_open_w,
+        tile_box_d2,
+    )
+
+    tile = SUPER_PATH_TILE
+    perm, pos = _partition_perm(open_)
+    o2, d2v, tmin2, tmax2p, excl2 = _gather_ray_rows(
+        perm, origins, directions, tmin, tmax2, exclude
+    )
+    d2m = tile_box_d2(o2, sbounds, tile)
+    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
+    _, W2 = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
+    cap = (-(-tmin.shape[0] // tile)) * min(_WL_CAP, W2.shape[1])
+    wl, count, visited = build_worklist(W2, d2m, cap)
+    return pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited
+
+
+def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    """Single work-list sweep: for CAMERA-class wavefronts (shared origin),
+    the K-nearest-around-origin phase 1 of the two-pass resolves nothing (the
+    origin is far from the geometry), but the slab W matrix is ~16x sparse —
+    one work-list pass replaces the rectangular grid's dead bookkeeping."""
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_intersect_closest_wl,
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+
+    tile = SUPER_PATH_TILE
+    n = tmin.shape[0]
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    d2m = tile_box_d2(origins, sbounds, tile)
+    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
+    _, W = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
+    cap = (-(-n // tile)) * min(_WL_CAP, W.shape[1])
+    wl, count, visited = build_worklist(W, d2m, cap)
+
+    def wl_path(_):
+        t, prim = pallas_intersect_closest_wl(
+            scene.tris_packed, scene.tri_bounds, wl, origins, directions, tmin, tmax,
+            ray_mask, exclude=exclude,
+            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+        )
+        vis_ray = jnp.repeat(visited, tile)[:n]
+        prim = jnp.where(vis_ray, prim, -1)
+        return jnp.where(prim >= 0, t, _BIG), prim
+
+    def rect_path(_):
+        starts = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        return _run_super_closest(
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
+        )
+
+    return jax.lax.cond(count <= cap, wl_path, rect_path, None)
+
+
+def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_closest_wl,
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_sweep_order_k,
+    )
+
+    tile = SUPER_PATH_TILE
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
+    t1, prim1 = _run_super_closest(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
+    )
+    bound = jnp.minimum(t1, tmax)
+    open_, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
+    tmax2 = jnp.where(open_, bound, 0.0)
+    pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
+        scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
+    )
+    n = tmin.shape[0]
+
+    def wl_path(_):
+        t2p, prim2p = pallas_intersect_closest_wl(
+            scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
+            ray_mask, exclude=excl2,
+            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+        )
+        vis_ray = jnp.repeat(visited, tile)[:n]  # unvisited tiles = garbage
+        return t2p, jnp.where(vis_ray, prim2p, -1)
+
+    def rect_path(_):
+        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        return _run_super_closest(
+            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2
+        )
+
+    t2p, prim2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
+    back = jnp.stack(
+        [jax.lax.bitcast_convert_type(t2p, jnp.int32), prim2p], axis=1
+    )[pos].T
+    t2 = jax.lax.bitcast_convert_type(back[0], jnp.float32)
+    prim2 = back[1]
+    better = prim2 >= 0  # phase-2 hits are < bound by construction
+    return jnp.where(better, t2, t1), jnp.where(better, prim2, prim1)
+
+
+def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_any_wl,
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_sweep_order_k,
+    )
+
+    tile = SUPER_PATH_TILE
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
+    occ1 = _run_super_any(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
+    )
+    bound = jnp.where(occ1, 0.0, tmax)
+    open_, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
+    tmax2 = jnp.where(open_, tmax, 0.0)
+    pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
+        scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
+    )
+    n = tmin.shape[0]
+
+    def wl_path(_):
+        occ2p = pallas_intersect_any_wl(
+            scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
+            ray_mask, exclude=excl2,
+            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+        )
+        vis_ray = jnp.repeat(visited, tile)[:n]
+        return occ2p & vis_ray
+
+    def rect_path(_):
+        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        return _run_super_any(
+            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2
+        )
+
+    occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
+    occ2 = occ2p.astype(jnp.int32)[:, None][pos][:, 0] != 0
+    return occ1 | occ2
+
+
 def _tile_starts(scene, origins):
     """Per-ray-tile near-to-far sweep order (None when unavailable).
 
@@ -121,7 +372,11 @@ def _tile_starts(scene, origins):
     cents = getattr(scene, "block_cents", None)
     if cents is None:
         return None
-    from strelka_tpu.ops.pallas_intersect import tile_sweep_order, tile_start_offsets
+    from strelka_tpu.ops.pallas_intersect import (
+        super_bounds_jnp,
+        tile_box_d2,
+        tile_start_offsets,
+    )
 
     nsb = int(cents.shape[0])
     if nsb < 8:  # tiny scenes: ordering buys nothing
@@ -131,7 +386,11 @@ def _tile_starts(scene, origins):
     # lane padding to 128 multiples in SMEM
     padded_bytes = n_tiles * (-(-nsb // 128) * 128) * 4
     if padded_bytes <= 600_000:
-        return tile_sweep_order(origins, cents, SUPER_PATH_TILE)
+        # near-to-far by point-to-AABB distance (not centroid distance: a
+        # ground-slab block containing the origin must sweep FIRST)
+        sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+        d2 = tile_box_d2(origins, sbounds, SUPER_PATH_TILE)
+        return jnp.argsort(d2, axis=1).astype(jnp.int32)
     return tile_start_offsets(origins, cents, SUPER_PATH_TILE)
 
 
@@ -144,13 +403,17 @@ def intersect_closest(
     ray_mask: int,
     active: jnp.ndarray | None = None,
     exclude: jnp.ndarray | None = None,
+    shared_origin: bool = False,
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
     one, else jnp brute force. origins/directions: Vec3 (or [N,3]).
 
     exclude: [N] i32 primitive id each ray originated from (-1 = none); the
     kernel rejects it exactly (self-intersection guard, replaces the pure
-    epsilon scheme of OptixRender_radiance_closest_hit.cu:218-233)."""
+    epsilon scheme of OptixRender_radiance_closest_hit.cu:218-233).
+    shared_origin: hint that all rays start from one point (camera launch);
+    picks the single work-list schedule instead of the residual two-pass
+    (K-nearest-origin priming is useless when the origin is off-scene)."""
     origins = _as_vec3(origins)
     directions = _as_vec3(directions)
     if getattr(scene, "use_pallas", False) and scene.tris_packed is not None:
@@ -183,21 +446,20 @@ def intersect_closest(
                     tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk,
                 )
-        else:
-            starts = _tile_starts(scene, origins)
-            tb, sp = scene.kernel_tblk, scene.kernel_super
-            if use_mxu:
-                t, prim = pallas_intersect_closest_mxu(
-                    scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
-                    tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        elif _use_residual(scene):
+            if shared_origin:
+                t, prim = _closest_wl_single(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
             else:
-                t, prim = pallas_intersect_closest(
-                    scene.tris_packed, scene.tri_bounds, origins, directions,
-                    tmin, tmax, ray_mask, exclude=exclude, starts=starts,
-                    tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+                t, prim = _closest_twopass(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
+        else:
+            starts = _tile_starts(scene, origins)
+            t, prim = _run_super_closest(
+                scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
+            )
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
         return Hit(t=t, prim=prim, u=jnp.where(miss, 0.0, u), v=jnp.where(miss, 0.0, v))
@@ -266,18 +528,13 @@ def intersect_any(
                 tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                 tblk=scene.kernel_tblk,
             )
-        starts = _tile_starts(scene, origins)
-        tb, sp = scene.kernel_tblk, scene.kernel_super
-        if use_mxu:
-            return pallas_intersect_any_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins, directions,
-                tmin, tmax, ray_mask, exclude=exclude, starts=starts,
-                tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        if _use_residual(scene):
+            return _any_twopass(
+                scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
             )
-        return pallas_intersect_any(
-            scene.tris_packed, scene.tri_bounds, origins, directions,
-            tmin, tmax, ray_mask, exclude=exclude, starts=starts,
-            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        starts = _tile_starts(scene, origins)
+        return _run_super_any(
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
         )
     if scene.bvh is not None:
         from strelka_tpu.ops.bvh import intersect_bvh

@@ -193,6 +193,371 @@ def _any_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Work-list kernels: a 1-D grid over scalar-prefetched (ray-tile, superblock)
+# PAIRS instead of the rectangular (n_tiles x nsb) grid. The rectangular grid
+# pays ~1.4us of bookkeeping per step even when fully culled (measured: an
+# all-dead 256-tile x 201-superblock sweep still costs 76 ms); the pair list
+# only visits cells where some ray's [tmin, bound) segment actually enters
+# the superblock AABB (the XLA-side W matrix), which measured 11-16x sparser
+# on both camera and residual-phase-2 wavefronts. Entries are sorted by tile
+# (contiguous output-block runs) and near-to-far within a tile (tmax pruning).
+# ---------------------------------------------------------------------------
+
+
+def _closest_kernel_wl(
+    wl_ref, bounds_ref, rays_ref, excl_ref, tris_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, super_: int,
+):
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)  # first entry of this tile's run
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)  # valid (non-pad) entry
+    def _body():
+        tile = rays.shape[1]
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _mt_block(
+                    rays, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=t_ref[0, :],
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < t_ref[0, :]
+                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+                prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+
+
+def _any_kernel_wl(
+    wl_ref, bounds_ref, rays_ref, excl_ref, tris_ref, occ_ref,
+    *, ray_mask: int, tblk: int, super_: int,
+):
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)
+    def _body():
+        tile = rays.shape[1]
+        excl = excl_ref[0, :][None, :]
+        live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _mt_block(rays, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask)
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+def slab_matrix_any(origins, directions, tmin, bound, sbounds, tile: int, chunk: int = 64):
+    """W [n_tiles, nsb] bool: does ANY ray in tile r (with per-ray segment
+    [tmin, bound)) enter superblock sb's AABB? Same broadcast math as
+    residual_open, reduced over the tile axis instead of the block axis."""
+    n = tmin.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def tiles(c, fill=0.0):
+        if pad:
+            c = jnp.concatenate([c, jnp.full(pad, fill, c.dtype)])
+        return c.reshape(-1, tile, 1)
+
+    o = [tiles(origins.x), tiles(origins.y), tiles(origins.z)]
+    d = [tiles(directions.x), tiles(directions.y), tiles(directions.z)]
+    tmin_t = tiles(tmin)
+    bound_t = tiles(bound)
+    inv = [1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20) for c in d]
+    nsb = sbounds.shape[1]
+    cols = []
+    for c0 in range(0, nsb, chunk):
+        c1 = min(c0 + chunk, nsb)
+        tnear = jnp.broadcast_to(tmin_t, (n_pad // tile, tile, c1 - c0))
+        tfar = jnp.broadcast_to(bound_t, (n_pad // tile, tile, c1 - c0))
+        for c in range(3):
+            lo = sbounds[c, c0:c1][None, None, :]
+            hi = sbounds[3 + c, c0:c1][None, None, :]
+            t0 = (lo - o[c]) * inv[c]
+            t1 = (hi - o[c]) * inv[c]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+        vb = (
+            (sbounds[0, c0:c1] <= sbounds[3, c0:c1])
+            & (sbounds[1, c0:c1] <= sbounds[4, c0:c1])
+            & (sbounds[2, c0:c1] <= sbounds[5, c0:c1])
+        )[None, None, :]
+        cols.append(((tnear <= tfar) & (tnear < bound_t) & vb).any(1))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _openw_kernel(rays_ref, sb_ref, d2_ref, r2_ref, open_ref, w_ref, *, nsb_pad, chunk):
+    """Fused per-tile slab pass: per-ray OPEN flag + per-(tile, superblock)
+    W row in one pass over the rays (the XLA formulation materialized
+    [n_tiles, tile, nsb] broadcast intermediates in HBM — ~14 ms/sweep; this
+    kernel keeps everything in VMEM)."""
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    tminv = rays[6, :][None, :]
+    bound = rays[7, :][None, :]
+    open_acc = jnp.zeros((1, tile), jnp.int32)
+    r2 = r2_ref[0, 0, 0]
+    inv = []
+    for c in range(3):
+        dirc = rays[3 + c, :][None, :]
+        inv.append(1.0 / jnp.where(jnp.abs(dirc) > 1e-20, dirc, 1e-20))
+    for c0 in range(0, nsb_pad, chunk):
+        c1 = min(c0 + chunk, nsb_pad)
+        m = c1 - c0
+        tnear = jnp.broadcast_to(tminv, (m, tile))
+        tfar = jnp.broadcast_to(bound, (m, tile))
+        vb = None
+        for c in range(3):
+            o = rays[c, :][None, :]
+            # minor-dim insertion on the f32 rows (Mosaic: only 32-bit types
+            # may insert a minor dim), bool compares AFTER insertion
+            lo = sb_ref[c, c0:c1][:, None]
+            hi = sb_ref[3 + c, c0:c1][:, None]
+            t0 = (lo - o) * inv[c]
+            t1 = (hi - o) * inv[c]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+            v = lo <= hi  # inverted (empty/pad) boxes never pass
+            vb = v if vb is None else (vb & v)
+        pass_ = (tnear <= tfar) & (tnear < bound) & vb
+        w_ref[0, 0, c0:c1] = jnp.any(pass_, axis=1).astype(jnp.int32)
+        unswept = d2_ref[0, 0, c0:c1][:, None] >= r2
+        open_acc = open_acc | jnp.any(pass_ & unswept, axis=0)[None, :].astype(jnp.int32)
+    open_ref[0, :] = open_acc[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_open_w(
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    bound: jnp.ndarray,
+    sbounds: jnp.ndarray,  # [8, nsb]
+    d2: jnp.ndarray,  # [n_tiles, nsb]
+    r2t: jnp.ndarray,  # [n_tiles]
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """(open [N] bool, W [n_tiles, nsb] bool) in one Pallas pass.
+
+    open: could any superblock with d2 >= r2t still beat the per-ray bound?
+    W: does any ray in the tile enter the superblock at all (work list)?
+    Pass r2t = +inf to make open all-False (single-pass W-only use)."""
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, bound, tile)
+    n_tiles = n_pad // tile
+    nsb = sbounds.shape[1]
+    nsb_pad = ((nsb + 127) // 128) * 128
+    if nsb_pad != nsb:
+        # pad with inverted boxes (never pass) and far d2 (unswept, harmless)
+        pad_sb = jnp.concatenate(
+            [
+                jnp.full((3, nsb_pad - nsb), 1e30, sbounds.dtype),
+                jnp.full((3, nsb_pad - nsb), -1e30, sbounds.dtype),
+                jnp.zeros((2, nsb_pad - nsb), sbounds.dtype),
+            ]
+        )
+        sbounds = jnp.concatenate([sbounds[:8], pad_sb], axis=1)
+        d2 = jnp.concatenate(
+            [d2, jnp.full((d2.shape[0], nsb_pad - nsb), 1e30, d2.dtype)], axis=1
+        )
+    kernel = functools.partial(_openw_kernel, nsb_pad=nsb_pad, chunk=128)
+    # per-tile rows ride as [n_tiles, 1, lanes] 3-D blocks: a (1, lanes) 2-D
+    # block on a [n_tiles, lanes] array violates the (8, 128)-divisible rule
+    open_out, w_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nsb_pad), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsb_pad), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsb_pad), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(rays, sbounds, d2.reshape(n_tiles, 1, nsb_pad), r2t.reshape(-1, 1, 1))
+    return open_out[0, :n] != 0, w_out[:, 0, :nsb] != 0
+
+
+def _partition_perm_flat(flag):
+    """Stable true-first partition permutation of a flat bool vector.
+    Returns (perm, count)."""
+    n = flag.shape[0]
+    r = jnp.cumsum(flag.astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(flag, r - 1, r[n - 1] + idx - r)
+    return jnp.zeros(n, jnp.int32).at[pos].set(idx), r[n - 1]
+
+
+def build_worklist(W, d2, capacity: int):
+    """Flatten the W matrix into a [4, C] pair list rows (tile, superblock,
+    flags, 0), grouped by tile and near-to-far within each tile. Transposed
+    layout: SMEM lane-pads the minor dim to 128, so [C, 4] would waste 32x.
+
+    flags: bit0 = first entry of its tile run, bit1 = valid. Pad entries
+    repeat the last valid tile (no spurious output-block switches).
+    Returns (wl, count, visited_tiles [n_tiles] bool). If count > capacity
+    the list is TRUNCATED — callers must check and fall back."""
+    n_tiles, nsb = W.shape
+    capacity = min(capacity, n_tiles * nsb)
+    order = jnp.argsort(d2, axis=1).astype(jnp.int32)
+    Ws = jnp.take_along_axis(W, order, axis=1)
+    flat = Ws.reshape(-1)
+    perm, count = _partition_perm_flat(flat)
+    sel = perm[:capacity]
+    r = sel // nsb
+    j = sel % nsb
+    sb = order[r, j]
+    idxc = jnp.arange(capacity, dtype=jnp.int32)
+    valid = idxc < count
+    last = jnp.maximum(jnp.minimum(count, capacity) - 1, 0)
+    r_pad = jnp.where(valid, r, r[last])
+    sb_pad = jnp.where(valid, sb, 0)
+    first = valid & ((idxc == 0) | (r_pad != jnp.roll(r_pad, 1)))
+    flags = first.astype(jnp.int32) | (valid.astype(jnp.int32) << 1)
+    wl = jnp.stack([r_pad, sb_pad, flags, jnp.zeros_like(flags)], axis=0)
+    return wl, count, W.any(axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+)
+def pallas_intersect_closest_wl(
+    tris_packed: jnp.ndarray,
+    bounds: jnp.ndarray,
+    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+):
+    """Work-list closest sweep -> (t [N], prim [N]). Tiles with NO work-list
+    entry return GARBAGE — the caller must mask with build_worklist's
+    visited_tiles."""
+    step = tblk * super_
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    kernel = functools.partial(_closest_kernel_wl, ray_mask=ray_mask, tblk=tblk, super_=super_)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(wl.shape[1],),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wl, bounds, rays, excl, tris_packed)
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+)
+def pallas_intersect_any_wl(
+    tris_packed: jnp.ndarray,
+    bounds: jnp.ndarray,
+    wl: jnp.ndarray,
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+):
+    """Work-list any-hit sweep -> [N] bool (mask with visited_tiles)."""
+    step = tblk * super_
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    kernel = functools.partial(_any_kernel_wl, ray_mask=ray_mask, tblk=tblk, super_=super_)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(wl.shape[1],),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wl, bounds, rays, excl, tris_packed)
+    return occ[0, :n]
+
+
+# ---------------------------------------------------------------------------
 # Block culling: Morton-sorted triangle blocks + per-cell AABB skip.
 # ---------------------------------------------------------------------------
 
@@ -304,6 +669,121 @@ def tile_sweep_order(origins, centroids, tile: int) -> jnp.ndarray:
     return jnp.argsort(d2, axis=1).astype(jnp.int32)
 
 
+def tile_box_d2(origins, sbounds, tile: int) -> jnp.ndarray:
+    """Per-tile point-to-AABB distance² matrix [n_tiles, nsb].
+
+    Box distance (not centroid distance): a large flat superblock — e.g. a
+    ground-plane slab — whose AABB CONTAINS the tile origin gets distance 0
+    and is swept first, where its centroid could be arbitrarily far (the
+    failure mode that left ~100% of bounce rays 'open' under the centroid
+    metric). Empty blocks (inverted AABB) land at ~1e30 automatically.
+    """
+    n = origins.x.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def mean_tiles(c):
+        if pad:
+            c = jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+        return c.reshape(-1, tile).mean(axis=1)
+
+    cm = [mean_tiles(origins.x), mean_tiles(origins.y), mean_tiles(origins.z)]
+    d2 = 0.0
+    for c in range(3):
+        lo = sbounds[c][None, :]
+        hi = sbounds[3 + c][None, :]
+        dx = jnp.maximum(jnp.maximum(lo - cm[c][:, None], cm[c][:, None] - hi), 0.0)
+        d2 = d2 + dx * dx
+    return d2
+
+
+def tile_sweep_order_k(origins, sbounds, tile: int, k: int):
+    """Phase-1 residual sweep prep: each tile's K nearest superblocks by
+    point-to-AABB distance.
+
+    Returns (order [n_tiles, K] i32, r2_thresh [n_tiles] f32, d2
+    [n_tiles, nsb] f32). r2_thresh is the K-th smallest distance²; every
+    UNSWEPT superblock satisfies d2 >= r2_thresh (ties make the test
+    conservative — a tied swept block re-opens the ray, never the reverse),
+    which is what residual_open keys on.
+    """
+    d2 = tile_box_d2(origins, sbounds, tile)
+    nsb = d2.shape[1]
+    kk = min(k, nsb)
+    order = jnp.argsort(d2, axis=1).astype(jnp.int32)[:, :kk]
+    d2s = jnp.sort(d2, axis=1)
+    return order, d2s[:, kk - 1], d2
+
+
+def residual_open(
+    origins,
+    directions,
+    tmin,
+    bound,
+    sbounds,
+    d2,
+    r2_thresh,
+    tile: int,
+    chunk: int = 64,
+):
+    """[N] bool: could any UNSWEPT superblock still contain a hit closer
+    than `bound` (per-ray best_t after phase 1, or the shadow tmax)?
+
+    Pure broadcast elementwise over [n_tiles, tile, nsb_chunk] — rays are
+    tile-contiguous so the per-tile d2 row broadcasts with NO gathers.
+    sbounds: [8, nsb] superblock AABBs (rows min xyz / max xyz).
+    """
+    n = tmin.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    def tiles(c, fill=0.0):
+        if pad:
+            c = jnp.concatenate([c, jnp.full(pad, fill, c.dtype)])
+        return c.reshape(-1, tile, 1)
+
+    o = [tiles(origins.x), tiles(origins.y), tiles(origins.z)]
+    d = [tiles(directions.x), tiles(directions.y), tiles(directions.z)]
+    tmin_t = tiles(tmin)
+    bound_t = tiles(bound)  # pad lanes: bound 0 -> closed
+    inv = [1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20) for c in d]
+    nsb = sbounds.shape[1]
+    open_acc = jnp.zeros((n_pad // tile, tile), bool)
+    for c0 in range(0, nsb, chunk):
+        c1 = min(c0 + chunk, nsb)
+        tnear = jnp.broadcast_to(tmin_t, (n_pad // tile, tile, c1 - c0))
+        tfar = jnp.broadcast_to(bound_t, (n_pad // tile, tile, c1 - c0))
+        for c in range(3):
+            lo = sbounds[c, c0:c1][None, None, :]
+            hi = sbounds[3 + c, c0:c1][None, None, :]
+            t0 = (lo - o[c]) * inv[c]
+            t1 = (hi - o[c]) * inv[c]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+        unswept = (d2[:, c0:c1] >= r2_thresh[:, None])[:, None, :]
+        # inverted (empty) boxes do NOT fail the slab test (lo=+big/hi=-big
+        # yields [-inf, +inf] after the min/max swap) — test them explicitly
+        vb = (
+            (sbounds[0, c0:c1] <= sbounds[3, c0:c1])
+            & (sbounds[1, c0:c1] <= sbounds[4, c0:c1])
+            & (sbounds[2, c0:c1] <= sbounds[5, c0:c1])
+        )[None, None, :]
+        # strict tnear < bound: a block entered exactly AT the current best
+        # cannot beat it, and dead lanes (bound == tmin == 0) stay closed
+        hit = (tnear <= tfar) & (tnear < bound_t) & unswept & vb
+        open_acc = open_acc | hit.any(-1)
+    return open_acc.reshape(-1)[:n]
+
+
+def super_bounds_jnp(bounds, super_: int = DEFAULT_SUPER):
+    """jnp version of super_bounds (for traced callers) -> [8, nsb]."""
+    nb = bounds.shape[1]
+    nsb = nb // super_
+    lo = bounds[0:3, : nsb * super_].reshape(3, nsb, super_).min(axis=2)
+    hi = bounds[3:6, : nsb * super_].reshape(3, nsb, super_).max(axis=2)
+    return jnp.concatenate([lo, hi, jnp.zeros((2, nsb), bounds.dtype)])
+
+
 def tile_start_offsets(origins, centroids, tile: int) -> jnp.ndarray:
     """Per-ray-tile start superblock: the Morton-order superblock nearest the
     tile's mean ray origin. origins: Vec3 of [N]. -> [n_tiles] i32.
@@ -346,7 +826,10 @@ def _tile_hits_block(rays, bounds_ref, tb, tmax_row=None):
         t1 = (bounds_ref[3 + c, tb] - o) * inv
         tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
         tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-    return jnp.any(tnear <= tfar)
+    # inverted (empty/pad) boxes pass the min/max slab math ([-inf, +inf]);
+    # reject them explicitly so empty blocks never trigger MT passes
+    valid = bounds_ref[0, tb] <= bounds_ref[3, tb]
+    return jnp.any(tnear <= tfar) & valid
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +1067,10 @@ def pallas_intersect_closest_mxu(
     rays, excl, starts, n, n_pad, n_tiles = _prep_common(
         origins, directions, tmin, tmax, exclude, starts, tile, nsb
     )
-    grid = (n_tiles, nsb)
+    # the sweep length follows the order table width: a [n_tiles, K] table
+    # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
+    # the residual two-pass scheme)
+    grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(
         _closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
     )
@@ -666,7 +1152,10 @@ def pallas_intersect_any_mxu(
     rays, excl, starts, n, n_pad, n_tiles = _prep_common(
         origins, directions, tmin, tmax, exclude, starts, tile, nsb
     )
-    grid = (n_tiles, nsb)
+    # the sweep length follows the order table width: a [n_tiles, K] table
+    # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
+    # the residual two-pass scheme)
+    grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(
         _any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
     )
@@ -773,7 +1262,10 @@ def pallas_intersect_closest(
     rays, excl, starts, n, n_pad, n_tiles = _prep_common(
         origins, directions, tmin, tmax, exclude, starts, tile, nsb
     )
-    grid = (n_tiles, nsb)
+    # the sweep length follows the order table width: a [n_tiles, K] table
+    # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
+    # the residual two-pass scheme)
+    grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -845,7 +1337,10 @@ def pallas_intersect_any(
     rays, excl, starts, n, n_pad, n_tiles = _prep_common(
         origins, directions, tmin, tmax, exclude, starts, tile, nsb
     )
-    grid = (n_tiles, nsb)
+    # the sweep length follows the order table width: a [n_tiles, K] table
+    # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
+    # the residual two-pass scheme)
+    grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -333,3 +333,111 @@ def test_exclude_prim_shadow_semantics():
         exclude=jnp.asarray([0], jnp.int32), tile=256, tblk=128, interpret=True,
     )
     assert not bool(np.asarray(occ)[0])
+
+
+def test_worklist_kernels_match_oracle():
+    """Work-list (pair-scheduled) kernels == bruteforce, including garbage
+    masking for unvisited tiles, the first-of-run init, pad entries, and the
+    residual-open + partition plumbing in interpret mode."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        build_worklist,
+        pack_tris,
+        pallas_intersect_any_wl,
+        pallas_intersect_closest_wl,
+        slab_matrix_any,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(11)
+    v0, e1, e2, mask = _scene(1024, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    # a dead tile: kill the last 256 rays
+    tmax[256:] = 0.0
+    tris = pack_tris(v0, e1, e2, mask, tblk=128, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    ov = from_rows(jnp.asarray(o))
+    dv = from_rows(jnp.asarray(d))
+    sbounds = super_bounds_jnp(bounds, 2)
+    d2 = tile_box_d2(ov, sbounds, 256)
+    W = slab_matrix_any(ov, dv, jnp.asarray(tmin), jnp.asarray(tmax), sbounds, 256)
+    wl, count, visited = build_worklist(W, d2, 16)
+    assert int(count) <= 16
+    t, prim = pallas_intersect_closest_wl(
+        tris, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True,
+    )
+    vis_ray = np.repeat(np.asarray(visited), 256)[:512]
+    prim = np.where(vis_ray, np.asarray(prim), -1)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, active=jnp.asarray(tmax) > 0,
+    )
+    np.testing.assert_array_equal(prim, np.asarray(bf.prim))
+    occ = pallas_intersect_any_wl(
+        tris, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True,
+    )
+    occ = np.asarray(occ) & vis_ray
+    np.testing.assert_array_equal(occ, np.asarray(bf.prim) >= 0)
+
+
+def test_partition_perm_and_worklist_builder():
+    """_partition_perm is a stable open-first permutation; build_worklist
+    groups by tile near-to-far and pads safely."""
+    import strelka_tpu.ops.intersect as X
+    from strelka_tpu.ops.pallas_intersect import build_worklist
+
+    flag = jnp.asarray([False, True, False, True, True, False])
+    perm, pos = X._partition_perm(flag)
+    np.testing.assert_array_equal(np.asarray(perm), [1, 3, 4, 0, 2, 5])
+    np.testing.assert_array_equal(np.asarray(pos), [3, 0, 4, 1, 2, 5])
+
+    W = jnp.asarray([[True, False, True], [False, False, False], [False, True, False]])
+    d2 = jnp.asarray([[3.0, 1.0, 2.0], [0.0, 0.0, 0.0], [5.0, 1.0, 9.0]])
+    wl, count, visited = build_worklist(W, d2, 6)
+    wl = np.asarray(wl)  # [4, C]
+    assert int(count) == 3
+    np.testing.assert_array_equal(np.asarray(visited), [True, False, True])
+    # tile 0 entries near-to-far by d2: sb2 (d2=2) before sb0 (d2=3)
+    np.testing.assert_array_equal(wl[0, :3], [0, 0, 2])
+    np.testing.assert_array_equal(wl[1, :3], [2, 0, 1])
+    # flags: first-of-run on entries 0 and 2; all three valid
+    np.testing.assert_array_equal(wl[2, :3], [3, 2, 3])
+    # pad entries: last valid tile, invalid flag
+    np.testing.assert_array_equal(wl[0, 3:], [2, 2, 2])
+    np.testing.assert_array_equal(wl[2, 3:], [0, 0, 0])
+
+
+def test_pallas_open_w_matches_jnp():
+    """The fused Pallas open/W kernel == the jnp reference formulations."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        pallas_open_w,
+        residual_open,
+        slab_matrix_any,
+        super_bounds_jnp,
+        tile_box_d2,
+        tile_sweep_order_k,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(13)
+    v0, e1, e2, mask = _scene(2048, rng)
+    o, d = _rays(512, rng)
+    ov = from_rows(jnp.asarray(o))
+    dv = from_rows(jnp.asarray(d))
+    tmin = jnp.zeros(512, jnp.float32)
+    bound = jnp.asarray(rng.uniform(0.5, 20.0, 512).astype(np.float32))
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    sbounds = super_bounds_jnp(bounds, 2)  # nsb = 8
+    _, r2t, d2 = tile_sweep_order_k(ov, sbounds, 128, 3)
+    open_p, W_p = pallas_open_w(ov, dv, tmin, bound, sbounds, d2, r2t, tile=128, interpret=True)
+    open_j = residual_open(ov, dv, tmin, bound, sbounds, d2, r2t, 128)
+    W_j = slab_matrix_any(ov, dv, tmin, bound, sbounds, 128)
+    np.testing.assert_array_equal(np.asarray(open_p), np.asarray(open_j))
+    np.testing.assert_array_equal(np.asarray(W_p), np.asarray(W_j))
