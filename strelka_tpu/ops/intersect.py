@@ -227,7 +227,7 @@ def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open
     )
     d2m = tile_box_d2(o2, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
-    _, W2 = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
+    _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
     cap = (-(-tmin.shape[0] // tile)) * min(_WL_CAP, W2.shape[1])
     wl, count, visited = build_worklist(W2, d2m, cap)
     return pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited
@@ -251,7 +251,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     d2m = tile_box_d2(origins, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
-    _, W = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
+    _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
     cap = (-(-n // tile)) * min(_WL_CAP, W.shape[1])
     wl, count, visited = build_worklist(W, d2m, cap)
 
@@ -289,7 +289,7 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
     )
     bound = jnp.minimum(t1, tmax)
-    open_, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
+    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
     tmax2 = jnp.where(open_, bound, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
@@ -336,7 +336,7 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
     )
     bound = jnp.where(occ1, 0.0, tmax)
-    open_, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
+    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
     tmax2 = jnp.where(open_, tmax, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_

@@ -312,11 +312,15 @@ def slab_matrix_any(origins, directions, tmin, bound, sbounds, tile: int, chunk:
     return jnp.concatenate(cols, axis=-1)
 
 
-def _openw_kernel(rays_ref, sb_ref, d2_ref, r2_ref, open_ref, w_ref, *, nsb_pad, chunk):
+def _openw_kernel(rays_ref, sb_ref, d2_ref, r2_ref, open_ref, w_ref, tn_ref, *, nsb_pad, chunk):
     """Fused per-tile slab pass: per-ray OPEN flag + per-(tile, superblock)
-    W row in one pass over the rays (the XLA formulation materialized
-    [n_tiles, tile, nsb] broadcast intermediates in HBM — ~14 ms/sweep; this
-    kernel keeps everything in VMEM)."""
+    W row + per-(tile, superblock) MIN entry distance, in one pass over the
+    rays (the XLA formulation materialized [n_tiles, tile, nsb] broadcast
+    intermediates in HBM — ~14 ms/sweep; this kernel keeps it in VMEM).
+
+    The min-tnear matrix orders a tile's blocks ALONG THE RAYS' PATHS
+    (BVH-style near-to-far), which beats origin-box-distance ordering for
+    beams (camera, shadow) and mixed bounce tiles alike."""
     rays = rays_ref[:, :]
     tile = rays.shape[1]
     tminv = rays[6, :][None, :]
@@ -347,6 +351,7 @@ def _openw_kernel(rays_ref, sb_ref, d2_ref, r2_ref, open_ref, w_ref, *, nsb_pad,
             vb = v if vb is None else (vb & v)
         pass_ = (tnear <= tfar) & (tnear < bound) & vb
         w_ref[0, 0, c0:c1] = jnp.any(pass_, axis=1).astype(jnp.int32)
+        tn_ref[0, 0, c0:c1] = jnp.min(jnp.where(pass_, tnear, _BIG), axis=1)
         unswept = d2_ref[0, 0, c0:c1][:, None] >= r2
         open_acc = open_acc | jnp.any(pass_ & unswept, axis=0)[None, :].astype(jnp.int32)
     open_ref[0, :] = open_acc[0, :]
@@ -364,11 +369,14 @@ def pallas_open_w(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
 ):
-    """(open [N] bool, W [n_tiles, nsb] bool) in one Pallas pass.
+    """(open [N] bool, W [n_tiles, nsb] bool, min_tn [n_tiles, nsb] f32)
+    in one Pallas pass.
 
     open: could any superblock with d2 >= r2t still beat the per-ray bound?
     W: does any ray in the tile enter the superblock at all (work list)?
-    Pass r2t = +inf to make open all-False (single-pass W-only use)."""
+    min_tn: per-tile minimum slab entry distance (1e16 where no ray passes)
+    — the along-path near-to-far sweep metric.
+    Pass r2t = +inf to make open all-False (W/min_tn-only use)."""
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, bound, tile)
     n_tiles = n_pad // tile
@@ -390,7 +398,7 @@ def pallas_open_w(
     kernel = functools.partial(_openw_kernel, nsb_pad=nsb_pad, chunk=128)
     # per-tile rows ride as [n_tiles, 1, lanes] 3-D blocks: a (1, lanes) 2-D
     # block on a [n_tiles, lanes] array violates the (8, 128)-divisible rule
-    open_out, w_out = pl.pallas_call(
+    open_out, w_out, tn_out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -402,17 +410,19 @@ def pallas_open_w(
         out_specs=[
             pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nsb_pad), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsb_pad), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(rays, sbounds, d2.reshape(n_tiles, 1, nsb_pad), r2t.reshape(-1, 1, 1))
-    return open_out[0, :n] != 0, w_out[:, 0, :nsb] != 0
+    return open_out[0, :n] != 0, w_out[:, 0, :nsb] != 0, tn_out[:, 0, :nsb]
 
 
 def _partition_perm_flat(flag):

@@ -436,8 +436,12 @@ def test_pallas_open_w_matches_jnp():
     bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
     sbounds = super_bounds_jnp(bounds, 2)  # nsb = 8
     _, r2t, d2 = tile_sweep_order_k(ov, sbounds, 128, 3)
-    open_p, W_p = pallas_open_w(ov, dv, tmin, bound, sbounds, d2, r2t, tile=128, interpret=True)
+    open_p, W_p, tn_p = pallas_open_w(ov, dv, tmin, bound, sbounds, d2, r2t, tile=128, interpret=True)
     open_j = residual_open(ov, dv, tmin, bound, sbounds, d2, r2t, 128)
     W_j = slab_matrix_any(ov, dv, tmin, bound, sbounds, 128)
     np.testing.assert_array_equal(np.asarray(open_p), np.asarray(open_j))
     np.testing.assert_array_equal(np.asarray(W_p), np.asarray(W_j))
+    # min_tn: finite exactly where W says some ray enters; along-path order key
+    tn = np.asarray(tn_p)
+    assert ((tn < 1e15) == np.asarray(W_j)).all()
+    assert (tn >= 0.0).all()
