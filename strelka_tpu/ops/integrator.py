@@ -111,17 +111,41 @@ def generate_camera_rays(params: LaunchParams, px, py, jx, jy, width, height):
     return origin, direction
 
 
-def _gather_surface(scene: DeviceScene, hit: Hit, inside):
+def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None):
     """fillTriangleGeomData (cu:365-421): interpolate attributes at the hit.
 
     ONE fat row-gather from attr_table per hit (scalar gathers are ~100x
     slower on TPU). Returns (position, uv, frame, material_id, light_id).
+
+    When ray_o/ray_d are given, the barycentrics are recomputed HERE from
+    the v0/e1/e2 columns of the already-gathered attr rows (hit.u/v are
+    ignored) — this kills the dispatch-side recompute_barycentrics pass
+    whose [T,3] gathers cost ~2.2 ms each in layout shuffles (12/launch).
     """
     prim = jnp.maximum(hit.prim, 0)
-    w0 = 1.0 - hit.u - hit.v
-    wu = hit.u
-    wv = hit.v
-    rows = V.gather_rows_t(scene.attr_table, prim)  # [36, N] (one gather + transpose)
+    from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
+
+    # [36, N]: MXU one-hot contraction for VMEM-sized scenes (emits the
+    # component-major layout directly, no transpose), else gather+transpose
+    rows = gather_rows_t_auto(scene.attr_table, prim, getattr(scene, "use_pallas", False))
+    if ray_o is not None:
+        v0r = Vec3(rows[0], rows[1], rows[2])
+        e1r = Vec3(rows[3], rows[4], rows[5])
+        e2r = Vec3(rows[6], rows[7], rows[8])
+        pvec = V.cross(ray_d, e2r)
+        det = V.dot(e1r, pvec)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = ray_o - v0r
+        wu = V.dot(tvec, pvec) * inv_det
+        qvec = V.cross(tvec, e1r)
+        wv = V.dot(ray_d, qvec) * inv_det
+        miss = hit.prim < 0
+        wu = jnp.where(miss, 0.0, wu)
+        wv = jnp.where(miss, 0.0, wv)
+    else:
+        wu = hit.u
+        wv = hit.v
+    w0 = 1.0 - wu - wv
     col = lambda a, b=None: rows[a] if b is None else Vec3(rows[a], rows[a + 1], rows[a + 2])
     v0 = col(0, 3)
     e1 = col(3, 3)
@@ -149,7 +173,9 @@ def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
 
 def _gather_material_by_id(scene: DeviceScene, mid):
     """Returns (SurfaceParams, mat_rows [N,24]) from one fat row-gather."""
-    rows = V.gather_rows_t(scene.mat_table, mid)  # [24, N]
+    from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
+
+    rows = gather_rows_t_auto(scene.mat_table, mid, getattr(scene, "use_pallas", False))
     params = B.SurfaceParams(
         bsdf_type=rows[0].astype(jnp.int32),
         diffuse_color=Vec3(rows[1], rows[2], rows[3]),
@@ -182,7 +208,16 @@ def _select_material(mask, a: B.SurfaceParams, b: B.SurfaceParams) -> B.SurfaceP
 
 def _gather_light(scene: DeviceScene, light_id) -> LS.LightParams:
     lid = jnp.clip(light_id, 0, scene.light_table.shape[0] - 1)
-    rows = V.gather_rows_t(scene.light_table, lid)  # [20, N]
+    if scene.light_table.shape[0] == 1:
+        # single light: broadcast scalars, no gather at all
+        n = lid.shape[0]
+        rows = [jnp.broadcast_to(scene.light_table[0, c], (n,)) for c in range(20)]
+    else:
+        from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
+
+        rows = gather_rows_t_auto(
+            scene.light_table, lid, getattr(scene, "use_pallas", False)
+        )
     c3 = lambda a: Vec3(rows[a], rows[a + 1], rows[a + 2])
     return LS.LightParams(
         p0=c3(0),
@@ -420,9 +455,11 @@ def trace_paths(
             dim_rows = S.random_dims(sample_idx, depth, (0, 1, 2, 3, 4))
         rnd = lambda dim: dim_rows[int(dim) % 5]
 
+        on_pallas = bool(getattr(scene, "use_pallas", False))
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
             active=alive, exclude=prev_prim, shared_origin=(depth == 0),
+            skip_uv=on_pallas,
         )
         # curve (hair) primitives: dense round-cone sweep, closest wins
         is_curve = jnp.zeros(n, bool)
@@ -444,7 +481,11 @@ def trace_paths(
         )
         throughput = V.where(missed, V.full(n, 0.0), throughput)
 
-        position, uv, frame, mat_id, raw_light_id = _gather_surface(scene, hit, inside)
+        position, uv, frame, mat_id, raw_light_id = _gather_surface(
+            scene, hit, inside,
+            ray_o=origin if on_pallas else None,
+            ray_d=direction if on_pallas else None,
+        )
         prim_light_id = jnp.where(hit.prim >= 0, raw_light_id, -1)
         hit_light = alive & ~missed & (prim_light_id >= 0) & ~is_curve
         hit_surface = alive & ~missed & ~hit_light

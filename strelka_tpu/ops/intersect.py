@@ -101,6 +101,7 @@ def _as_vec3(x) -> Vec3:
 
 
 FLAT_KERNEL_MAX_TRIS = 65536  # below this the flat single-pass kernels win
+SMALL_MXU_MAX = 8192  # whole-scene-in-VMEM MXU kernels (cornell-class)
 import os as _os
 
 # superblock-path ray tile (incoherent bounce tiles cull better when small;
@@ -403,7 +404,8 @@ def intersect_closest(
     ray_mask: int,
     active: jnp.ndarray | None = None,
     exclude: jnp.ndarray | None = None,
-    shared_origin: bool = False,
+    shared_origin: bool = False,  # accepted for API stability; scheduling is uniform
+    skip_uv: bool = False,  # caller recomputes barycentrics from its own attr gather
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
     one, else jnp brute force. origins/directions: Vec3 (or [N,3]).
@@ -434,7 +436,19 @@ def intersect_closest(
                 pallas_intersect_closest_mxu_flat,
             )
 
-            if use_mxu:
+            if use_mxu and scene.tris_feats.shape[1] <= SMALL_MXU_MAX:
+                # whole scene VMEM-resident: register accumulation, no
+                # per-cell guards/feature recompute/t_ref serialization
+                from strelka_tpu.ops.pallas_intersect import (
+                    pallas_intersect_closest_mxu_small,
+                )
+
+                t, prim = pallas_intersect_closest_mxu_small(
+                    scene.tris_feats, scene.tris_mask, origins,
+                    directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
+                    tblk=scene.kernel_tblk,
+                )
+            elif use_mxu:
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
@@ -460,6 +474,9 @@ def intersect_closest(
             t, prim = _run_super_closest(
                 scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
             )
+        if skip_uv:
+            z = jnp.zeros_like(t)
+            return Hit(t=t, prim=prim, u=z, v=z)
         u, v = recompute_barycentrics(scene.v0, scene.e1, scene.e2, origins, directions, prim)
         miss = prim < 0
         return Hit(t=t, prim=prim, u=jnp.where(miss, 0.0, u), v=jnp.where(miss, 0.0, v))
@@ -517,6 +534,16 @@ def intersect_any(
                 pallas_intersect_any_mxu_flat,
             )
 
+            if use_mxu and scene.tris_feats.shape[1] <= SMALL_MXU_MAX:
+                from strelka_tpu.ops.pallas_intersect import (
+                    pallas_intersect_any_mxu_small,
+                )
+
+                return pallas_intersect_any_mxu_small(
+                    scene.tris_feats, scene.tris_mask, origins,
+                    directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
+                    tblk=scene.kernel_tblk,
+                )
             if use_mxu:
                 return pallas_intersect_any_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,

@@ -1410,6 +1410,163 @@ def recompute_barycentrics(scene_v0, scene_e1, scene_e2, origins, directions, pr
 # the superblock crossover (intersect.py).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Small-scene MXU kernels: the WHOLE triangle set resides in VMEM (feats for
+# 8192 tris = 2.1 MB), so the grid is 1-D over ray tiles and the kernel loops
+# blocks in registers. vs the 2-D flat kernels this removes the per-cell
+# ray-feature recompute, the t_ref read->write serialization between grid
+# steps (which stalls the matmul pipeline), and the per-cell when-guards
+# (useless when every block is hit, as in cornell-class interiors).
+# ---------------------------------------------------------------------------
+
+SMALL_MXU_MAX_TRIS = 8192
+
+
+def _closest_kernel_mxu_small(
+    rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, nb: int, precision=None,
+):
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    rt = _ray_features(rays)
+    excl = excl_ref[0, :][None, :]
+    best_t = rays[7, :]
+    best_p = jnp.full((tile,), -1, jnp.int32)
+    for k in range(nb):
+        t, valid = _mt_block_mxu(
+            rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
+            mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask,
+            tmax_row=best_t, precision=precision,
+        )
+        valid = valid & (_prim_ids(k, tblk, tile) != excl)
+        t_masked = jnp.where(valid, t, _BIG)
+        blk_best = jnp.min(t_masked, axis=0)
+        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+        better = blk_best < best_t
+        best_t = jnp.where(better, blk_best, best_t)
+        best_p = jnp.where(better, k * tblk + blk_arg, best_p)
+    t_ref[0, :] = best_t
+    prim_ref[0, :] = best_p
+
+
+def _any_kernel_mxu_small(
+    rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
+    *, ray_mask: int, tblk: int, nb: int, precision=None,
+):
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    rt = _ray_features(rays)
+    excl = excl_ref[0, :][None, :]
+    occ = jnp.zeros((tile,), jnp.bool_)
+    for k in range(nb):
+        _, valid = _mt_block_mxu(
+            rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
+            mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask, precision=precision,
+        )
+        valid = valid & (_prim_ids(k, tblk, tile) != excl)
+        occ = occ | jnp.any(valid, axis=0)
+    occ_ref[0, :] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+def pallas_intersect_closest_mxu_small(
+    feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
+    mask: jnp.ndarray,  # [1, T]
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+    precision=None,
+):
+    t_total = feats.shape[1]
+    nb = t_total // tblk
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _closest_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_total), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * _FDIM * n_pad * t_total,
+            bytes_accessed=4 * (8 * n_pad + 4 * _FDIM * t_total),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rays, excl, feats, mask)
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+def pallas_intersect_any_mxu_small(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    interpret: bool = False,
+    precision=None,
+):
+    t_total = feats.shape[1]
+    nb = t_total // tblk
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _any_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_total), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(rays, excl, feats, mask)
+    return occ[0, :n]
+
+
 def _prep_common_flat(origins, directions, tmin, tmax, exclude, starts, tile, nb):
     """Shared ray/exclude/starts packing for all four kernel wrappers."""
     n = tmin.shape[0]

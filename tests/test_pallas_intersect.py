@@ -445,3 +445,46 @@ def test_pallas_open_w_matches_jnp():
     tn = np.asarray(tn_p)
     assert ((tn < 1e15) == np.asarray(W_j)).all()
     assert (tn >= 0.0).all()
+
+
+def test_small_mxu_kernels_match_oracle():
+    """Whole-scene-in-VMEM MXU kernels (1-D grid, register accumulation)
+    == bruteforce in interpret mode."""
+    from strelka_tpu.ops.pallas_intersect import (
+        pack_tris_mxu,
+        pallas_intersect_any_mxu_small,
+        pallas_intersect_closest_mxu_small,
+    )
+
+    rng = np.random.default_rng(17)
+    v0, e1, e2, mask = _scene(512, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=1)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY,
+    )
+    t, prim = pallas_intersect_closest_mxu_small(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(bf.prim))
+    occ = pallas_intersect_any_mxu_small(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
+
+
+def test_pallas_onehot_gather_bit_exact():
+    """MXU one-hot gather == table[idx].T bit-exactly (HIGHEST precision)."""
+    from strelka_tpu.ops.pallas_gather import pallas_gather_rows_t
+
+    rng = np.random.default_rng(23)
+    table = jnp.asarray(rng.standard_normal((517, 36)).astype(np.float32) * 1e3)
+    idx = jnp.asarray(rng.integers(0, 517, 1000).astype(np.int32))
+    out = pallas_gather_rows_t(table, idx, tile=256, interpret=True)
+    ref = np.asarray(table)[np.asarray(idx)].T
+    np.testing.assert_array_equal(np.asarray(out), ref)
