@@ -35,6 +35,14 @@ from strelka_tpu.ops.vec import Vec3
 
 M_PI = 3.14159265358979323846
 
+# STRELKA_HAIR_KK=1 reverts the hair df to the round-2 Kajiya-Kay
+# approximation (A/B comparison hook); default is the Chiang-style
+# R/TT/TRT model in ops/hair.py, matching the reference's MDL
+# df::chiang_hair_bsdf selection (mdlPtxCodeGen.cpp:143-158).
+import os as _os
+
+_HAIR_KAJIYA_KAY = _os.environ.get("STRELKA_HAIR_KK", "0") == "1"
+
 # mi::neuraylib::Bsdf_event_type bit values
 BSDF_EVENT_ABSORB = 0
 BSDF_EVENT_DIFFUSE = 1
@@ -277,7 +285,12 @@ def bsdf_evaluate(
     pdf = jnp.where(is_d, d_pdf, jnp.where(is_p, p_pdf, 0.0))
     if enable_hair:
         is_h = t == BsdfType.HAIR
-        h_diff, h_spec, h_pdf = _hair_eval(params, frame, k1, k2)
+        if _HAIR_KAJIYA_KAY:
+            h_diff, h_spec, h_pdf = _hair_eval(params, frame, k1, k2)
+        else:
+            from strelka_tpu.ops import hair as HAIR
+
+            h_spec, h_diff, h_pdf = HAIR.hair_eval(params, frame, k1, k2)
         bsdf_diffuse = V.where(is_h, h_diff, bsdf_diffuse)
         bsdf_glossy = V.where(is_h, h_spec, bsdf_glossy)
         pdf = jnp.where(is_h, h_pdf, pdf)
@@ -365,16 +378,27 @@ def bsdf_sample(
     event = jnp.where(is_d, diff_event, jnp.where(is_p, pbr_event, glass_event))
     valid = jnp.where(is_d, diff_valid, jnp.where(is_p, pbr_valid, glass_valid))
 
+    hair_k2_world = None
     if enable_hair:
-        # hair: cosine-hemisphere sample around the offset normal, weighted
-        # by the Kajiya-Kay fiber lobes (see _hair_eval)
         is_h = t == BsdfType.HAIR
-        k2_hair_world = _to_world(frame, k2l_diff)
-        hd, hs, hp = _hair_eval(params, frame, k1, V.normalize(k2_hair_world))
-        hair_over_pdf = (hd + hs) * (1.0 / jnp.maximum(hp, 1e-12))
+        if _HAIR_KAJIYA_KAY:
+            # legacy: cosine-hemisphere sample around the offset normal,
+            # weighted by the Kajiya-Kay fiber lobes (see _hair_eval)
+            k2_hair_world = _to_world(frame, k2l_diff)
+            hd, hs, hp = _hair_eval(params, frame, k1, V.normalize(k2_hair_world))
+            hair_over_pdf = (hd + hs) * (1.0 / jnp.maximum(hp, 1e-12))
+            hair_valid = (hp > 0.0) & (cos1 > -1.0)
+            k2l = V.where(is_h, k2l_diff, k2l)
+        else:
+            from strelka_tpu.ops import hair as HAIR
+
+            k2_hair_world, hp, hair_over_pdf, hair_valid = HAIR.hair_sample(
+                params, frame, k1, xi
+            )
+            # hair directions live on the full sphere: bypass the local->world
+            # remap below by stashing the world-space result
+            hair_k2_world = k2_hair_world
         hair_event = jnp.full(n_shape, BSDF_EVENT_GLOSSY_REFLECTION, jnp.int32)
-        hair_valid = (hp > 0.0) & (cos1 > -1.0)
-        k2l = V.where(is_h, k2l_diff, k2l)
         pdf = jnp.where(is_h, hp, pdf)
         over_pdf = V.where(is_h, hair_over_pdf, over_pdf)
         event = jnp.where(is_h, hair_event, event)
@@ -384,4 +408,6 @@ def bsdf_sample(
     zero = V.full(n_shape, 0.0)
     over_pdf = V.where(valid, over_pdf, zero)
     k2 = _to_world(frame, k2l)
+    if hair_k2_world is not None:
+        k2 = V.where(t == BsdfType.HAIR, hair_k2_world, k2)
     return BsdfSample(k2=V.normalize(k2), pdf=pdf, bsdf_over_pdf=over_pdf, event_type=event)

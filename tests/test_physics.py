@@ -310,3 +310,76 @@ def test_hair_energy_bounded():
     f = np.asarray(V.to_rows(ev.bsdf_diffuse + ev.bsdf_glossy))
     integral = f.mean(axis=0) * 2 * np.pi  # uniform hemisphere pdf = 1/(2pi)
     assert (integral < 1.6).all(), f"hair lobes leak energy: {integral}"
+
+
+def test_hair_chiang_white_furnace():
+    """Chiang R/TT/TRT+residual: full-sphere integral of f == 1 at zero
+    absorption (the A_p sum telescopes to 1 by construction), and < 1 with
+    absorption. Importance weights stay bounded (f/pdf <= ~1)."""
+    from strelka_tpu.ops import hair as H
+
+    n = 1 << 18
+    rng = np.random.default_rng(11)
+    frame = _frame(n)
+    k1 = _v3(np.tile([0.3, 0.2, 0.93], (n, 1)) / np.linalg.norm([0.3, 0.2, 0.93]))
+    # uniform-sphere MC directions
+    z = 1.0 - 2.0 * rng.random(n)
+    phi = 2 * np.pi * rng.random(n)
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    wi = _v3(np.stack([r * np.cos(phi), r * np.sin(phi), z], 1).astype(np.float32))
+    for color, lo, hi in (
+        ([1.0, 1.0, 1.0], 0.93, 1.05),  # white furnace: == 1 (MC tolerance)
+        ([0.6, 0.3, 0.1], 0.25, 0.99),  # absorbing: strictly below 1
+    ):
+        params = _params(
+            n, BsdfType.HAIR,
+            diffuse_color=np.tile(color, (n, 1)),
+            roughness=np.full(n, 0.45),
+        )
+        f_r, f_rest, pdf = H.hair_eval(params, frame, k1, wi)
+        f = np.asarray(V.to_rows(f_r + f_rest))
+        integral = f.mean(axis=0) * 4 * np.pi
+        assert (integral > lo).all() and (integral < hi).all(), integral
+        if color[0] != color[2]:
+            # absorption ordering follows the color channels
+            assert integral[0] > integral[1] > integral[2], integral
+        pdf_int = float(np.asarray(pdf).mean() * 4 * np.pi)
+        assert abs(pdf_int - 1.0) < 0.07, pdf_int
+    # importance weights bounded: sample and check f/pdf
+    params = _params(n, BsdfType.HAIR, diffuse_color=np.tile([1.0, 1.0, 1.0], (n, 1)),
+                     roughness=np.full(n, 0.45))
+    xi = tuple(jnp.asarray(rng.random(n).astype(np.float32)) for _ in range(4))
+    _k2, pdf, over, valid = H.hair_sample(params, frame, k1, xi)
+    w = np.asarray(V.to_rows(over))[np.asarray(valid)]
+    assert w.max() < 1.1, w.max()
+    assert abs(w.mean() - 1.0) < 0.05  # white hair: unbiased unit albedo
+
+
+def test_hair_chiang_double_highlight():
+    """Cuticle tilt separates the R and TRT longitudinal peaks: the
+    white (R) and colored (TRT) lobes peak at different theta_i."""
+    from strelka_tpu.ops import hair as H
+
+    n = 721
+    frame = _frame(n)
+    # wo at theta_o = 20 deg from the azimuthal plane, phi_o = 0
+    to = np.radians(20.0)
+    k1 = _v3(np.tile([np.sin(to), 0.0, np.cos(to)], (n, 1)).astype(np.float32))
+    # wi sweeps theta in the phi_i = 0 half-plane (the reflection side:
+    # R and TRT both deflect by Phi ~ 0 mod 2pi at h ~ 0)
+    th = np.radians(np.linspace(-90, 90, n)).astype(np.float32)
+    wi = _v3(np.stack([np.sin(th), np.zeros(n, np.float32), np.cos(th)], 1))
+    params = _params(
+        n, BsdfType.HAIR,
+        diffuse_color=np.tile([0.8, 0.4, 0.1], (n, 1)),
+        roughness=np.full(n, 0.25),
+    )
+    f_r, f_rest, _ = H.hair_eval(params, frame, k1, wi)
+    i_r = int(np.asarray(f_r.x).argmax())
+    i_trt = int(np.asarray(f_rest.x).argmax())
+    # both peaks near the specular cone (theta_i ~ -theta_o) but shifted in
+    # OPPOSITE directions by the tilt (R by -2a, TRT by +4a)
+    assert abs(th[i_r] + to) < np.radians(12.0)
+    assert abs(th[i_trt] + to) < np.radians(16.0)
+    assert th[i_trt] != th[i_r], "tilt must separate the two highlights"
+    assert abs(np.degrees(th[i_trt] - th[i_r])) > 2.0
