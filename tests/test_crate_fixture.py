@@ -1,0 +1,191 @@
+"""A .usdc fixture authored byte-by-byte by an INDEPENDENT mini-encoder.
+
+The crate reader was previously only exercised against its own writer
+(write_usdc), so a mirrored misunderstanding of pxr's format would pass
+every round-trip test. This fixture is constructed here from the format
+spec (pxr crateFile.cpp layout, version 0.8) with encoding choices the
+production writer NEVER makes:
+
+  * integer streams use ONLY explicit widest-width deltas (code 3) with a
+    deliberately unused 'common' value — a valid degenerate encoding
+  * value arrays are stored UNCOMPRESSED (no compression bit)
+  * the TOC lists sections in a different order, and value payloads sit
+    BEFORE the structural sections in the file
+  * scalar reps are inlined where possible
+
+If the reader only understood the writer's canonical choices, every one of
+these would fail. Reference anchor: the reference opens arbitrary binary
+stages via pxr UsdStage::Open (/root/reference/src/hdRunner/main.cpp:566-591).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from strelka_tpu.loaders.crate import read_usdc
+from strelka_tpu.loaders.lz4 import fast_compress
+from strelka_tpu.loaders.usd import UsdLoader
+from strelka_tpu.scene.scene import Scene
+
+# crate value-type enums (crateDataTypes.h order) — independent of crate.py's
+# constants on purpose: a transcription error there should break this test
+TOKEN_T = 11
+SPECIFIER_T = 42
+VEC3F_T = 24
+INT_T = 3
+ARRAY = 1 << 63
+INLINED = 1 << 62
+
+
+def _wrap(v: int, bits: int) -> int:
+    v &= (1 << bits) - 1
+    return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+
+def _enc_ints_widest(values, wide: bool = False) -> bytes:
+    """Usd_IntegerCompression pre-stream using ONLY code-3 (widest) deltas."""
+    bits = 64 if wide else 32
+    out = bytearray()
+    out += struct.pack("<q" if wide else "<i", 987654321)  # 'common': unused
+    n = len(values)
+    codes = bytearray((n * 2 + 7) // 8)
+    for i in range(n):
+        codes[i >> 2] |= 3 << ((i & 3) * 2)
+    out += codes
+    prev = 0
+    for v in values:
+        out += struct.pack("<q" if wide else "<i", _wrap(int(v) - prev, bits))
+        prev = int(v)
+    return bytes(out)
+
+
+def _comp_ints(values, wide: bool = False) -> bytes:
+    blob = fast_compress(_enc_ints_widest(values, wide))
+    return struct.pack("<Q", len(blob)) + blob
+
+
+def build_fixture() -> bytes:
+    tokens = [
+        "", "Root", "Mesh", "points", "faceVertexIndices", "faceVertexCounts",
+        "typeName", "specifier", "default", "Xform", "point3f[]", "int[]",
+    ]
+    TOK = {t: i for i, t in enumerate(tokens)}
+
+    out = bytearray(b"\x00" * 88)  # bootstrap placeholder
+    out[0:8] = b"PXR-USDC"
+    out[8:11] = bytes((0, 8, 0))
+
+    # ---- value payloads FIRST (uncompressed arrays: u64 count + raw data)
+    pts = np.array(
+        [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32
+    )
+    points_off = len(out)
+    out += struct.pack("<Q", 4) + pts.tobytes()
+    fvi = np.array([0, 1, 2, 0, 2, 3], np.int32)
+    fvi_off = len(out)
+    out += struct.pack("<Q", 6) + fvi.tobytes()
+    fvc = np.array([3, 3], np.int32)
+    fvc_off = len(out)
+    out += struct.pack("<Q", 2) + fvc.tobytes()
+
+    # ---- reps
+    def rep(vtype, flags=0, payload=0):
+        return (vtype << 48) | flags | payload
+
+    fields = [
+        (TOK["specifier"], rep(SPECIFIER_T, INLINED, 0)),          # f0 def
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["Xform"])),    # f1
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["Mesh"])),     # f2
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["point3f[]"])),  # f3
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["int[]"])),    # f4
+        (TOK["default"], rep(VEC3F_T, ARRAY, points_off)),         # f5
+        (TOK["default"], rep(INT_T, ARRAY, fvi_off)),              # f6
+        (TOK["default"], rep(INT_T, ARRAY, fvc_off)),              # f7
+    ]
+    NEG1 = 0xFFFFFFFF
+    fieldsets = [
+        NEG1,            # fs @0: pseudo-root (empty)
+        0, 1, NEG1,      # fs @1: /Root        (specifier, typeName=Xform)
+        0, 2, NEG1,      # fs @4: /Root/Mesh   (specifier, typeName=Mesh)
+        3, 5, NEG1,      # fs @7: .points      (typeName, default)
+        4, 6, NEG1,      # fs @10: .faceVertexIndices
+        4, 7, NEG1,      # fs @13: .faceVertexCounts
+    ]
+
+    # ---- sections (deliberately in a non-canonical order)
+    sections = {}
+
+    tok_blob = b"\x00".join(t.encode() for t in tokens)
+    comp = fast_compress(tok_blob)
+    sections["TOKENS"] = struct.pack("<QQQ", len(tokens), len(tok_blob), len(comp)) + comp
+
+    sections["FIELDS"] = (
+        struct.pack("<Q", len(fields))
+        + _comp_ints([f[0] for f in fields])
+        + (lambda blob: struct.pack("<Q", len(blob)) + blob)(
+            fast_compress(np.array([f[1] for f in fields], "<u8").tobytes())
+        )
+    )
+    sections["FIELDSETS"] = struct.pack("<Q", len(fieldsets)) + _comp_ints(fieldsets)
+
+    # paths, DFS: /(pi0) -> Root(pi1) -> Mesh(pi2) -> [points, fvi, fvc]
+    pidx = [0, 1, 2, 3, 4, 5]
+    etok = [0, TOK["Root"], TOK["Mesh"], -TOK["points"],
+            -TOK["faceVertexIndices"], -TOK["faceVertexCounts"]]
+    jumps = [-1, -1, -1, 0, 0, -2]
+    sections["PATHS"] = (
+        struct.pack("<QQ", 6, 6)
+        + _comp_ints(pidx) + _comp_ints(etok) + _comp_ints(jumps)
+    )
+
+    # specs: pseudo-root(7), two prims(6), three attributes(1)
+    sections["SPECS"] = (
+        struct.pack("<Q", 6)
+        + _comp_ints([0, 1, 2, 3, 4, 5])        # path index
+        + _comp_ints([0, 1, 4, 7, 10, 13])      # fieldset start
+        + _comp_ints([7, 6, 6, 1, 1, 1])        # spec type
+    )
+
+    order = ["SPECS", "TOKENS", "PATHS", "FIELDS", "FIELDSETS"]
+    starts = {}
+    for name in order:
+        starts[name] = len(out)
+        out += sections[name]
+
+    toc_offset = len(out)
+    out += struct.pack("<q", len(order))
+    for name in order:
+        out += name.encode().ljust(16, b"\x00")
+        out += struct.pack("<qq", starts[name], len(sections[name]))
+    struct.pack_into("<q", out, 16, toc_offset)
+    return bytes(out)
+
+
+def test_hand_authored_usdc_parses(tmp_path):
+    path = str(tmp_path / "fixture.usdc")
+    with open(path, "wb") as f:
+        f.write(build_fixture())
+    root = read_usdc(path)
+    (xform,) = root.children
+    assert xform.name == "Root" and xform.type == "Xform"
+    assert xform.specifier == "def"
+    (mesh,) = xform.children
+    assert mesh.name == "Mesh" and mesh.type == "Mesh" and mesh.path == "/Root/Mesh"
+    pts = mesh.attrs["points"].value
+    assert len(pts) == 4 and tuple(pts[2]) == (1.0, 0.0, 1.0)
+    assert mesh.attrs["points"].type_str == "point3f[]"
+    assert [int(v) for v in mesh.attrs["faceVertexIndices"].value] == [0, 1, 2, 0, 2, 3]
+    assert [int(v) for v in mesh.attrs["faceVertexCounts"].value] == [3, 3]
+
+
+def test_hand_authored_usdc_loads_into_scene(tmp_path):
+    path = str(tmp_path / "fixture.usdc")
+    with open(path, "wb") as f:
+        f.write(build_fixture())
+    scene = Scene()
+    assert UsdLoader().load(path, scene)
+    # quad triangulates into 2 triangles
+    total_tris = sum(m.count // 3 for m in scene.meshes)
+    assert total_tris == 2
