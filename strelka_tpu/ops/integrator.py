@@ -155,7 +155,18 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
     tangent = V.normalize(col(18, 3) * w0 + col(21, 3) * wu + col(24, 3) * wv)
     uv_u = rows[27] * w0 + rows[29] * wu + rows[31] * wv
     uv_v = rows[28] * w0 + rows[30] * wu + rows[32] * wv
-    geom_normal = V.normalize(V.cross(e1, e2))
+    gcross = V.cross(e1, e2)
+    # per-prim UV density for mip selection: log2 sqrt(uv_area / world_area)
+    # (both areas share the 1/2 factor, so the parallelogram ratio is exact)
+    uv_area2 = jnp.abs(
+        (rows[29] - rows[27]) * (rows[32] - rows[28])
+        - (rows[31] - rows[27]) * (rows[30] - rows[28])
+    )
+    world_area2 = V.length(gcross)
+    uv_density_log2 = 0.5 * (
+        jnp.log2(jnp.maximum(uv_area2, 1e-20)) - jnp.log2(jnp.maximum(world_area2, 1e-20))
+    )
+    geom_normal = V.normalize(gcross)
     flip = jnp.where(inside, -1.0, 1.0)
     normal = normal * flip
     geom_normal = geom_normal * flip
@@ -163,7 +174,7 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
     frame = B.ShadingFrame(normal=normal, tangent_u=tangent, tangent_v=binormal, geom_normal=geom_normal)
     material_id = rows[33].astype(jnp.int32)
     light_id = rows[34].astype(jnp.int32)
-    return position, (uv_u, uv_v), frame, material_id, light_id
+    return position, (uv_u, uv_v), frame, material_id, light_id, uv_density_log2
 
 
 def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
@@ -232,15 +243,24 @@ def _gather_light(scene: DeviceScene, light_id) -> LS.LightParams:
     )
 
 
-def _apply_textures(scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFrame, mat_rows, uv):
+def _apply_textures(
+    scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFrame, mat_rows, uv,
+    lod_uv=None,
+):
     """Texture lookups modulating material params + normal mapping.
 
     The tex_lookup path of the MDL runtime (texture_support_cuda.h:287-528):
     diffuse texture replaces the constant color, roughness/metallic textures
     override their scalars (R channel), normal map perturbs the frame.
     mat_rows: [N,20] fat material rows (cols 12-15 tex ids, 16-19 uv xform).
+
+    lod_uv: [N] log2 footprint of the sample in UV units (ray-cone estimate);
+    when given, lookups are trilinear across the atlas mip chain (the
+    hardware-mipmap path of the reference's cudaArray textures). The UV
+    transform's scale compresses/stretches the footprint, so its log2 is
+    added per-material.
     """
-    from strelka_tpu.textures import sample_bilinear
+    from strelka_tpu.textures import sample_bilinear, sample_trilinear
 
     uv_u, uv_v = uv
     uv_t = jnp.stack(
@@ -250,19 +270,27 @@ def _apply_textures(scene: DeviceScene, mat: B.SurfaceParams, frame: B.ShadingFr
         ],
         -1,
     )
+    if lod_uv is not None:
+        uv_scale = jnp.maximum(
+            jnp.maximum(jnp.abs(mat_rows[16]), jnp.abs(mat_rows[17])), 1e-8
+        )
+        lod_t = lod_uv + jnp.log2(uv_scale)
+        tex = lambda tid: sample_trilinear(scene.textures, tid, uv_t, lod_t)
+    else:
+        tex = lambda tid: sample_bilinear(scene.textures, tid, uv_t)
     d_id = mat_rows[12].astype(jnp.int32)
-    diff = sample_bilinear(scene.textures, d_id, uv_t)
+    diff = tex(d_id)
     mat = mat._replace(
         diffuse_color=V.where(d_id >= 0, V.from_rows(diff[..., :3]), mat.diffuse_color)
     )
     r_id = mat_rows[14].astype(jnp.int32)
-    rough = sample_bilinear(scene.textures, r_id, uv_t)
+    rough = tex(r_id)
     mat = mat._replace(roughness=jnp.where(r_id >= 0, rough[..., 0], mat.roughness))
     mt_id = mat_rows[15].astype(jnp.int32)
-    metal = sample_bilinear(scene.textures, mt_id, uv_t)
+    metal = tex(mt_id)
     mat = mat._replace(metallic=jnp.where(mt_id >= 0, metal[..., 0], mat.metallic))
     n_id = mat_rows[13].astype(jnp.int32)
-    n_ts = V.from_rows(sample_bilinear(scene.textures, n_id, uv_t)[..., :3]) * 2.0 - 1.0
+    n_ts = V.from_rows(tex(n_id)[..., :3]) * 2.0 - 1.0
     n_map = V.normalize(
         frame.tangent_u * n_ts.x + frame.tangent_v * n_ts.y + frame.normal * n_ts.z
     )
@@ -394,8 +422,13 @@ def trace_paths(
     material_ray_tmin: float,
     debug: int,
     sort_rays: bool = False,
+    cone_spread=None,
 ):
     """One path per entry; returns (radiance Vec3, first_event [N]).
+
+    cone_spread: traced scalar — the per-pixel ray-cone angle (radians,
+    ~2*tan(fov/2)/height). When given, texture lookups become trilinear with
+    the mip level chosen from footprint = cone_spread * path_length.
 
     sort_rays: after the first bounce, reorder the whole wavefront by a
     position-Morton/direction-octant key (one argsort + one packed
@@ -419,6 +452,10 @@ def trace_paths(
 
     tmin_mat = jnp.full(n, material_ray_tmin, jnp.float32)
     tmax_big = jnp.full(n, 1e16, jnp.float32)
+    # ray-cone mip selection state: accumulated path length (footprint =
+    # cone_spread * t_total at the hit; Akenine-Möller ray cones, constant
+    # spread — good for the primary-visible aliasing mips exist to kill)
+    t_total = jnp.zeros(n, jnp.float32)
 
     # ray_id[i] = the original wavefront slot of lane i (identity unless sorted)
     ray_id = None
@@ -433,7 +470,7 @@ def trace_paths(
                     direction.x, direction.y, direction.z,
                     radiance.x, radiance.y, radiance.z,
                     throughput.x, throughput.y, throughput.z,
-                    last_bsdf_pdf,
+                    last_bsdf_pdf, t_total,
                 ],
                 [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id],
             )
@@ -442,6 +479,7 @@ def trace_paths(
             radiance = Vec3(*f32s[6:9])
             throughput = Vec3(*f32s[9:12])
             last_bsdf_pdf = f32s[12]
+            t_total = f32s[13]
             (sample_idx, first_event, prev_prim, inside, specular_bounce,
              alive, ray_id) = bits
 
@@ -481,7 +519,7 @@ def trace_paths(
         )
         throughput = V.where(missed, V.full(n, 0.0), throughput)
 
-        position, uv, frame, mat_id, raw_light_id = _gather_surface(
+        position, uv, frame, mat_id, raw_light_id, uv_density_log2 = _gather_surface(
             scene, hit, inside,
             ray_o=origin if on_pallas else None,
             ray_d=direction if on_pallas else None,
@@ -506,8 +544,17 @@ def trace_paths(
 
         # ---- __closesthit__radiance (surface shading)
         mat, mat_rows = _gather_material_by_id(scene, jnp.maximum(mat_id, 0))
+        # advance the ray cone to this hit (curve hits use the cone t too)
+        t_eff = hit.t
+        if chit is not None:
+            t_eff = jnp.where(is_curve, chit.t, hit.t)
+        t_hit = t_total + jnp.where(alive & ~missed, t_eff, 0.0)
         if scene.textures is not None:
-            mat, frame = _apply_textures(scene, mat, frame, mat_rows, uv)
+            lod_uv = None
+            if cone_spread is not None:
+                lod_uv = jnp.log2(jnp.maximum(cone_spread * t_hit, 1e-20)) + uv_density_log2
+            mat, frame = _apply_textures(scene, mat, frame, mat_rows, uv, lod_uv=lod_uv)
+        t_total = t_hit
         if chit is not None:
             # fillCurveGeomData (cu:423-454): spine-offset normal, spline tangent
             from strelka_tpu.ops.curves import curve_shading_frame_vec
@@ -762,6 +809,9 @@ def render_launch(
         material_ray_tmin=material_ray_tmin,
         debug=debug,
         sort_rays=sort_rays,
+        # per-pixel cone angle from the projection (clip_to_view[1,1] is
+        # tan(fov_y/2)); drives mip selection in texture lookups
+        cone_spread=2.0 * jnp.abs(params.clip_to_view[1, 1]) / height,
     )
     # [spl*n] components -> [spl, n] -> reduce over samples
     rad = Vec3(*[c.reshape(spl, n) for c in radiance])

@@ -1,17 +1,28 @@
-"""Texture system: host-side manager + device atlas with bilinear sampling.
+"""Texture system: host-side manager + device atlas with filtered sampling.
 
 The TPU replacement for CUDA texture objects (OptixRender::loadTextureFromFile
 stb->cudaArray + filtered tex objects, OptixRender.cpp:1191-1268, and the MDL
 texture runtime tex_lookup_float4_2d, texture_support_cuda.h:287-528).
 
-Design: textures keep their NATIVE resolution (capped at MAX_DIM) and are
-shelf-packed into one [H, W, 4] float32 sheet; a per-texture rect table
-(x0, y0, w, h, wrap) maps texture ids to sheet regions. Sampling is a
-branchless bilinear gather with per-texture wrap OR clamp addressing — 4
-gathers + lerp on the VPU, batched over the whole wavefront. sRGB decode
-happens at LOAD time for color textures (mirroring the reference's gamma
-adjust at canvas readback, materialmanager.cpp:686-737), so device sampling
-is linear.
+Design: textures keep their NATIVE resolution (capped at MAX_DIM); a full mip
+chain is built per texture at pack time (box-filtered in linear space) and
+every (texture, level) image is shelf-packed into ONE [H, W, 4] sheet. A
+per-rect row table maps rect ids to sheet regions; rect id == texture id for
+level 0, and a texture's levels 1..k occupy CONSECUTIVE rect ids starting at
+its mip_base column — so level selection is pure arithmetic on one fat row
+gather (per-lane 1D gathers are ~100x slower on TPU than a fat [R, C] row
+gather; see ops/vec.gather_rows_t). Sampling is a branchless bilinear gather
+with per-texture wrap OR clamp addressing, batched over the whole wavefront;
+trilinear adds a second level and one blend, with the level chosen from a
+ray-cone footprint (see integrator._apply_textures).
+
+Storage is u8 by default (4x less HBM than f32 and 4x less gather bandwidth):
+color textures are stored sRGB-ENCODED and decoded to linear at sample time
+BEFORE filtering — bit-faithful to the source file's own 8-bit payload and
+matching the hardware decode-then-filter order the reference's cudaArray path
+gets (texture_support_cuda.h). Linear/HDR textures store u8 with a per-texture
+scale (max value), so values > 1 survive. dtype="f32" keeps the old exact
+float sheet for tests and HDR-critical content.
 """
 
 from __future__ import annotations
@@ -24,16 +35,25 @@ import numpy as np
 from strelka_tpu import log
 
 MAX_DIM = 2048  # native detail preserved up to this edge length
+MAX_MIP = 12  # 2048 -> 1x1 chain length
 
 ADDRESS_WRAP = 0  # cudaAddressModeWrap
 ADDRESS_CLAMP = 1  # cudaAddressModeClamp
+
+FLAG_SRGB = 1  # rect stores sRGB-encoded u8 (decode before filtering)
+
+# rects table columns
+RC_X0, RC_Y0, RC_W, RC_H, RC_MODE, RC_FLAGS, RC_SCALE, RC_COUNT, RC_BASE = range(9)
 
 
 class TextureAtlas(NamedTuple):
     """Device-side texture sheet.
 
-    data:  jnp [H, W, 4] f32 (linear)
-    rects: jnp [L, 5] i32 — (x0, y0, w, h, address_mode) per texture id
+    data:  jnp [H, W, 4] u8 (sRGB or scaled-linear, per-rect) or f32 linear
+    rects: jnp [R, 9] i32 — (x0, y0, w, h, address_mode, flags, scale_bits,
+           mip_count, mip_base) per rect. Rects 0..L-1 are the level-0 rects
+           of the L textures; texture i's level l>=1 is rect mip_base + l - 1
+           (consecutive). scale_bits is an f32 bitcast (u8 decode scale).
     """
 
     data: object
@@ -43,7 +63,7 @@ class TextureAtlas(NamedTuple):
 
 def _resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Host-side bilinear resize of an [H,W,C] f32 image (no PIL dependency
-    for in-memory arrays)."""
+    for in-memory arrays). At exactly half size this is the 2x2 box filter."""
     h, w = im.shape[:2]
     yy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     xx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
@@ -58,6 +78,12 @@ def _resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return (top * (1 - ty) + bot * ty).astype(np.float32)
 
 
+def _srgb_encode(rgb: np.ndarray) -> np.ndarray:
+    return np.where(
+        rgb <= 0.0031308, rgb * 12.92, 1.055 * np.maximum(rgb, 1e-12) ** (1 / 2.4) - 0.055
+    )
+
+
 class TextureManager:
     """Host registry: load images at native size, dedupe by path, shelf-pack
     the sheet. The 'registerResource' analog (materialmanager.cpp:611-618):
@@ -67,8 +93,9 @@ class TextureManager:
     def __init__(self, atlas_size: int = MAX_DIM, search_path: str = ""):
         self.max_dim = atlas_size
         self.search_path = search_path
-        self._images: List[np.ndarray] = []
+        self._images: List[np.ndarray] = []  # linear f32 [H,W,4]
         self._modes: List[int] = []
+        self._srgb: List[bool] = []  # store sRGB-encoded u8 for this texture
         self._path_to_id = {}
 
     def load(self, path: str, srgb: bool = True, address_mode: int = ADDRESS_WRAP) -> int:
@@ -104,6 +131,7 @@ class TextureManager:
         tex_id = len(self._images)
         self._images.append(arr.astype(np.float32))
         self._modes.append(address_mode)
+        self._srgb.append(bool(srgb))
         self._path_to_id[key] = tex_id
         log.debug("Loaded texture {} ({}x{}) -> id {}", path, arr.shape[1], arr.shape[0], tex_id)
         return tex_id
@@ -116,6 +144,7 @@ class TextureManager:
         tex_id = len(self._images)
         self._images.append(a)
         self._modes.append(address_mode)
+        self._srgb.append(False)
         if name:
             self._path_to_id[(name, False)] = tex_id
         return tex_id
@@ -124,15 +153,18 @@ class TextureManager:
     def count(self) -> int:
         return len(self._images)
 
-    def build_atlas(self) -> Optional[TextureAtlas]:
-        """Shelf-pack all textures at native size into one sheet."""
+    def build_atlas(self, dtype: str = "u8", mipmaps: bool = True) -> Optional[TextureAtlas]:
+        """Shelf-pack all textures (and their mip chains) into one sheet.
+
+        dtype: "u8" (default; sRGB-encoded color / scaled-linear, 4x less
+        memory) or "f32" (exact linear floats). mipmaps=False packs level 0
+        only (mip_count all 1)."""
         import jax.numpy as jnp
 
         if not self._images:
             return None
         sheet_w = max(128, min(self.max_dim, max(im.shape[1] for im in self._images)))
         sheet_w = 1 << (sheet_w - 1).bit_length()  # pow2 lanes
-        # shelves: place tallest-first rows
         # downscale (never crop) any registered image wider than the sheet —
         # loader-capped images are safe, in-memory add_array() ones may not be
         for i, im in enumerate(self._images):
@@ -143,48 +175,93 @@ class TextureManager:
                 log.warning(
                     "Texture {} ({}x{}) wider than sheet ({}); downscaled", i, w, h, sheet_w
                 )
-        order = sorted(range(len(self._images)), key=lambda i: -self._images[i].shape[0])
-        rects = np.zeros((len(self._images), 5), np.int32)
+
+        # ---- build the full rect list: level-0 rects first (rect id ==
+        # texture id, back-compat), then each texture's levels 1..k in
+        # CONSECUTIVE rect slots (level selection becomes arithmetic)
+        n_tex = len(self._images)
+        rect_imgs: List[np.ndarray] = list(self._images)
+        rect_mode: List[int] = list(self._modes)
+        rect_srgb: List[bool] = list(self._srgb)
+        counts = np.ones(n_tex, np.int32)
+        bases = np.arange(n_tex, dtype=np.int32)  # unused when count == 1
+        if mipmaps:
+            for i in range(n_tex):
+                im = self._images[i]
+                bases[i] = len(rect_imgs)
+                level = 1
+                while max(im.shape[0], im.shape[1]) > 1 and level < MAX_MIP:
+                    im = _resize_bilinear(
+                        im, max(1, im.shape[0] // 2), max(1, im.shape[1] // 2)
+                    )
+                    rect_imgs.append(im)
+                    rect_mode.append(self._modes[i])
+                    rect_srgb.append(self._srgb[i])
+                    level += 1
+                counts[i] = level
+
+        # ---- shelf-pack (tallest first)
+        order = sorted(range(len(rect_imgs)), key=lambda i: -rect_imgs[i].shape[0])
+        rects = np.zeros((len(rect_imgs), 9), np.int32)
         x = y = shelf_h = 0
         for i in order:
-            h, w = self._images[i].shape[:2]
+            h, w = rect_imgs[i].shape[:2]
             if x + w > sheet_w:
                 y += shelf_h
                 x = shelf_h = 0
-            rects[i] = (x, y, w, h, self._modes[i])
+            rects[i, :5] = (x, y, w, h, rect_mode[i])
             x += w
             shelf_h = max(shelf_h, h)
         total_h = y + shelf_h
-        sheet = np.zeros((total_h, sheet_w, 4), np.float32)
-        for i, im in enumerate(self._images):
-            x0, y0, w, h, _ = rects[i]
-            sheet[y0 : y0 + h, x0 : x0 + w] = im[:h, :w]
+        rects[:n_tex, RC_COUNT] = counts
+        rects[:n_tex, RC_BASE] = bases
+        rects[:, RC_SCALE] = np.float32(1.0).view(np.int32)
+
+        # ---- encode the sheet
+        if dtype == "u8":
+            sheet = np.zeros((total_h, sheet_w, 4), np.uint8)
+            for i, im in enumerate(rect_imgs):
+                x0, y0, w, h = rects[i, :4]
+                if rect_srgb[i]:
+                    enc = np.concatenate(
+                        [_srgb_encode(im[..., :3]), im[..., 3:]], axis=-1
+                    )
+                    rects[i, RC_FLAGS] |= FLAG_SRGB
+                else:
+                    s = float(max(1.0, im.max())) if im.size else 1.0
+                    rects[i, RC_SCALE] = np.float32(s).view(np.int32)
+                    enc = im / s
+                sheet[y0 : y0 + h, x0 : x0 + w] = np.clip(
+                    np.round(enc[:h, :w] * 255.0), 0, 255
+                ).astype(np.uint8)
+        else:
+            sheet = np.zeros((total_h, sheet_w, 4), np.float32)
+            for i, im in enumerate(rect_imgs):
+                x0, y0, w, h = rects[i, :4]
+                sheet[y0 : y0 + h, x0 : x0 + w] = im[:h, :w]
         log.info(
-            "Texture sheet: {} textures packed into {}x{} ({:.1f} MB)",
-            len(self._images), sheet_w, total_h, sheet.nbytes / 1e6,
+            "Texture sheet: {} textures / {} rects packed into {}x{} {} ({:.1f} MB)",
+            n_tex, len(rect_imgs), sheet_w, total_h, dtype, sheet.nbytes / 1e6,
         )
-        return TextureAtlas(data=jnp.asarray(sheet), rects=jnp.asarray(rects), size=sheet_w)
+        return TextureAtlas(
+            data=jnp.asarray(sheet), rects=jnp.asarray(rects), size=sheet_w
+        )
 
 
-def sample_bilinear(atlas: TextureAtlas, tex_id, uv):
-    """Bilinear lookup with per-texture wrap/clamp addressing
-    (tex_lookup_float4_2d equivalent, texture_support_cuda.h:287-528).
-
-    tex_id: [N] int32 (< 0 -> returns ones). uv: [N,2]. -> [N,4] f32.
-    V is flipped (image row 0 = v 1) to match GL/CUDA texture convention.
-    """
+def _sample_rect_rows(atlas: TextureAtlas, r, uv):
+    """Bilinear lookup given pre-gathered rect rows r [9, N] i32.
+    uv: [N,2]. -> [N,4] f32 linear. u8 sheets decode each texel (sRGB or
+    scale) BEFORE the bilinear blend, like hardware decode-then-filter.
+    V flipped (row 0 = v 1, GL convention)."""
+    import jax
     import jax.numpy as jnp
 
-    from strelka_tpu.ops.vec import gather_rows_t
-
-    layer = jnp.clip(tex_id, 0, atlas.rects.shape[0] - 1)
-    r = gather_rows_t(atlas.rects, layer)  # [5, N] i32
-    x0, y0, w, h, mode = r[0], r[1], r[2], r[3], r[4]
+    x0, y0, w, h = r[RC_X0], r[RC_Y0], r[RC_W], r[RC_H]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
     u = uv[..., 0]
     v = 1.0 - uv[..., 1]
-    clamp = mode == ADDRESS_CLAMP
+    clamp = r[RC_MODE] == ADDRESS_CLAMP
     uu = jnp.where(clamp, jnp.clip(u, 0.0, 1.0), u % 1.0)
     vv = jnp.where(clamp, jnp.clip(v, 0.0, 1.0), v % 1.0)
     fu = uu * wf - 0.5
@@ -203,13 +280,75 @@ def sample_bilinear(atlas: TextureAtlas, tex_id, uv):
     y0i = addr(yb.astype(jnp.int32), h)
     x1i = addr(xb.astype(jnp.int32) + 1, w)
     y1i = addr(yb.astype(jnp.int32) + 1, h)
-    c00 = atlas.data[y0 + y0i, x0 + x0i]
-    c10 = atlas.data[y0 + y0i, x0 + x1i]
-    c01 = atlas.data[y0 + y1i, x0 + x0i]
-    c11 = atlas.data[y0 + y1i, x0 + x1i]
+
+    is_u8 = atlas.data.dtype == jnp.uint8
+    srgb = ((r[RC_FLAGS] & FLAG_SRGB) != 0)[..., None]
+    scale = jax.lax.bitcast_convert_type(r[RC_SCALE], jnp.float32)[..., None]
+
+    def fetch(yi, xi):
+        c = atlas.data[y0 + yi, x0 + xi]
+        if not is_u8:
+            return c
+        cf = c.astype(jnp.float32) * (1.0 / 255.0)
+        lin = jnp.where(cf <= 0.04045, cf / 12.92, ((cf + 0.055) / 1.055) ** 2.4)
+        out = jnp.where(srgb, lin, cf * scale)
+        # alpha is stored linear even for sRGB rects
+        alpha = jnp.where(srgb[..., 0], cf[..., 3], cf[..., 3] * scale[..., 0])
+        return jnp.concatenate([out[..., :3], alpha[..., None]], axis=-1)
+
+    c00 = fetch(y0i, x0i)
+    c10 = fetch(y0i, x1i)
+    c01 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
     top = c00 * (1 - tx) + c10 * tx
     bot = c01 * (1 - tx) + c11 * tx
-    out = top * (1 - ty) + bot * ty
+    return top * (1 - ty) + bot * ty
+
+
+def sample_bilinear(atlas: TextureAtlas, tex_id, uv):
+    """Level-0 bilinear lookup (tex_lookup_float4_2d equivalent,
+    texture_support_cuda.h:287-528). tex_id: [N] i32 (< 0 -> ones).
+    uv: [N,2]. -> [N,4] f32 linear."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops.vec import gather_rows_t
+
+    ridx = jnp.clip(tex_id, 0, atlas.rects.shape[0] - 1)
+    r = gather_rows_t(atlas.rects, ridx)
+    out = _sample_rect_rows(atlas, r, uv)
+    return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
+
+
+def sample_trilinear(atlas: TextureAtlas, tex_id, uv, lod_uv):
+    """Trilinear (mipmapped) lookup. lod_uv: [N] f32 = log2 of the sample
+    footprint in UV units (texture-size independent); the per-texture texel
+    LOD adds log2(max(w, h)). Blends the two straddling mip levels — the
+    filtered tex_lookup path the reference gets from hardware mipmapping
+    (texture_support_cuda.h:287-528; OptixRender.cpp:1191-1268).
+
+    Cost: TWO fat rect-row gathers + two bilinear rect samples; level
+    selection is pure arithmetic (mip rects are consecutive, no index table).
+    """
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops.vec import gather_rows_t
+
+    tid = jnp.clip(tex_id, 0, atlas.rects.shape[0] - 1)
+    r0 = gather_rows_t(atlas.rects, tid)  # level-0 rows carry count/base
+    dim = jnp.maximum(r0[RC_W], r0[RC_H]).astype(jnp.float32)
+    count = r0[RC_COUNT]
+    lod = lod_uv + jnp.log2(jnp.maximum(dim, 1.0))
+    lod = jnp.clip(lod, 0.0, count.astype(jnp.float32) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, count - 1)
+    base = r0[RC_BASE]
+    ridx0 = jnp.where(l0i == 0, tid, base + l0i - 1)
+    ridx1 = jnp.where(l1i == 0, tid, base + l1i - 1)
+    a = _sample_rect_rows(atlas, gather_rows_t(atlas.rects, ridx0), uv)
+    b = _sample_rect_rows(atlas, gather_rows_t(atlas.rects, ridx1), uv)
+    out = a * (1.0 - frac) + b * frac
     return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
 
 

@@ -19,12 +19,12 @@ def test_atlas_pack_and_sample_exact():
     img = _checker(scale=64)
     tid = tm.add_array(img, "checker")
     flat = tm.add_array(np.full((64, 64, 3), 0.25, np.float32), "flat")
-    atlas = tm.build_atlas()
+    atlas = tm.build_atlas(dtype="f32")
     # shelf-packed sheet: both 64x64 layers present at native resolution
     assert atlas.data.shape[-1] == 4
     r = np.asarray(atlas.rects)
-    assert r.shape == (2, 5)
-    assert (r[:, 2] == 64).all() and (r[:, 3] == 64).all()
+    # level-0 rects are rows 0..n_tex-1; mip rects follow
+    assert (r[:2, 2] == 64).all() and (r[:2, 3] == 64).all()
     # sample at texel centers: u=(x+0.5)/64, v flipped
     xs = np.array([0, 5, 17, 63])
     ys = np.array([0, 9, 30, 63])
@@ -45,7 +45,7 @@ def test_bilinear_interpolates_between_texels():
     img = np.zeros((64, 64, 3), np.float32)
     img[:, 32:] = 1.0  # step in x
     tid = tm.add_array(img)
-    atlas = tm.build_atlas()
+    atlas = tm.build_atlas(dtype="f32")
     # halfway between texel 31 and 32 -> 0.5
     u = (31.5 + 0.5) / 64.0
     uv = jnp.asarray([[u, 0.5]], jnp.float32)
@@ -56,7 +56,7 @@ def test_bilinear_interpolates_between_texels():
 def test_wrap_addressing():
     tm = TextureManager(atlas_size=64)
     tid = tm.add_array(_checker(scale=64))
-    atlas = tm.build_atlas()
+    atlas = tm.build_atlas(dtype="f32")
     uv0 = jnp.asarray([[0.3, 0.7]], jnp.float32)
     uv1 = jnp.asarray([[1.3, -0.3]], jnp.float32)  # wraps to same point
     a = np.asarray(sample_bilinear(atlas, jnp.array([tid], jnp.int32), uv0))
@@ -74,7 +74,7 @@ def test_variable_resolution_and_clamp():
     small = np.full((16, 16, 3), 0.5, np.float32)
     tb = tm.add_array(big, "big", address_mode=ADDRESS_CLAMP)
     ts = tm.add_array(small, "small")
-    atlas = tm.build_atlas()
+    atlas = tm.build_atlas(dtype="f32")
     r = np.asarray(atlas.rects)
     assert tuple(r[tb][2:4]) == (512, 256)  # native w, h preserved
     assert tuple(r[ts][2:4]) == (16, 16)
@@ -121,13 +121,12 @@ def test_textured_render_end_to_end():
     host.materials[0].params["__test_tex__"] = None  # keep dict non-empty
     scene = build_device_scene(host, mm)
     # manually point material 0's diffuse texture at the checker
-    mt = scene.materials._replace(
-        diffuse_tex=scene.materials.diffuse_tex.at[0].set(checker_id)
-    )
-    scene = jax.tree.map(lambda x: x, scene)  # copy
+    # (mat_table col 12 = diffuse_tex — the table the integrator gathers)
     import dataclasses
 
-    scene = dataclasses.replace(scene, materials=mt)
+    scene = dataclasses.replace(
+        scene, mat_table=scene.mat_table.at[0, 12].set(float(checker_id))
+    )
 
     cam = host.get_camera(0)
     params = I.LaunchParams(
@@ -149,3 +148,147 @@ def test_textured_render_end_to_end():
     # checkered floor: red and green channels both present and anticorrelated
     floor = img[:, 4:14]  # bottom rows (y small = floor in view)
     assert floor[0].max() > 0.005 and floor[1].max() > 0.005
+
+
+def test_mip_chain_layout_and_counts():
+    """Mip rects are consecutive per texture; counts cover down to 1x1."""
+    from strelka_tpu.textures import RC_BASE, RC_COUNT, RC_H, RC_W
+
+    tm = TextureManager(atlas_size=64)
+    t0 = tm.add_array(_checker(scale=64))          # 64x64 -> 7 levels
+    t1 = tm.add_array(np.full((16, 8, 3), 0.5, np.float32))  # 16x8 -> 5 levels
+    atlas = tm.build_atlas(dtype="f32")
+    r = np.asarray(atlas.rects)
+    assert r[t0, RC_COUNT] == 7 and r[t1, RC_COUNT] == 5
+    base0 = r[t0, RC_BASE]
+    # level 1..6 of t0: halved dims each step
+    for l in range(1, 7):
+        assert r[base0 + l - 1, RC_W] == 64 >> l
+        assert r[base0 + l - 1, RC_H] == 64 >> l
+    assert r[r[t1, RC_BASE] + 3, RC_W] == 1 and r[r[t1, RC_BASE] + 3, RC_H] == 1
+
+
+def test_trilinear_lod_selection():
+    """High LOD converges to the checker mean; lod blends between levels."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.textures import sample_trilinear
+
+    tm = TextureManager(atlas_size=64)
+    tid = tm.add_array(_checker(s=8, scale=64))
+    atlas = tm.build_atlas(dtype="f32")
+    uv = jnp.asarray([[0.31, 0.57]], jnp.float32)
+    tids = jnp.array([tid], jnp.int32)
+    # lod_uv = -log2(64) selects level 0 exactly == bilinear
+    lo = np.asarray(sample_trilinear(atlas, tids, uv, jnp.array([-6.0], jnp.float32)))
+    bi = np.asarray(sample_bilinear(atlas, tids, uv))
+    np.testing.assert_allclose(lo, bi, atol=1e-6)
+    # lod_uv = 0 (footprint covers the whole texture) -> 1x1 level = mean
+    hi = np.asarray(sample_trilinear(atlas, tids, uv, jnp.array([0.0], jnp.float32)))
+    np.testing.assert_allclose(hi[0, :2], 0.5, atol=0.02)
+    # negative id still -> ones
+    none = np.asarray(
+        sample_trilinear(atlas, jnp.array([-1], jnp.int32), uv, jnp.zeros(1, jnp.float32))
+    )
+    np.testing.assert_allclose(none, 1.0)
+
+
+def test_u8_atlas_quantization_and_hdr_scale():
+    """Default u8 storage: LDR within 1/255, HDR preserved via scale."""
+    import jax.numpy as jnp
+
+    tm = TextureManager(atlas_size=64)
+    ldr = tm.add_array(_checker(scale=64))
+    hdr = tm.add_array(np.full((8, 8, 3), 12.0, np.float32), "hdr")
+    atlas = tm.build_atlas()  # default u8 + mips
+    assert np.asarray(atlas.data).dtype == np.uint8
+    uv = jnp.asarray([[0.25, 0.25]], jnp.float32)
+    out = np.asarray(sample_bilinear(atlas, jnp.array([ldr], jnp.int32), uv))
+    assert abs(out[0, 2] - 0.5) < 1.5 / 255.0
+    out_hdr = np.asarray(sample_bilinear(atlas, jnp.array([hdr], jnp.int32), uv))
+    np.testing.assert_allclose(out_hdr[0, :3], 12.0, rtol=0.01)
+
+
+def test_u8_srgb_storage_roundtrip(tmp_path):
+    """File-loaded color textures store sRGB u8 and decode exactly."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    vals = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16 + 8
+    img = np.stack([vals] * 3 + [np.full_like(vals, 255)], -1)
+    p = str(tmp_path / "t.png")
+    Image.fromarray(img, "RGBA").save(p)
+    tm = TextureManager(atlas_size=64)
+    tid = tm.load(p, srgb=True)
+    atlas = tm.build_atlas()
+    # texel centers decode to the exact sRGB EOTF of the source byte
+    uv = jnp.asarray([[(1 + 0.5) / 4.0, 1.0 - (2 + 0.5) / 4.0]], jnp.float32)
+    out = np.asarray(sample_bilinear(atlas, jnp.array([tid], jnp.int32), uv))
+    srgb = img[2, 1, 0] / 255.0
+    expect = srgb / 12.92 if srgb <= 0.04045 else ((srgb + 0.055) / 1.055) ** 2.4
+    np.testing.assert_allclose(out[0, 0], expect, atol=1e-6)
+
+
+def test_mipmapped_render_no_shimmer():
+    """A heavily-tiled 1-texel checker (mean 0.5): the mipmapped render must
+    match a constant-0.5-albedo render of the SAME sample set (filtering to
+    the mean), while the unfiltered level-0 render aliases badly — the
+    shimmer test from the round-3 verdict."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from strelka_tpu.materials import MaterialManager
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+    from strelka_tpu.scene.testscenes import cornell_box
+
+    host = cornell_box(light_intensity=5000.0, with_boxes=False)
+    out = {}
+    for config in ("const", "raw", "mip"):
+        mm = MaterialManager()
+        tm = TextureManager(atlas_size=64)
+        mm.texture_manager = tm
+        checker_id = tm.add_array(_checker(s=1, scale=64), "checker1")
+        host.materials[0].params["__test_tex__"] = None
+        scene = build_device_scene(host, mm)
+        if config == "const":
+            # same mean albedo as the checker, no texture
+            mt = scene.mat_table.at[0, 1:4].set(0.5)
+        else:
+            # mat_table col 12 = diffuse_tex; cols 16-17 = uv tiling (64x ->
+            # texel frequency far above pixel frequency)
+            mt = scene.mat_table.at[0, 12].set(float(checker_id))
+            mt = mt.at[0, 16].set(64.0).at[0, 17].set(64.0)
+        scene = dataclasses.replace(scene, mat_table=mt)
+        if config == "raw":
+            atlas = scene.textures
+            rects = np.asarray(atlas.rects).copy()
+            rects[:, 7] = 1  # RC_COUNT: truncate every chain to level 0
+            scene = dataclasses.replace(
+                scene, textures=atlas._replace(rects=jnp.asarray(rects))
+            )
+        cam = host.get_camera(0)
+        params = I.LaunchParams(
+            subframe_index=jnp.int32(0),
+            clip_to_view=jnp.asarray(cam.clip_to_view(), jnp.float32),
+            view_to_world=jnp.asarray(cam.view_to_world(), jnp.float32),
+            exposure=jnp.asarray([1e-3] * 3),
+            bg_color=jnp.zeros(3),
+        )
+        state = I.make_frame_state(24, 24)
+        _, img = jax.jit(
+            lambda s, p, st: I.render_launch(
+                s, p, st, width=24, height=24, samples_per_launch=2,
+                max_sample_count=64, max_depth=2, enable_accumulation=False,
+            )
+        )(scene, params, state)
+        img = np.asarray(img)
+        assert not np.isnan(img).any()
+        out[config] = img
+    # identical sample set -> lighting noise cancels in the differences;
+    # what remains is pure texture aliasing
+    err_mip = np.abs(out["mip"] - out["const"]).mean()
+    err_raw = np.abs(out["raw"] - out["const"]).mean()
+    assert err_mip < err_raw * 0.35, (err_mip, err_raw)
