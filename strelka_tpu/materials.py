@@ -205,8 +205,28 @@ class MaterialManager:
             module_name = str(module).lower()
 
         mat = CompiledMaterial(name=instance.get("name", ""))
-        if isinstance(module, MdlModule) and module.has_hair:
+        # df-body folding first (mdlPtxCodeGen compile equivalent): the
+        # body's layered/weighted df tree decides the BSDF model and the
+        # effective defaults; the module-NAME guess is only the fallback
+        # for bodies the folder can't interpret
+        folded: Dict[str, object] = {}
+        folded_key = None
+        if isinstance(module, MdlModule) and module_defaults is not None:
+            for k, v in module.materials.items():
+                if v is module_defaults:
+                    folded_key = k
+                    break
+            if folded_key is not None:
+                folded = dict(module.folded(folded_key))
+        kind = folded.pop("bsdf_kind", None)
+        if kind == "hair" or (isinstance(module, MdlModule) and module.has_hair):
             mat.bsdf_type = BsdfType.HAIR
+        elif kind == "glass":
+            mat.bsdf_type = BsdfType.OMNI_GLASS
+        elif kind == "pbr":
+            mat.bsdf_type = BsdfType.OMNI_PBR
+        elif kind == "diffuse":
+            mat.bsdf_type = BsdfType.DIFFUSE
         elif "hair" in module_name:
             mat.bsdf_type = BsdfType.HAIR
         elif "omniglass" in module_name:
@@ -216,6 +236,8 @@ class MaterialManager:
         else:
             mat.bsdf_type = BsdfType.DIFFUSE
         for pname, pval in module_defaults.items():
+            self.set_param(mat, pname, pval)
+        for pname, pval in folded.items():
             self.set_param(mat, pname, pval)
         if desc is not None:
             if desc.has_color:

@@ -154,3 +154,123 @@ def test_material_dedup():
     assert table.roughness.shape[0] == 2
     np.testing.assert_array_equal(remap, [0, 0, 1, 0])
     np.testing.assert_allclose(table.roughness, [0.25, 0.75])
+
+
+# ---- df-body folding (layered/weighted MDL -> uber params; replaces the
+# module-NAME guess with body semantics, mdlPtxCodeGen.cpp compile analog)
+
+LAYERED_MDL = """
+mdl 1.6;
+import ::df::*;
+export material ClearcoatWood(
+    color wood_color = color(0.2f, 0.4f, 0.6f),
+    uniform float coat_rough = 0.09f
+) = material(
+    surface: material_surface(
+        scattering: df::weighted_layer(
+            weight: 0.3,
+            layer: df::simple_glossy_bsdf(roughness_u: coat_rough),
+            base: df::diffuse_reflection_bsdf(tint: wood_color)
+        )
+    )
+);
+
+export material BrushedMetal(
+    color metal_tint = color(0.9f, 0.6f, 0.3f),
+    uniform float rough = 0.04f
+) = material(
+    surface: material_surface(
+        scattering: df::weighted_layer(
+            weight: 1.0,
+            layer: df::microfacet_ggx_smith_bsdf(roughness_u: rough, tint: metal_tint),
+            base: df::diffuse_reflection_bsdf(tint: color(0.1f))
+        )
+    )
+);
+
+export material TintedGlass(
+    color tint = color(0.8f, 0.9f, 1.0f)
+) = material(
+    ior: color(1.6f),
+    surface: material_surface(
+        scattering: df::specular_bsdf(
+            tint: tint,
+            mode: df::scatter_reflect_transmit
+        )
+    )
+);
+"""
+
+
+def _fold(name):
+    from strelka_tpu.loaders.mdl import fold_material_body, parse_mdl_materials
+
+    bodies = {}
+    mats = parse_mdl_materials(LAYERED_MDL, bodies)
+    return fold_material_body(bodies[name], mats[name])
+
+
+def test_fold_weighted_glossy_over_diffuse():
+    out = _fold("ClearcoatWood")
+    assert out["bsdf_kind"] == "pbr"
+    np.testing.assert_allclose(out["diffuse_color_constant"], [0.2, 0.4, 0.6], atol=1e-6)
+    # roughness_u is alpha: perceptual roughness = sqrt(0.09) = 0.3
+    assert out["reflection_roughness_constant"] == pytest.approx(0.3, abs=1e-6)
+    # white glossy layer -> dielectric, not metal
+    assert out["metallic_constant"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fold_metal_layer():
+    out = _fold("BrushedMetal")
+    assert out["bsdf_kind"] == "pbr"
+    assert out["metallic_constant"] == pytest.approx(1.0, abs=1e-6)
+    np.testing.assert_allclose(out["diffuse_color_constant"], [0.9, 0.6, 0.3], atol=1e-6)
+    assert out["reflection_roughness_constant"] == pytest.approx(0.2, abs=1e-6)
+
+
+def test_fold_transmission_to_glass():
+    out = _fold("TintedGlass")
+    assert out["bsdf_kind"] == "glass"
+    np.testing.assert_allclose(out["glass_color"], [0.8, 0.9, 1.0], atol=1e-6)
+    assert out["ior"] == pytest.approx(1.6, abs=1e-6)
+
+
+def test_fold_shipped_omnipbr_matches_name_guess():
+    """The shipped OmniPBR body folds to the same defaults the name-based
+    path produced (custom_curve_layer + weighted metal layer)."""
+    import os
+
+    from strelka_tpu.loaders.mdl import load_mdl_module
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data", "materials", "mdl")
+    mod = load_mdl_module("OmniPBR.mdl", [root])
+    out = mod.folded("OmniPBR")
+    assert out["bsdf_kind"] == "pbr"
+    np.testing.assert_allclose(out["diffuse_color_constant"], [0.2] * 3, atol=1e-6)
+    assert out["reflection_roughness_constant"] == pytest.approx(0.5, abs=1e-5)
+    assert out["metallic_constant"] == pytest.approx(0.0, abs=1e-6)
+    assert out["specular_level"] == pytest.approx(0.5, abs=1e-6)
+    glass = load_mdl_module("OmniGlass.mdl", [root]).folded("OmniGlass")
+    assert glass["bsdf_kind"] == "glass"
+    assert glass["ior"] == pytest.approx(1.491, abs=1e-6)
+    hair = load_mdl_module("OmniHair.mdl", [root]).folded("OmniHair")
+    assert hair.get("bsdf_kind") == "hair"
+
+
+def test_layered_module_compiles_via_manager(tmp_path):
+    """End-to-end: an unknown-named layered module maps onto sensible table
+    rows through MaterialManager (no name heuristics apply to 'ClearcoatWood')."""
+    p = tmp_path / "Exotic.mdl"
+    p.write_text(LAYERED_MDL)
+    mm = MaterialManager()
+    mm.add_mdl_search_path(str(tmp_path))
+    module = mm.create_module("Exotic.mdl")
+    inst = mm.create_material_instance(module, "BrushedMetal")
+    mat = mm.compile_material(inst)
+    assert mat.bsdf_type == BsdfType.OMNI_PBR
+    assert mat.metallic == pytest.approx(1.0)
+    np.testing.assert_allclose(mat.diffuse_color, [0.9, 0.6, 0.3], atol=1e-6)
+    inst2 = mm.create_material_instance(module, "TintedGlass")
+    mat2 = mm.compile_material(inst2)
+    assert mat2.bsdf_type == BsdfType.OMNI_GLASS
+    assert mat2.ior == pytest.approx(1.6)
