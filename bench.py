@@ -93,11 +93,30 @@ def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters:
     dt = (time.perf_counter() - t0) / iters
     rays = width * height * spp * 2 * depth
     img = np.asarray(image)
+
+    # Honest lane accounting (the wavefront is masked SIMD: the dense count
+    # above includes dead lanes). One instrumented launch — same config, a
+    # representative mid-accumulation subframe — counts lanes actually alive
+    # at each closest sweep + shadow rays actually cast.
+    def stat_step(scene, params, state):
+        return I.render_launch(
+            scene, params, state, width=width, height=height,
+            samples_per_launch=spp, max_sample_count=100000, max_depth=depth,
+            enable_accumulation=True, collect_stats=True,
+        )
+
+    try:
+        _, _, stats = jax.jit(stat_step)(scene, params, st)
+        alive_rays = float(stats["closest_rays"]) + float(stats["shadow_rays"])
+    except Exception:  # noqa: BLE001 — stats must never sink the bench
+        alive_rays = -1.0
     return {
         "scene": name,
         "tris": int(scene.num_triangles),
         "curve_segments": int(scene.num_curve_segments),
         "mrays_per_sec": round(rays / dt / 1e6, 2),
+        "alive_mrays_per_sec": round(alive_rays / dt / 1e6, 2) if alive_rays >= 0 else -1.0,
+        "alive_ray_frac": round(alive_rays / rays, 3) if alive_rays >= 0 else -1.0,
         "ms_per_launch": round(dt * 1e3, 2),
         "config": f"{width}x{height} spp={spp} depth={depth}",
         "compile_s": round(compile_s, 1),

@@ -423,8 +423,12 @@ def trace_paths(
     debug: int,
     sort_rays: bool = False,
     cone_spread=None,
+    collect_stats: bool = False,
 ):
-    """One path per entry; returns (radiance Vec3, first_event [N]).
+    """One path per entry; returns (radiance Vec3, first_event [N]) — plus a
+    stats dict (alive closest/shadow ray counts summed over bounces) when
+    collect_stats is set (bench honesty: Mrays/s over lanes actually alive,
+    not the full masked-SIMD wavefront).
 
     cone_spread: traced scalar — the per-pixel ray-cone angle (radians,
     ~2*tan(fov/2)/height). When given, texture lookups become trilinear with
@@ -459,6 +463,8 @@ def trace_paths(
 
     # ray_id[i] = the original wavefront slot of lane i (identity unless sorted)
     ray_id = None
+    stat_closest = jnp.zeros((), jnp.float32)
+    stat_shadow = jnp.zeros((), jnp.float32)
     for depth in range(max_depth):
         if sort_rays and depth >= 1:
             if ray_id is None:
@@ -493,6 +499,8 @@ def trace_paths(
             dim_rows = S.random_dims(sample_idx, depth, (0, 1, 2, 3, 4))
         rnd = lambda dim: dim_rows[int(dim) % 5]
 
+        if collect_stats:
+            stat_closest = stat_closest + alive.astype(jnp.float32).sum()
         on_pallas = bool(getattr(scene, "use_pallas", False))
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
@@ -663,6 +671,8 @@ def trace_paths(
             geom_ok = (cos_nl > 0.0) & (-V.dot(to_light, ls.normal) > 0.0) & li_all_nonzero
             shadow_org = offset_ray_vec(position, frame.geom_normal)
             shadow_excl = jnp.where(is_curve, -1, hit.prim)
+            if collect_stats:
+                stat_shadow = stat_shadow + (nee_able & geom_ok).astype(jnp.float32).sum()
             occluded = intersect_any(
                 scene,
                 shadow_org,
@@ -743,6 +753,11 @@ def trace_paths(
         )
         radiance = Vec3(*f32s)
         first_event = bits[0]
+    if collect_stats:
+        return radiance, first_event, {
+            "closest_rays": stat_closest,
+            "shadow_rays": stat_shadow,
+        }
     return radiance, first_event
 
 
@@ -762,12 +777,23 @@ def render_launch(
     material_ray_tmin: float = 0.0,
     debug: int = 0,
     sort_rays: bool | None = None,
+    py_offset=None,
+    full_height: int | None = None,
+    collect_stats: bool = False,
 ):
     """__raygen__rg equivalent: run samples_per_launch paths/pixel, update
     the accumulators, and return (new_state, hdr_image [3,H,W]).
 
     Tonemap is applied by the Render host layer (matching the reference's
     separate tonemap kernel dispatch).
+
+    py_offset/full_height: multi-chip row sharding — each shard renders a
+    [height, width] horizontal band of a [full_height, width] frame starting
+    at global row py_offset (a traced scalar: jax.lax.axis_index inside
+    shard_map). Pixel coordinates fed to the Sobol seed and the camera NDC
+    stay GLOBAL, so the sharded render equals the single-chip render, while
+    every permute (Z-order, wavefront sort) stays shard-local — no per-launch
+    cross-chip collectives.
     """
     n = width * height
     spl = 1 if debug == 1 else samples_per_launch
@@ -786,18 +812,21 @@ def render_launch(
         idx = jnp.arange(n, dtype=jnp.uint32)
         px = jnp.tile(idx % jnp.uint32(width), spl)
         py = jnp.tile(idx // jnp.uint32(width), spl)
+    if py_offset is not None:
+        py = py + jnp.uint32(py_offset)
+    fh = height if full_height is None else full_height
     s_of_ray = jnp.repeat(jnp.arange(spl, dtype=jnp.uint32), n)
     sample_index = params.subframe_index.astype(jnp.uint32) + s_of_ray
     sample_idx = S.make_sample_index(px, py, sample_index, max_sample_count)
     jxy = S.random_dims(sample_idx, 0, (Dim.ePixelX, Dim.ePixelY))
-    origin, direction = generate_camera_rays(params, px, py, jxy[0], jxy[1], width, height)
+    origin, direction = generate_camera_rays(params, px, py, jxy[0], jxy[1], width, fh)
     if sort_rays is None:
         # worth the ~1 argsort+2 packed permutes only when the block-culled
         # intersectors have enough blocks for coherence to matter
         sort_rays = bool(getattr(scene, "use_pallas", False)) and (
             scene.num_triangles >= 16384 or scene.num_curve_segments >= 2048
         )
-    radiance, first_event = trace_paths(
+    out = trace_paths(
         scene,
         params,
         sample_idx,
@@ -811,8 +840,11 @@ def render_launch(
         sort_rays=sort_rays,
         # per-pixel cone angle from the projection (clip_to_view[1,1] is
         # tan(fov_y/2)); drives mip selection in texture lookups
-        cone_spread=2.0 * jnp.abs(params.clip_to_view[1, 1]) / height,
+        cone_spread=2.0 * jnp.abs(params.clip_to_view[1, 1]) / fh,
+        collect_stats=collect_stats,
     )
+    radiance, first_event = out[0], out[1]
+    stats = out[2] if collect_stats else None
     # [spl*n] components -> [spl, n] -> reduce over samples
     rad = Vec3(*[c.reshape(spl, n) for c in radiance])
     fe = first_event.reshape(spl, n)
@@ -887,6 +919,8 @@ def render_launch(
         specular=new_specular,
         specular_counter=new_scount,
     )
+    if collect_stats:
+        return new_state, image, stats
     return new_state, image
 
 

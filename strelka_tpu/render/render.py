@@ -110,37 +110,47 @@ class TpuRender(Render):
         """Compile (and cache) a launch function for a static config key."""
         (width, height, spp, max_spp, depth, acc, rect_m, debug, tm_type, gamma, s_tmin, m_tmin) = key
 
-        def launch(scene, params, state):
-            new_state, image = I.render_launch(
-                scene,
-                params,
-                state,
-                width=width,
-                height=height,
-                samples_per_launch=spp,
-                max_sample_count=max_spp,
-                max_depth=depth,
-                enable_accumulation=acc,
-                rect_light_sampling_method=rect_m,
-                shadow_ray_tmin=s_tmin,
-                material_ray_tmin=m_tmin,
-                debug=debug,
-            )
-            if debug == 0:
-                image = TM.apply_tonemap_planar(image, tm_type, params.exposure, gamma)
-            elif gamma > 0.0 and debug in (2, 3):
-                image = TM.gamma_correction(image, gamma)
-            # [3,H,W] -> [H,W,4] once per frame at the display boundary
-            hwc = TM.planar_to_hwc(image)
-            alpha = jnp.ones(hwc.shape[:-1] + (1,), jnp.float32)
-            return new_state, jnp.concatenate([hwc, alpha], axis=-1)
+        def make_launch(local_height, full_height):
+            def launch(scene, params, state, py_offset=None):
+                new_state, image = I.render_launch(
+                    scene,
+                    params,
+                    state,
+                    width=width,
+                    height=local_height,
+                    samples_per_launch=spp,
+                    max_sample_count=max_spp,
+                    max_depth=depth,
+                    enable_accumulation=acc,
+                    rect_light_sampling_method=rect_m,
+                    shadow_ray_tmin=s_tmin,
+                    material_ray_tmin=m_tmin,
+                    debug=debug,
+                    py_offset=py_offset,
+                    full_height=full_height,
+                )
+                if debug == 0:
+                    image = TM.apply_tonemap_planar(image, tm_type, params.exposure, gamma)
+                elif gamma > 0.0 and debug in (2, 3):
+                    image = TM.gamma_correction(image, gamma)
+                # [3,H,W] -> [H,W,4] once per frame at the display boundary
+                hwc = TM.planar_to_hwc(image)
+                alpha = jnp.ones(hwc.shape[:-1] + (1,), jnp.float32)
+                return new_state, jnp.concatenate([hwc, alpha], axis=-1)
+
+            return launch
 
         if self._mesh is not None:
             from strelka_tpu.parallel.sharding import shard_launch
 
-            fn = shard_launch(launch, self._mesh)
+            fn = shard_launch(make_launch, self._mesh)
         else:
-            fn = jax.jit(launch, donate_argnums=(2,))
+            launch = make_launch(height, height)
+
+            def single(scene, params, state):
+                return launch(scene, params, state)
+
+            fn = jax.jit(single, donate_argnums=(2,))
         self._launch_cache[key] = fn
         return fn
 
