@@ -41,6 +41,9 @@ def build_scene(name: str, width: int, height: int):
         host = TS.box_field(grid=48)
     elif name == "hair_patch":
         host = TS.hair_patch(n_curves=256)
+    elif name == "hair_long":
+        # einar-class scale: 20k strands -> 100k cubic segments (~800k cones)
+        host = TS.hair_patch(n_curves=20000)
     elif name == "coffeetable":
         from strelka_tpu.loaders.usd import UsdLoader
         from strelka_tpu.scene.scene import Scene
@@ -49,6 +52,17 @@ def build_scene(name: str, width: int, height: int):
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "scenes", "coffeetable.usda")
         if not UsdLoader().load(path, host):
             raise RuntimeError("coffeetable.usda failed to load")
+    elif name == "kitchen":
+        # Kitchen-Set-class interior (>=100k tris, 10 materials, 4 textures,
+        # 4 lights) ingested from a generated BINARY usdc stage — the full
+        # crate-reader + material-network + texture-atlas path at scale
+        from strelka_tpu.loaders.usd import UsdLoader
+        from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+        from strelka_tpu.scene.scene import Scene
+
+        host = Scene()
+        if not UsdLoader().load(ensure_kitchen(), host):
+            raise RuntimeError("kitchen.usdc failed to load")
     else:
         raise ValueError(name)
     scene = build_device_scene(host)
@@ -164,7 +178,9 @@ def main() -> None:
         ("cornell", 512, 512, 4, 4, 16),
         ("box_field", 512, 512, 2, 4, 4),
         ("coffeetable", 512, 512, 2, 4, 8),
+        ("kitchen", 512, 512, 2, 4, 4),
         ("hair_patch", 384, 384, 2, 4, 4),
+        ("hair_long", 384, 384, 2, 4, 2),
     ]
     if quick:
         configs = [("cornell", 256, 256, 2, 4, 8)]

@@ -473,6 +473,141 @@ def _cone_any_kernel(
                 occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
+def _cone_closest_kernel_wl(
+    wl_ref, bounds_ref, rays_ref, cones_ref, t_ref, cone_ref,
+    *, tblk: int, super_: int,
+):
+    """Work-list form of _cone_closest_kernel: 1-D grid over scalar-
+    prefetched (tile, cone-superblock) pairs — an 800k-cone stage's
+    rectangular grid is ~100k mostly-dead steps/launch at the ~1.2us/step
+    bookkeeping floor; the pair list only visits (tile, sb) whose slab test
+    passed (pallas_open_w W matrix)."""
+    from strelka_tpu.ops.pallas_intersect import _tile_hits_block
+
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)  # first entry of this tile's run
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        cone_ref[:, :] = jnp.full_like(cone_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)  # valid (non-pad) entry
+    def _body():
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _cone_block(
+                    rays, cones_ref[:, j * tblk : (j + 1) * tblk], tmax_row=t_ref[0, :]
+                )
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < t_ref[0, :]
+                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
+                cone_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, cone_ref[0, :])
+
+
+def _cone_any_kernel_wl(
+    wl_ref, bounds_ref, rays_ref, cones_ref, occ_ref,
+    *, tblk: int, super_: int,
+):
+    from strelka_tpu.ops.pallas_intersect import _tile_hits_block
+
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)
+    def _body():
+        live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _cone_block(rays, cones_ref[:, j * tblk : (j + 1) * tblk])
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
+def pallas_intersect_cones_wl(
+    cones_packed: jnp.ndarray,  # [12, M]
+    bounds: jnp.ndarray,  # [8, nb]
+    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    tile: int = 1024,
+    tblk: int = CONE_TBLK,
+    super_: int = CONE_SUPER,
+    interpret: bool = False,
+    any_hit: bool = False,
+):
+    """Work-list cone sweep. Tiles with NO entry return GARBAGE — mask with
+    build_worklist's visited_tiles."""
+    from strelka_tpu.ops.pallas_intersect import _pack_rays
+
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    step = tblk * super_
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+    ]
+    if any_hit:
+        kernel = functools.partial(_cone_any_kernel_wl, tblk=tblk, super_=super_)
+        occ = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(wl.shape[1],),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(wl, bounds, rays, cones_packed)
+        return occ[0, :n]
+    kernel = functools.partial(_cone_closest_kernel_wl, tblk=tblk, super_=super_)
+    t_out, cone_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(wl.shape[1],),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(wl, bounds, rays, cones_packed)
+    t = t_out[0, :n]
+    cone = cone_out[0, :n]
+    return jnp.where(cone >= 0, t, _BIG), cone
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
 def pallas_intersect_cones(
     cones_packed: jnp.ndarray,  # [12, M] (pack_cones)
@@ -503,8 +638,21 @@ def pallas_intersect_cones(
         ]
     )
     n_tiles = n_pad // tile
-    # per-tile sweep order table ([n_tiles, nsb]; plain Morton order for now)
-    starts = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[None, :], (n_tiles, nsb))
+    # per-tile NEAR-TO-FAR sweep order (point-to-AABB distance of the tile's
+    # mean origin to each cone superblock — same scheme as the triangle
+    # path): closest-hit tmax pruning can then reject the far tail, and the
+    # any-hit progressive pruning finds near occluders first. Falls back to
+    # plain order when the SMEM table would overflow (1MB SMEM budget).
+    padded_tbl_bytes = n_tiles * (-(-nsb // 128) * 128) * 4
+    if nsb >= 8 and padded_tbl_bytes <= 600_000:
+        from strelka_tpu.ops import vec as V
+        from strelka_tpu.ops.pallas_intersect import tile_box_d2
+
+        org_v = origins if hasattr(origins, "x") else V.from_rows(origins)
+        d2 = tile_box_d2(org_v, sbounds, tile)
+        starts = jnp.argsort(d2, axis=1).astype(jnp.int32)
+    else:
+        starts = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[None, :], (n_tiles, nsb))
     grid = (n_tiles, nsb)
     in_specs = [
         pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
@@ -588,14 +736,73 @@ def cone_hit_to_seg_u(cones: FlatCones, origins, directions, t, cone_idx) -> Cur
     )
 
 
+_CONE_WL_MIN_NSB = 32  # below this the rectangular sweep's bookkeeping is fine
+_CONE_WL_CAP = 48
+
+
+def _cone_super_bounds(bounds, super_: int):
+    nsb = bounds.shape[1] // super_
+    return jnp.concatenate(
+        [
+            bounds[0:3].reshape(3, nsb, super_).min(axis=2),
+            bounds[3:6].reshape(3, nsb, super_).max(axis=2),
+            jnp.zeros((2, nsb), bounds.dtype),
+        ]
+    )
+
+
+def _cones_sweep(scene, origins, directions, tmin, tmax, any_hit: bool):
+    """Work-list scheduling for big cone sets (einar-class 10^5+ segments):
+    the [n_tiles, nsb] rectangular grid pays ~1.2us/step even when every
+    slab test fails; the (tile, superblock) pair list visits only passing
+    pairs. Falls back to the rectangular sweep on work-list overflow."""
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_open_w,
+        tile_box_d2,
+    )
+
+    m_total = scene.cones_packed.shape[1]
+    nsb = m_total // (CONE_TBLK * CONE_SUPER)
+    rect = lambda _=None: pallas_intersect_cones(
+        scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax,
+        any_hit=any_hit,
+    )
+    if nsb < _CONE_WL_MIN_NSB:
+        return rect()
+    tile = 1024
+    n = tmin.shape[0]
+    org_v = origins if hasattr(origins, "x") else V.from_rows(origins)
+    dir_v = directions if hasattr(directions, "x") else V.from_rows(directions)
+    sbounds = _cone_super_bounds(scene.cone_bounds, CONE_SUPER)
+    d2 = tile_box_d2(org_v, sbounds, tile)
+    no_open = jnp.full(d2.shape[0], jnp.inf, jnp.float32)
+    _, W, _ = pallas_open_w(org_v, dir_v, tmin, tmax, sbounds, d2, no_open, tile)
+    cap = (-(-n // tile)) * min(_CONE_WL_CAP, W.shape[1])
+    wl, count, visited = build_worklist(W, d2, cap)
+
+    def wl_path(_):
+        out = pallas_intersect_cones_wl(
+            scene.cones_packed, scene.cone_bounds, wl, origins, directions,
+            tmin, tmax, tile=tile, any_hit=any_hit,
+        )
+        vis_ray = jnp.repeat(visited, tile)[:n]
+        if any_hit:
+            return out & vis_ray
+        t, cone = out
+        cone = jnp.where(vis_ray, cone, -1)
+        return jnp.where(cone >= 0, t, _BIG), cone
+
+    return jax.lax.cond(count <= cap, wl_path, lambda _: rect(), None)
+
+
 def intersect_curves_closest_scene(scene, origins, directions, tmin, tmax, active=None) -> CurveHit:
     """Dispatch: Pallas cone kernel on TPU, jnp scan sweep otherwise."""
     if getattr(scene, "cones_packed", None) is not None:
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        t, cone = pallas_intersect_cones(
-            scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax
-        )
+        t, cone = _cones_sweep(scene, origins, directions, tmin, tmax, any_hit=False)
         return cone_hit_to_seg_u(scene.cones, origins, directions, t, cone)
     return intersect_curves_closest(scene.cones, origins, directions, tmin, tmax, active)
 
@@ -604,7 +811,5 @@ def intersect_curves_any_scene(scene, origins, directions, tmin, tmax, active=No
     if getattr(scene, "cones_packed", None) is not None:
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        return pallas_intersect_cones(
-            scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax, any_hit=True
-        )
+        return _cones_sweep(scene, origins, directions, tmin, tmax, any_hit=True)
     return intersect_curves_any(scene.cones, origins, directions, tmin, tmax, active)

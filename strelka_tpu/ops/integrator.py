@@ -174,7 +174,7 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
     frame = B.ShadingFrame(normal=normal, tangent_u=tangent, tangent_v=binormal, geom_normal=geom_normal)
     material_id = rows[33].astype(jnp.int32)
     light_id = rows[34].astype(jnp.int32)
-    return position, (uv_u, uv_v), frame, material_id, light_id, uv_density_log2
+    return position, (uv_u, uv_v), frame, material_id, light_id, uv_density_log2, rows
 
 
 def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
@@ -182,11 +182,9 @@ def _gather_material(scene: DeviceScene, prim) -> B.SurfaceParams:
     return _gather_material_by_id(scene, mid)
 
 
-def _gather_material_by_id(scene: DeviceScene, mid):
-    """Returns (SurfaceParams, mat_rows [N,24]) from one fat row-gather."""
-    from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
-
-    rows = gather_rows_t_auto(scene.mat_table, mid, getattr(scene, "use_pallas", False))
+def _material_from_rows(rows):
+    """SurfaceParams from 24 material rows (a mat_table gather or the
+    material columns joined into the attr table)."""
     params = B.SurfaceParams(
         bsdf_type=rows[0].astype(jnp.int32),
         diffuse_color=Vec3(rows[1], rows[2], rows[3]),
@@ -202,6 +200,14 @@ def _gather_material_by_id(scene: DeviceScene, mid):
     return params, rows
 
 
+def _gather_material_by_id(scene: DeviceScene, mid):
+    """Returns (SurfaceParams, mat_rows [N,24]) from one fat row-gather."""
+    from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
+
+    rows = gather_rows_t_auto(scene.mat_table, mid, getattr(scene, "use_pallas", False))
+    return _material_from_rows(rows)
+
+
 def _select_material(mask, a: B.SurfaceParams, b: B.SurfaceParams) -> B.SurfaceParams:
     return B.SurfaceParams(
         bsdf_type=jnp.where(mask, a.bsdf_type, b.bsdf_type),
@@ -214,6 +220,23 @@ def _select_material(mask, a: B.SurfaceParams, b: B.SurfaceParams) -> B.SurfaceP
         opacity=jnp.where(mask, a.opacity, b.opacity),
         emission_color=V.where(mask, a.emission_color, b.emission_color),
         thin_walled=jnp.where(mask, a.thin_walled, b.thin_walled),
+    )
+
+
+def _light_from_rows(rows) -> LS.LightParams:
+    """LightParams from 20 light rows (a light_table gather or the light
+    columns joined into the attr table)."""
+    c3 = lambda a: Vec3(rows[a], rows[a + 1], rows[a + 2])
+    return LS.LightParams(
+        p0=c3(0),
+        p1=c3(3),
+        p2=c3(6),
+        p3=c3(9),
+        color=c3(12),
+        normal=c3(15),
+        type=rows[18].astype(jnp.int32),
+        half_angle=rows[19],
+        radius=rows[0],
     )
 
 
@@ -364,6 +387,41 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         # behind a tile fail every slab test (halves+ the touched set)
         return (octant << 24) | morton
     return (morton << 3) | octant
+
+
+def _group_perm(key, n_groups: int):
+    """Stable counting-sort permutation for a small-integer key (no argsort:
+    n_groups cumsums + one scatter). Returns (perm, pos): perm gathers rows
+    into grouped order; pos maps original lane -> grouped slot."""
+    n = key.shape[0]
+    pos = jnp.zeros(n, jnp.int32)
+    base = jnp.int32(0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    for g in range(n_groups):
+        m = key == g
+        r = jnp.cumsum(m.astype(jnp.int32))
+        pos = jnp.where(m, base + r - 1, pos)
+        base = base + r[n - 1]
+    perm = jnp.zeros(n, jnp.int32).at[pos].set(idx)
+    return perm, pos
+
+
+def _shadow_grouped_any(scene, org, to_light, tmin, tmax, ray_mask, exclude, light_id, num_lights):
+    """Occlusion sweep with shadow rays grouped by their sampled light.
+
+    A bounce wavefront is position-Morton sorted, but each lane samples a
+    random light, so a ray tile mixes L direction cones and its slab tests
+    touch the union of L corridors. A stable per-light partition (cheap
+    counting sort; position order preserved within groups) gives every tile
+    ONE corridor -> the work-list W matrix is ~L x sparser. Two packed row
+    gathers + L cumsums amortize against multi-hundred-ms any sweeps on
+    Kitchen-class scenes."""
+    from strelka_tpu.ops.intersect import _gather_ray_rows, intersect_any
+
+    perm, pos = _group_perm(light_id, num_lights)
+    o2, d2, tn2, tx2, ex2 = _gather_ray_rows(perm, org, to_light, tmin, tmax, exclude)
+    occ = intersect_any(scene, o2, d2, tn2, tx2, ray_mask, exclude=ex2)
+    return occ.astype(jnp.int32)[:, None][pos][:, 0] != 0
 
 
 def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits):
@@ -527,18 +585,21 @@ def trace_paths(
         )
         throughput = V.where(missed, V.full(n, 0.0), throughput)
 
-        position, uv, frame, mat_id, raw_light_id, uv_density_log2 = _gather_surface(
+        position, uv, frame, mat_id, raw_light_id, uv_density_log2, attr_rows = _gather_surface(
             scene, hit, inside,
             ray_o=origin if on_pallas else None,
             ray_d=direction if on_pallas else None,
         )
+        # material/light rows joined into the attr table ([T, 80], see
+        # device_scene) ride the SAME one-hot gather — no extra fat gathers
+        joined = scene.attr_table is not None and scene.attr_table.shape[1] >= 80
         prim_light_id = jnp.where(hit.prim >= 0, raw_light_id, -1)
         hit_light = alive & ~missed & (prim_light_id >= 0) & ~is_curve
         hit_surface = alive & ~missed & ~hit_light
 
         # ---- __closesthit__light (cu:315-341)
         if num_lights > 0:
-            lp = _gather_light(scene, prim_light_id)
+            lp = _light_from_rows(attr_rows[60:80]) if joined else _gather_light(scene, prim_light_id)
             hit_point_l = origin + direction * hit.t
             light_n = LS.calc_light_normal(lp, hit_point_l)
             cos_l = -V.dot(direction, light_n)
@@ -551,7 +612,10 @@ def trace_paths(
         throughput = V.where(hit_light, V.full(n, 0.0), throughput)
 
         # ---- __closesthit__radiance (surface shading)
-        mat, mat_rows = _gather_material_by_id(scene, jnp.maximum(mat_id, 0))
+        if joined:
+            mat, mat_rows = _material_from_rows(attr_rows[36:60])
+        else:
+            mat, mat_rows = _gather_material_by_id(scene, jnp.maximum(mat_id, 0))
         # advance the ray cone to this hit (curve hits use the cone t too)
         t_eff = hit.t
         if chit is not None:
@@ -673,16 +737,31 @@ def trace_paths(
             shadow_excl = jnp.where(is_curve, -1, hit.prim)
             if collect_stats:
                 stat_shadow = stat_shadow + (nee_able & geom_ok).astype(jnp.float32).sum()
-            occluded = intersect_any(
-                scene,
-                shadow_org,
-                to_light,
-                jnp.full(n, shadow_ray_tmin, jnp.float32),
-                ls.dist_to_light,
-                RAY_MASK_SHADOW,
-                active=nee_able & geom_ok,
-                exclude=shadow_excl,
+            shadow_tmax = jnp.where(nee_able & geom_ok, ls.dist_to_light, 0.0)
+            group_shadow = (
+                on_pallas
+                and num_lights >= 2
+                and num_lights <= 8
+                and sort_rays  # same big-scene criterion as the wavefront sort
+                and _os.environ.get("STRELKA_NO_SHADOW_GROUP") != "1"
             )
+            if group_shadow:
+                occluded = _shadow_grouped_any(
+                    scene, shadow_org, to_light,
+                    jnp.full(n, shadow_ray_tmin, jnp.float32), shadow_tmax,
+                    RAY_MASK_SHADOW, shadow_excl, light_id, num_lights,
+                )
+            else:
+                occluded = intersect_any(
+                    scene,
+                    shadow_org,
+                    to_light,
+                    jnp.full(n, shadow_ray_tmin, jnp.float32),
+                    ls.dist_to_light,
+                    RAY_MASK_SHADOW,
+                    active=nee_able & geom_ok,
+                    exclude=shadow_excl,
+                )
             if scene.cones is not None:
                 from strelka_tpu.ops.curves import intersect_curves_any_scene
 

@@ -39,6 +39,7 @@ Layouts:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +84,11 @@ def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
     e23 = (e2[0], e2[1], e2[2])
     pvec = cross(d3, e23)  # [TBLK, TILE] each
     det = dot(e13, pvec)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    # det==0 lanes need no explicit guard: inv_det = +-inf, so u/v/t become
+    # +-inf or NaN and the ordered compares below reject them (NaN compares
+    # false; u=+inf fails u+v<=1, u=-inf fails u>=0). Saves an abs + compare
+    # + select on the hot [TBLK, TILE] shape vs the eps-guarded form.
+    inv_det = 1.0 / det
     tv = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
     u = dot(tv, pvec) * inv_det
     qvec = cross(tv, e13)
@@ -91,8 +96,7 @@ def _mt_block(rays, tris, ray_mask: int, tmax_row=None):
     t = dot(e23, qvec) * inv_det
     mask_i = mask.astype(jnp.int32)
     valid = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
+        (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > tmin)
@@ -923,8 +927,9 @@ def _mt_block_mxu(rt, rays, feats, mask_row, ray_mask: int, tmax_row=None, preci
     tdet = dot(feats[1], rt)
     udet = dot(feats[2], rt)
     vdet = dot(feats[3], rt)
-    ok_det = jnp.abs(det) > 1e-12
-    inv = jnp.where(ok_det, 1.0 / det, 0.0)
+    # det==0 needs no explicit guard (see _mt_block): inf/NaN u,v,t fail the
+    # ordered compares below — saves abs+compare+select on [TBLK, TILE]
+    inv = 1.0 / det
     u = udet * inv
     v = vdet * inv
     t = tdet * inv
@@ -932,8 +937,7 @@ def _mt_block_mxu(rt, rays, feats, mask_row, ray_mask: int, tmax_row=None, preci
     # is only supported for 32-bit types)
     mask_i = mask_row.astype(jnp.int32).reshape(-1, 1)  # [TBLK, 1]
     valid = (
-        ok_det
-        & (u >= 0.0)
+        (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > tmin)
@@ -977,12 +981,11 @@ def _closest_kernel_mxu(
                     tmax_row=t_ref[0, :], precision=precision,
                 )
                 valid = valid & (_prim_ids(blk, tblk, tile) != excl)
-                t_masked = jnp.where(valid, t, _BIG)
-                blk_best = jnp.min(t_masked, axis=0)
-                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-                better = blk_best < t_ref[0, :]
-                t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-                prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
+                bt, bp = _fold_closest_packed(
+                    t, valid, t_ref[0, :], prim_ref[0, :], blk, tblk
+                )
+                t_ref[0, :] = bt
+                prim_ref[0, :] = bp
 
 
 def _any_kernel_mxu(
@@ -1420,6 +1423,35 @@ def recompute_barycentrics(scene_v0, scene_e1, scene_e2, origins, directions, pr
 # ---------------------------------------------------------------------------
 
 SMALL_MXU_MAX_TRIS = 8192
+# fused whole-scene matmul form of the small kernels (one [4T,16]x[16,TILE]
+# MXU pass instead of 4*nb separate K=16 matmuls). Measured NEUTRAL on
+# cornell (101 vs 100 ms e2e at tile=1024, 104 at 512): the sweeps are
+# VPU-epilogue-bound, not pipeline-drain-bound. Kept as an A/B toggle.
+_MXU_SMALL_FUSED = os.environ.get("STRELKA_MXU_SMALL_FUSED", "0") == "1"
+_FUSED_TILE = int(os.environ.get("STRELKA_FUSED_TILE", "1024"))
+
+
+def _fold_closest_packed(t, valid, best_t, best_p, blk, tblk: int):
+    """Single-reduction closest fold: pack (t, row) into one sortable i32.
+
+    t > 0 so its f32 bit pattern is order-preserving; the low 8 bits carry
+    the row id after rounding t's bits UP (conservative: the recovered t is
+    >= the true t, so tmax pruning can never reject a genuinely closer hit).
+    Quantizes t to ~1.5e-5 relative — far below the bf16x3 matmul noise of
+    the MXU intersectors this fold serves. Replaces min + argmin + merge
+    (three [TBLK, TILE] reduction passes) with ONE min.
+    """
+    assert tblk <= 256
+    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    key = ((bits + 0xFF) & ~0xFF) | rows
+    key = jnp.where(valid, key, jnp.int32(0x7F800000))  # +inf pattern
+    kmin = jnp.min(key, axis=0)
+    tq = jax.lax.bitcast_convert_type(kmin & ~0xFF, jnp.float32)
+    better = tq < best_t
+    best_p = jnp.where(better, blk * tblk + (kmin & 0xFF), best_p)
+    best_t = jnp.where(better, tq, best_t)
+    return best_t, best_p
 
 
 def _closest_kernel_mxu_small(
@@ -1439,14 +1471,74 @@ def _closest_kernel_mxu_small(
             tmax_row=best_t, precision=precision,
         )
         valid = valid & (_prim_ids(k, tblk, tile) != excl)
-        t_masked = jnp.where(valid, t, _BIG)
-        blk_best = jnp.min(t_masked, axis=0)
-        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-        better = blk_best < best_t
-        best_t = jnp.where(better, blk_best, best_t)
-        best_p = jnp.where(better, k * tblk + blk_arg, best_p)
+        best_t, best_p = _fold_closest_packed(t, valid, best_t, best_p, k, tblk)
     t_ref[0, :] = best_t
     prim_ref[0, :] = best_p
+
+
+def _mt_all_mxu(rays, rt, feats2_ref, mask_ref, excl_ref, ray_mask: int, t_total: int, precision):
+    """Whole-scene MT for the small kernels: ONE [4T, 16] x [16, TILE]
+    matmul (the per-block form issues 4*nb K=16 matmuls, each padded to
+    K=128 by the systolic array and separated by a pipeline drain — ~8x the
+    effective flops and most of the sweep time).  Returns (t, valid)
+    [T, TILE]."""
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=precision
+    )
+    out = dot(feats2_ref[:, :], rt)  # [4T, TILE]
+    det = out[0:t_total]
+    tdet = out[t_total : 2 * t_total]
+    udet = out[2 * t_total : 3 * t_total]
+    vdet = out[3 * t_total : 4 * t_total]
+    inv = 1.0 / det  # det==0 self-rejects via inf/NaN compares (_mt_block)
+    u = udet * inv
+    v = vdet * inv
+    t = tdet * inv
+    tmin = rays[6, :][None, :]
+    tmax = rays[7, :][None, :]
+    tile = rays.shape[1]
+    mask_i = mask_ref[0, :].astype(jnp.int32).reshape(-1, 1)
+    valid = (
+        (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+        & ((mask_i & ray_mask) != 0)
+        & (_prim_ids(0, t_total, tile) != excl_ref[0, :][None, :])
+    )
+    return t, valid
+
+
+def _closest_kernel_mxu_small_fused(
+    rays_ref, excl_ref, feats2_ref, mask_ref, t_ref, prim_ref,
+    *, ray_mask: int, t_total: int, precision=None,
+):
+    rays = rays_ref[:, :]
+    rt = _ray_features(rays)
+    t, valid = _mt_all_mxu(rays, rt, feats2_ref, mask_ref, excl_ref, ray_mask, t_total, precision)
+    # packed single-reduction argmin over the WHOLE scene: low bits = row id
+    row_bits = max(8, (t_total - 1).bit_length())
+    lo_mask = (1 << row_bits) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    key = ((bits + lo_mask) & ~lo_mask) | rows
+    key = jnp.where(valid, key, jnp.int32(0x7F800000))
+    kmin = jnp.min(key, axis=0)
+    tq = jax.lax.bitcast_convert_type(kmin & ~lo_mask, jnp.float32)
+    hit = tq < rays[7, :]
+    t_ref[0, :] = jnp.where(hit, tq, rays[7, :])
+    prim_ref[0, :] = jnp.where(hit, kmin & lo_mask, -1)
+
+
+def _any_kernel_mxu_small_fused(
+    rays_ref, excl_ref, feats2_ref, mask_ref, occ_ref,
+    *, ray_mask: int, t_total: int, precision=None,
+):
+    rays = rays_ref[:, :]
+    rt = _ray_features(rays)
+    _, valid = _mt_all_mxu(rays, rt, feats2_ref, mask_ref, excl_ref, ray_mask, t_total, precision)
+    occ_ref[0, :] = jnp.any(valid, axis=0)
 
 
 def _any_kernel_mxu_small(
@@ -1485,20 +1577,32 @@ def pallas_intersect_closest_mxu_small(
 ):
     t_total = feats.shape[1]
     nb = t_total // tblk
+    if _MXU_SMALL_FUSED:
+        tile = min(tile, _FUSED_TILE)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
-    kernel = functools.partial(
-        _closest_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
-    )
+    if _MXU_SMALL_FUSED:
+        kernel = functools.partial(
+            _closest_kernel_mxu_small_fused, ray_mask=ray_mask, t_total=t_total,
+            precision=precision,
+        )
+        feats_in = feats.reshape(4 * t_total, _FDIM)  # type-major row groups
+        feats_spec = pl.BlockSpec((4 * t_total, _FDIM), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(
+            _closest_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
+        )
+        feats_in = feats
+        feats_spec = pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM)
     t_out, prim_out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+            feats_spec,
             pl.BlockSpec((1, t_total), lambda r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1518,7 +1622,7 @@ def pallas_intersect_closest_mxu_small(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rays, excl, feats, mask)
+    )(rays, excl, feats_in, mask)
     t = t_out[0, :n]
     prim = prim_out[0, :n]
     return jnp.where(prim >= 0, t, _BIG), prim
@@ -1541,20 +1645,32 @@ def pallas_intersect_any_mxu_small(
 ):
     t_total = feats.shape[1]
     nb = t_total // tblk
+    if _MXU_SMALL_FUSED:
+        tile = min(tile, _FUSED_TILE)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
-    kernel = functools.partial(
-        _any_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
-    )
+    if _MXU_SMALL_FUSED:
+        kernel = functools.partial(
+            _any_kernel_mxu_small_fused, ray_mask=ray_mask, t_total=t_total,
+            precision=precision,
+        )
+        feats_in = feats.reshape(4 * t_total, _FDIM)
+        feats_spec = pl.BlockSpec((4 * t_total, _FDIM), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(
+            _any_kernel_mxu_small, ray_mask=ray_mask, tblk=tblk, nb=nb, precision=precision
+        )
+        feats_in = feats
+        feats_spec = pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_total, _FDIM), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+            feats_spec,
             pl.BlockSpec((1, t_total), lambda r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda r: (0, r), memory_space=pltpu.VMEM),
@@ -1563,7 +1679,7 @@ def pallas_intersect_any_mxu_small(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(rays, excl, feats, mask)
+    )(rays, excl, feats_in, mask)
     return occ[0, :n]
 
 
@@ -1678,13 +1794,9 @@ def _closest_kernel_mxu_flat(
         )
         tile = rays.shape[1]
         valid = valid & (_prim_ids(blk, tblk, tile) != excl_ref[0, :][None, :])
-        t_masked = jnp.where(valid, t, _BIG)
-        blk_best = jnp.min(t_masked, axis=0)
-        blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-        better = blk_best < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, blk_best, t_ref[0, :])
-        prim_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, prim_ref[0, :])
-
+        bt, bp = _fold_closest_packed(t, valid, t_ref[0, :], prim_ref[0, :], blk, tblk)
+        t_ref[0, :] = bt
+        prim_ref[0, :] = bp
 
 
 def _any_kernel_mxu_flat(

@@ -466,6 +466,20 @@ def build_device_scene(
         axis=1,
     )
 
+    # Join the per-prim material row (24 cols) and hit-light row (20 cols)
+    # into the attr table -> [T, 80]. The shade epilogue's one-hot gather
+    # pads its contraction to 128 lanes anyway, so the wider table is FREE
+    # and eliminates two of the three per-bounce fat gathers (the material
+    # row and the emissive-hit light row ride along with the attributes).
+    mat_np = np.asarray(mat_table, np.float32)
+    light_np = np.asarray(light_table, np.float32)
+    if mat_np.shape[0] and light_np.shape[0]:
+        mj = np.clip(material_id.astype(np.int64), 0, mat_np.shape[0] - 1)
+        lj = np.clip(light_id.astype(np.int64), 0, light_np.shape[0] - 1)
+        attr_table = np.concatenate(
+            [attr_table, mat_np[mj], light_np[lj]], axis=1
+        )
+
     if intersector == "auto":
         # MXU matmul MT wins on small scenes (dense, culling moot); the VPU
         # form wins on big culled scenes (smaller per-pass fixed cost +
@@ -521,6 +535,24 @@ def build_device_scene(
         use_pallas=use_pallas,
         intersector=intersector,
     )
+
+
+def rejoin_attr_tables(scene: "DeviceScene") -> "DeviceScene":
+    """Recompute the joined material/light columns of the attr table from the
+    CURRENT mat_table / light_table. Anything that mutates mat_table or
+    light_table on a built scene (live material edits, tests patching
+    params) must call this, or the shade epilogue — which reads the joined
+    copy, not the tables — will keep using stale values."""
+    import dataclasses
+
+    at = scene.attr_table
+    if at is None or at.shape[1] < 80:
+        return scene
+    mid = jnp.clip(at[:, 33].astype(jnp.int32), 0, scene.mat_table.shape[0] - 1)
+    lid = jnp.clip(at[:, 34].astype(jnp.int32), 0, scene.light_table.shape[0] - 1)
+    at = at.at[:, 36:60].set(scene.mat_table[mid])
+    at = at.at[:, 60:80].set(scene.light_table[lid])
+    return dataclasses.replace(scene, attr_table=at)
 
 
 def _build_cones(curves: Optional[DeviceCurves]):

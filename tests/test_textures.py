@@ -124,8 +124,12 @@ def test_textured_render_end_to_end():
     # (mat_table col 12 = diffuse_tex — the table the integrator gathers)
     import dataclasses
 
-    scene = dataclasses.replace(
-        scene, mat_table=scene.mat_table.at[0, 12].set(float(checker_id))
+    from strelka_tpu.render.device_scene import rejoin_attr_tables
+
+    scene = rejoin_attr_tables(
+        dataclasses.replace(
+            scene, mat_table=scene.mat_table.at[0, 12].set(float(checker_id))
+        )
     )
 
     cam = host.get_camera(0)
@@ -261,7 +265,9 @@ def test_mipmapped_render_no_shimmer():
             # texel frequency far above pixel frequency)
             mt = scene.mat_table.at[0, 12].set(float(checker_id))
             mt = mt.at[0, 16].set(64.0).at[0, 17].set(64.0)
-        scene = dataclasses.replace(scene, mat_table=mt)
+        from strelka_tpu.render.device_scene import rejoin_attr_tables
+
+        scene = rejoin_attr_tables(dataclasses.replace(scene, mat_table=mt))
         if config == "raw":
             atlas = scene.textures
             rects = np.asarray(atlas.rects).copy()
