@@ -78,7 +78,8 @@ def build_scene(name: str, width: int, height: int):
     return scene, params
 
 
-def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters: int):
+def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters: int,
+                stats: bool = True):
     import jax
     import numpy as np
 
@@ -119,10 +120,16 @@ def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters:
             enable_accumulation=True, collect_stats=True,
         )
 
-    try:
-        _, _, stats = jax.jit(stat_step)(scene, params, st)
-        alive_rays = float(stats["closest_rays"]) + float(stats["shadow_rays"])
-    except Exception:  # noqa: BLE001 — stats must never sink the bench
+    # The stats launch is a SECOND full compile of the scene (different
+    # jaxpr); for big-compile scenes (kitchen ~2min) it doubles bench wall
+    # time, so those configs opt out.
+    if stats:
+        try:
+            _, _, st_out = jax.jit(stat_step)(scene, params, st)
+            alive_rays = float(st_out["closest_rays"]) + float(st_out["shadow_rays"])
+        except Exception:  # noqa: BLE001 — stats must never sink the bench
+            alive_rays = -1.0
+    else:
         alive_rays = -1.0
     return {
         "scene": name,
@@ -175,18 +182,18 @@ def main() -> None:
     n_chips = max(jax.device_count(), 1)
     results = {}
     configs = [
-        ("cornell", 512, 512, 4, 4, 16),
-        ("box_field", 512, 512, 2, 4, 4),
-        ("coffeetable", 512, 512, 2, 4, 8),
-        ("kitchen", 512, 512, 2, 4, 4),
-        ("hair_patch", 384, 384, 2, 4, 4),
-        ("hair_long", 384, 384, 2, 4, 2),
+        ("cornell", 512, 512, 4, 4, 16, True),
+        ("box_field", 512, 512, 2, 4, 4, True),
+        ("coffeetable", 512, 512, 2, 4, 8, True),
+        ("kitchen", 512, 512, 2, 4, 4, False),
+        ("hair_patch", 384, 384, 2, 4, 4, True),
+        ("hair_long", 384, 384, 2, 4, 2, False),
     ]
     if quick:
-        configs = [("cornell", 256, 256, 2, 4, 8)]
-    for name, w, h, spp, depth, iters in configs:
+        configs = [("cornell", 256, 256, 2, 4, 8, True)]
+    for name, w, h, spp, depth, iters, stats in configs:
         try:
-            row = bench_scene(name, w, h, spp, depth, iters)
+            row = bench_scene(name, w, h, spp, depth, iters, stats=stats)
         except Exception as e:  # noqa: BLE001 — never lose the headline line
             row = {"scene": name, "error": str(e)[:200]}
         print(json.dumps(row), flush=True)

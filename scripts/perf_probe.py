@@ -12,6 +12,13 @@ def build(scene_name, width, height, spp, depth, intersector="mxu"):
 
     if scene_name == "cornell":
         sh = TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
+    elif scene_name == "kitchen":
+        from strelka_tpu.loaders.usd import UsdLoader
+        from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+        from strelka_tpu.scene.scene import Scene
+
+        sh = Scene()
+        assert UsdLoader().load(ensure_kitchen(), sh)
     else:
         sh = TS.box_field(grid=int(scene_name.split(":")[1]))
     scene = build_device_scene(sh, intersector=intersector)
@@ -65,3 +72,5 @@ if __name__ == "__main__":
         run("box:48", spp=2, iters=3, intersector="auto")
     if which == "box24":
         run("box:24", spp=2, iters=3, intersector="mxu")
+    if which == "kitchen":
+        run("kitchen", spp=2, iters=3, intersector="auto")

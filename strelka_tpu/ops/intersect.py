@@ -210,6 +210,30 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
 # work-list capacity per tile for the phase-2 sweep; overflow falls back to
 # the rectangular grid via lax.cond (rare: phase-2 lists measured ~18/tile)
 _WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
+# scenes with few superblocks take FULL capacity: overflow becomes impossible
+# (pad entries skip their body and re-DMA nothing), where a cap just below
+# nsb would bounce dense interior wavefronts to the rectangular grid every
+# sweep (kitchen: nsb=52 vs cap 48 -> permanent fallback, 2x launch time)
+_WL_FULL_NSB = int(_os.environ.get("STRELKA_WL_FULL_NSB", "96"))
+# work-list sweeps on the MXU: "1" force, "0" never, unset -> follow the
+# scene's intersector choice. Once the work list skips dead pairs the sweep
+# is compute-bound on live steps, where the MXU matmul MT test wins even on
+# big scenes whose rectangular-grid crossover picked the VPU.
+_WL_MXU = _os.environ.get("STRELKA_WL_MXU", "")
+
+
+def _wl_cap_per_tile(nsb: int) -> int:
+    return nsb if nsb <= _WL_FULL_NSB else min(_WL_CAP, nsb)
+
+
+def _wl_use_mxu(scene, use_mxu: bool) -> bool:
+    if scene.tris_feats is None:
+        return False
+    if _WL_MXU == "1":
+        return True
+    if _WL_MXU == "0":
+        return False
+    return use_mxu
 
 
 def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open_):
@@ -229,7 +253,7 @@ def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open
     d2m = tile_box_d2(o2, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
     _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
-    cap = (-(-tmin.shape[0] // tile)) * min(_WL_CAP, W2.shape[1])
+    cap = (-(-tmin.shape[0] // tile)) * _wl_cap_per_tile(W2.shape[1])
     wl, count, visited = build_worklist(W2, d2m, cap)
     return pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited
 
@@ -242,6 +266,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
     from strelka_tpu.ops.pallas_intersect import (
         build_worklist,
         pallas_intersect_closest_wl,
+        pallas_intersect_closest_wl_mxu,
         pallas_open_w,
         super_bounds_jnp,
         tile_box_d2,
@@ -253,15 +278,23 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
     d2m = tile_box_d2(origins, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
     _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
-    cap = (-(-n // tile)) * min(_WL_CAP, W.shape[1])
+    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
     wl, count, visited = build_worklist(W, d2m, cap)
 
     def wl_path(_):
-        t, prim = pallas_intersect_closest_wl(
-            scene.tris_packed, scene.tri_bounds, wl, origins, directions, tmin, tmax,
-            ray_mask, exclude=exclude,
-            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-        )
+        if _wl_use_mxu(scene, use_mxu):
+            t, prim = pallas_intersect_closest_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                origins, directions, tmin, tmax,
+                ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
+        else:
+            t, prim = pallas_intersect_closest_wl(
+                scene.tris_packed, scene.tri_bounds, wl, origins, directions, tmin, tmax,
+                ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
         vis_ray = jnp.repeat(visited, tile)[:n]
         prim = jnp.where(vis_ray, prim, -1)
         return jnp.where(prim >= 0, t, _BIG), prim
@@ -278,6 +311,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
 def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_closest_wl,
+        pallas_intersect_closest_wl_mxu,
         pallas_open_w,
         super_bounds_jnp,
         tile_sweep_order_k,
@@ -298,11 +332,19 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     n = tmin.shape[0]
 
     def wl_path(_):
-        t2p, prim2p = pallas_intersect_closest_wl(
-            scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
-            ray_mask, exclude=excl2,
-            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-        )
+        if _wl_use_mxu(scene, use_mxu):
+            t2p, prim2p = pallas_intersect_closest_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                o2, d2v, tmin2, tmax2p,
+                ray_mask, exclude=excl2,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
+        else:
+            t2p, prim2p = pallas_intersect_closest_wl(
+                scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
+                ray_mask, exclude=excl2,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
         vis_ray = jnp.repeat(visited, tile)[:n]  # unvisited tiles = garbage
         return t2p, jnp.where(vis_ray, prim2p, -1)
 
@@ -325,6 +367,7 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
 def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_any_wl,
+        pallas_intersect_any_wl_mxu,
         pallas_open_w,
         super_bounds_jnp,
         tile_sweep_order_k,
@@ -345,11 +388,19 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
     n = tmin.shape[0]
 
     def wl_path(_):
-        occ2p = pallas_intersect_any_wl(
-            scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
-            ray_mask, exclude=excl2,
-            tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-        )
+        if _wl_use_mxu(scene, use_mxu):
+            occ2p = pallas_intersect_any_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                o2, d2v, tmin2, tmax2p,
+                ray_mask, exclude=excl2,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
+        else:
+            occ2p = pallas_intersect_any_wl(
+                scene.tris_packed, scene.tri_bounds, wl, o2, d2v, tmin2, tmax2p,
+                ray_mask, exclude=excl2,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
         vis_ray = jnp.repeat(visited, tile)[:n]
         return occ2p & vis_ray
 

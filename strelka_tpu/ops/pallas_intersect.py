@@ -571,6 +571,199 @@ def pallas_intersect_any_wl(
     return occ[0, :n]
 
 
+def _closest_kernel_wl_mxu(
+    wl_ref, bounds_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
+    *, ray_mask: int, tblk: int, super_: int, precision=None,
+):
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)  # first entry of this tile's run
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)  # valid (non-pad) entry
+    def _body():
+        tile = rays.shape[1]
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=t_ref[0, :])
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                t, valid = _mt_block_mxu(
+                    rt, rays, feats_ref[:, j * tblk : (j + 1) * tblk, :],
+                    mask_ref[0, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=t_ref[0, :], precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                bt, bp = _fold_closest_packed(
+                    t, valid, t_ref[0, :], prim_ref[0, :], blk, tblk
+                )
+                t_ref[0, :] = bt
+                prim_ref[0, :] = bp
+
+
+def _any_kernel_wl_mxu(
+    wl_ref, bounds_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
+    *, ray_mask: int, tblk: int, super_: int, precision=None,
+):
+    i = pl.program_id(0)
+    flags = wl_ref[2, i]
+    sb = wl_ref[1, i]
+
+    @pl.when((flags & 1) != 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+
+    @pl.when((flags & 2) != 0)
+    def _body():
+        tile = rays.shape[1]
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
+        for j in range(super_):
+            blk = sb * super_ + j
+            sub_hit = _tile_hits_block(rays, bounds_ref, blk, tmax_row=live_tmax)
+
+            @pl.when(sub_hit)
+            def _work(j=j, blk=blk):
+                _, valid = _mt_block_mxu(
+                    rt, rays, feats_ref[:, j * tblk : (j + 1) * tblk, :],
+                    mask_ref[0, j * tblk : (j + 1) * tblk], ray_mask,
+                    precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+)
+def pallas_intersect_closest_wl_mxu(
+    feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
+    mask: jnp.ndarray,  # [1, T]
+    bounds: jnp.ndarray,
+    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+    precision=None,
+):
+    """MXU work-list closest sweep -> (t [N], prim [N]). Same schedule as
+    pallas_intersect_closest_wl but the MT test rides 4 matmuls per live
+    sub-block: once dead (tile, superblock) pairs are skipped by the work
+    list, the sweep is compute-bound on live steps, where the MXU rate wins
+    even though the feature stream is 5.3x the packed-tri bytes. Tiles with
+    no work-list entry return GARBAGE — mask with visited_tiles."""
+    step = tblk * super_
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    kernel = functools.partial(
+        _closest_kernel_wl_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(wl.shape[1],),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl[1, i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wl, bounds, rays, excl, feats, mask)
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+)
+def pallas_intersect_any_wl_mxu(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    bounds: jnp.ndarray,
+    wl: jnp.ndarray,
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+    precision=None,
+):
+    """MXU work-list any-hit sweep -> [N] bool (mask with visited_tiles)."""
+    step = tblk * super_
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    kernel = functools.partial(
+        _any_kernel_wl_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(wl.shape[1],),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl[1, i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wl, bounds, rays, excl, feats, mask)
+    return occ[0, :n]
+
+
 # ---------------------------------------------------------------------------
 # Block culling: Morton-sorted triangle blocks + per-cell AABB skip.
 # ---------------------------------------------------------------------------

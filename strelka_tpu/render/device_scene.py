@@ -481,10 +481,16 @@ def build_device_scene(
         )
 
     if intersector == "auto":
-        # MXU matmul MT wins on small scenes (dense, culling moot); the VPU
-        # form wins on big culled scenes (smaller per-pass fixed cost +
-        # 5x less triangle DMA). Crossover measured on v5e (round 2).
-        intersector = "mxu" if num_tri <= 65536 else "vpu"
+        import os as _os2
+
+        forced = _os2.environ.get("STRELKA_INTERSECTOR", "")
+        if forced in ("mxu", "vpu"):
+            intersector = forced
+        else:
+            # MXU matmul MT wins on small scenes (dense, culling moot); the
+            # VPU form wins on big culled scenes (smaller per-pass fixed cost
+            # + 5x less triangle DMA). Crossover measured on v5e (round 2).
+            intersector = "mxu" if num_tri <= 65536 else "vpu"
     log.info(
         "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,

@@ -42,6 +42,11 @@ ADDRESS_CLAMP = 1  # cudaAddressModeClamp
 
 FLAG_SRGB = 1  # rect stores sRGB-encoded u8 (decode before filtering)
 
+# Optional Quilez smootherstep coordinate warp before the bilinear blend —
+# parity with the reference's compile-time USE_SMOOTHERSTEP_FILTER
+# (texture_support_cuda.h:262-280, default off there too).
+SMOOTHERSTEP = os.environ.get("STRELKA_TEX_SMOOTHERSTEP") == "1"
+
 # rects table columns
 RC_X0, RC_Y0, RC_W, RC_H, RC_MODE, RC_FLAGS, RC_SCALE, RC_COUNT, RC_BASE = range(9)
 
@@ -270,6 +275,11 @@ def _sample_rect_rows(atlas: TextureAtlas, r, uv):
     yb = jnp.floor(fv)
     tx = (fu - xb)[..., None]
     ty = (fv - yb)[..., None]
+    if SMOOTHERSTEP:
+        # quintic warp of the texel fraction (APPLY_SMOOTHERSTEP_FILTER,
+        # texture_support_cuda.h:265-280)
+        tx = tx * tx * tx * (tx * (tx * 6.0 - 15.0) + 10.0)
+        ty = ty * ty * ty * (ty * (ty * 6.0 - 15.0) + 10.0)
 
     def addr(i, extent):
         wrapped = jnp.mod(i, extent)

@@ -386,6 +386,54 @@ def test_worklist_kernels_match_oracle():
     np.testing.assert_array_equal(occ, np.asarray(bf.prim) >= 0)
 
 
+def test_worklist_mxu_kernels_match_oracle():
+    """MXU work-list kernels == bruteforce (same schedule as the VPU wl
+    kernels, MT test on matmul features; interpret mode runs f32-exact)."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        build_worklist,
+        pack_tris_mxu,
+        pallas_intersect_any_wl_mxu,
+        pallas_intersect_closest_wl_mxu,
+        slab_matrix_any,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(13)
+    v0, e1, e2, mask = _scene(1024, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    tmax[256:] = 0.0  # a dead tile
+    feats, fmask = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    ov = from_rows(jnp.asarray(o))
+    dv = from_rows(jnp.asarray(d))
+    sbounds = super_bounds_jnp(bounds, 2)
+    d2 = tile_box_d2(ov, sbounds, 256)
+    W = slab_matrix_any(ov, dv, jnp.asarray(tmin), jnp.asarray(tmax), sbounds, 256)
+    wl, count, visited = build_worklist(W, d2, 16)
+    t, prim = pallas_intersect_closest_wl_mxu(
+        feats, fmask, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True,
+    )
+    vis_ray = np.repeat(np.asarray(visited), 256)[:512]
+    prim = np.where(vis_ray, np.asarray(prim), -1)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, active=jnp.asarray(tmax) > 0,
+    )
+    np.testing.assert_array_equal(prim, np.asarray(bf.prim))
+    occ = pallas_intersect_any_wl_mxu(
+        feats, fmask, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True,
+    )
+    occ = np.asarray(occ) & vis_ray
+    np.testing.assert_array_equal(occ, np.asarray(bf.prim) >= 0)
+
+
 def test_partition_perm_and_worklist_builder():
     """_partition_perm is a stable open-first permutation; build_worklist
     groups by tile near-to-far and pads safely."""

@@ -53,6 +53,30 @@ def test_bilinear_interpolates_between_texels():
     assert out[0, 0] == pytest.approx(0.5, abs=1e-5)
 
 
+def test_smootherstep_filter_warps_fraction(monkeypatch):
+    """STRELKA_TEX_SMOOTHERSTEP: quintic warp pulls off-center fractions
+    toward the nearer texel; the midpoint is a fixed point (parity with the
+    reference's USE_SMOOTHERSTEP_FILTER, texture_support_cuda.h:265-280)."""
+    import strelka_tpu.textures as T
+
+    tm = TextureManager(atlas_size=64)
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:, 32:] = 1.0
+    tid = tm.add_array(img)
+    atlas = tm.build_atlas(dtype="f32")
+    ids = jnp.array([tid], jnp.int32)
+    mid = jnp.asarray([[(31.5 + 0.5) / 64.0, 0.5]], jnp.float32)
+    quarter = jnp.asarray([[(31.25 + 0.5) / 64.0, 0.5]], jnp.float32)
+    plain = np.asarray(sample_bilinear(atlas, ids, quarter))[0, 0]
+    monkeypatch.setattr(T, "SMOOTHERSTEP", True)
+    warped_mid = np.asarray(sample_bilinear(atlas, ids, mid))[0, 0]
+    warped_q = np.asarray(sample_bilinear(atlas, ids, quarter))[0, 0]
+    assert warped_mid == pytest.approx(0.5, abs=1e-5)
+    assert plain == pytest.approx(0.25, abs=1e-5)
+    # smootherstep(0.25) ~= 0.1035 < 0.25: pulled toward the nearer texel
+    assert warped_q < plain - 0.1
+
+
 def test_wrap_addressing():
     tm = TextureManager(atlas_size=64)
     tid = tm.add_array(_checker(scale=64))
