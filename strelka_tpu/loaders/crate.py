@@ -558,9 +558,26 @@ class CrateFile:
         if vtype == T_DICTIONARY:
             return {"__raw__": []}  # metadata dict: presence only
         if vtype == T_TIME_SAMPLES:
-            return None  # animation via crate: not resolved yet
+            return self._unpack_time_samples(payload)
         log.debug("{}: unsupported crate value type {}", self.name, vtype)
         return None
+
+    def _unpack_time_samples(self, payload):
+        """TimeSamples layout (crateFile.cpp _ReadTimeSamples, v0.8):
+        payload -> [ValueRep timesRep][ValueRep values[N]] where N is the
+        length of the times array (no count prefix; pxr records
+        valuesFileOffset = tell() after reading timesRep and later reads N
+        contiguous reps). Returns ("__timeSamples__", [times], [values])."""
+        r = _Reader(self.data, payload)
+        times_rep = r.u64()
+        times = self.unpack(times_rep)
+        if not isinstance(times, (list, tuple, np.ndarray)):
+            return None
+        times = [float(t) for t in np.asarray(times).reshape(-1)]
+        values = []
+        for _ in times:
+            values.append(self.unpack(r.u64()))
+        return ("__timeSamples__", times, values)
 
     def _read_scalar_at(self, vtype, offset):
         fmt, k = _SCALAR_FMT[vtype]
@@ -755,6 +772,13 @@ def crate_to_stage(cf: CrateFile) -> Prim:
             attr.uniform = cf.unpack(fields["variability"]) == 1
         if "default" in fields:
             attr.value = cf.unpack(fields["default"])
+        if "timeSamples" in fields:
+            ts = cf.unpack(fields["timeSamples"])
+            if isinstance(ts, tuple) and len(ts) == 3 and ts[0] == "__timeSamples__":
+                attr.time_samples = (ts[1], ts[2])
+                if attr.value is None and ts[2]:
+                    # static-render semantics: first sample (usda parity)
+                    attr.value = ts[2][0]
         if "connectionPaths" in fields:
             val = cf.unpack(fields["connectionPaths"])
             if isinstance(val, list) and val:
@@ -913,6 +937,15 @@ class _CrateWriter:
         self.body.write(np.asarray([self.token(t) for t in toks], "<u4").tobytes())
         return (T_TOKEN_VECTOR << 48) | off
 
+    def rep_time_samples(self, times: List[float], value_reps: List[int]) -> int:
+        """Pack animation samples (mirrors _unpack_time_samples layout)."""
+        times_rep = self.rep_array(T_DOUBLE, [float(t) for t in times])
+        off = self._offset()
+        self.body.u64(times_rep)
+        for vr in value_reps:
+            self.body.u64(vr)
+        return (T_TIME_SAMPLES << 48) | off
+
     def rep_path_list_op(self, paths: List[str]) -> int:
         off = self._offset()
         self.body.write(bytes([2]))  # HasExplicitItems
@@ -1012,6 +1045,11 @@ def write_usdc(path: str, root: Prim) -> None:
                 rep = _value_rep(w, attr.type_str, attr.value)
                 if rep is not None:
                     afs.append(w.field("default", rep))
+            if attr.time_samples is not None:
+                times, samples = attr.time_samples
+                vreps = [_value_rep(w, attr.type_str, v) for v in samples]
+                if len(times) == len(samples) and all(r is not None for r in vreps):
+                    afs.append(w.field("timeSamples", w.rep_time_samples(times, vreps)))
             if attr.connect:
                 afs.append(w.field("connectionPaths", w.rep_path_list_op([attr.connect])))
             interp = prim.attrs.get(name + ":__interp__")

@@ -28,6 +28,9 @@ class Attr:
     connect: Optional[str] = None  # target path for .connect attrs
     targets: List[str] = field(default_factory=list)  # rel targets
     uniform: bool = False
+    # full animation samples ([times], [values]) when authored; `value`
+    # holds the first sample (static-render semantics, hdRunner SetTime(0))
+    time_samples: Optional[tuple] = None
 
 
 @dataclass
@@ -180,20 +183,29 @@ def _parse_value(tz: _Tokenizer):
     return t
 
 
-def _first_time_sample(raw_tokens) -> object:
-    """Parse the first sample value out of a raw timeSamples token list.
+def _all_time_samples(raw_tokens):
+    """Parse every (time, value) pair out of a raw timeSamples token list.
 
-    The block tokens look like: time, value-tokens..., time, value-tokens...
-    (':' separators are dropped by the tokenizer)."""
+    The block tokens look like: time, value-tokens..., ',', time, ...
+    (':' separators are dropped by the tokenizer). Returns ([times], [values])
+    or None on a malformed block."""
     if not raw_tokens:
         return None
     tz = _Tokenizer("")
-    tz.toks = list(raw_tokens[1:])  # skip the first time key
+    tz.toks = list(raw_tokens)
     tz.i = 0
+    times, values = [], []
     try:
-        return _parse_value(tz)
-    except SyntaxError:
-        return None
+        while not tz.at_end():
+            t = tz.next()
+            if t == ",":
+                continue
+            times.append(float(t))
+            values.append(_parse_value(tz))
+    except (SyntaxError, ValueError, TypeError):
+        if not times or len(times) != len(values):
+            return None
+    return (times, values) if times and len(times) == len(values) else None
 
 
 def _parse_metadata_block(tz: _Tokenizer) -> Dict[str, object]:
@@ -283,11 +295,14 @@ def _parse_attr(tz: _Tokenizer, prim: Prim) -> None:
                 attr.connect = val[1]
         elif is_timesamples:
             # static-render semantics: resolve to the FIRST time sample
-            # (hdRunner renders one SetTime; our bake is static)
-            if attr.value is None and isinstance(val, dict):
-                first = _first_time_sample(val.get("__raw__", []))
-                if first is not None:
-                    attr.value = first
+            # (hdRunner renders one SetTime; our bake is static) but keep
+            # the full sample set on the Attr for animation consumers
+            if isinstance(val, dict):
+                ts = _all_time_samples(val.get("__raw__", []))
+                if ts is not None:
+                    attr.time_samples = ts
+                    if attr.value is None:
+                        attr.value = ts[1][0]
         elif type_str == "rel" or (type_str == "" and isinstance(val, tuple) and val and val[0] == "__path__"):
             if isinstance(val, tuple) and val[0] == "__path__":
                 attr.targets = [val[1]]

@@ -264,3 +264,58 @@ def test_crate_version_gate(tmp_path):
         f.write(data)
     with pytest.raises(ValueError):
         read_usdc(p)
+
+
+_ANIM_STAGE = """#usda 1.0
+def Xform "World"
+{
+    def Mesh "box"
+    {
+        point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+        double3 xformOp:translate.timeSamples = {
+            1: (0, 0, 0),
+            2: (0, 2, 0),
+            3: (0, 4, 1),
+        }
+        float inputs:gain.timeSamples = { 0: 0.5, 10: 1.5 }
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+    }
+}
+"""
+
+
+def test_usda_timesamples_full_parse():
+    """usda: every (time, value) pair lands on Attr.time_samples; value is
+    resolved to the first sample (static-render semantics)."""
+    root = parse_usda(_ANIM_STAGE)
+    box = root.find("/World/box")
+    tr = box.attrs["xformOp:translate"]
+    assert tr.time_samples is not None
+    times, values = tr.time_samples
+    assert times == [1.0, 2.0, 3.0]
+    np.testing.assert_allclose(np.asarray(values[2], np.float64), [0, 4, 1])
+    np.testing.assert_allclose(np.asarray(tr.value, np.float64), [0, 0, 0])
+    g = box.attrs["inputs:gain"]
+    assert g.time_samples == ([0.0, 10.0], [0.5, 1.5])
+    assert g.value == 0.5
+
+
+def test_crate_timesamples_roundtrip(tmp_path):
+    """usdc: timeSamples survive write->read with the pxr v0.8 layout
+    (payload -> [times ValueRep][value ValueRep xN], crateFile.cpp
+    _ReadTimeSamples)."""
+    root = parse_usda(_ANIM_STAGE)
+    path = str(tmp_path / "anim.usdc")
+    write_usdc(path, root)
+    back = read_usdc(path)
+    tr = back.find("/World/box").attrs["xformOp:translate"]
+    assert tr.time_samples is not None
+    times, values = tr.time_samples
+    np.testing.assert_allclose(times, [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(values[1], np.float64), [0, 2, 0])
+    np.testing.assert_allclose(np.asarray(tr.value, np.float64), [0, 0, 0])
+    g = back.find("/World/box").attrs["inputs:gain"]
+    np.testing.assert_allclose(g.time_samples[0], [0.0, 10.0])
+    np.testing.assert_allclose(g.time_samples[1], [0.5, 1.5])
