@@ -195,17 +195,38 @@ def sample_rect_light_sphquad(lp: LightParams, u, v, hit_point: Vec3) -> LightSa
 
 
 def sample_sphere_light(lp: LightParams, u, v, hit_point: Vec3) -> LightSampleData:
-    """Lights.h:335-362 (uniform direction on sphere; pdf = 1/4pi)."""
-    cos_theta = 1.0 - 2.0 * u
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    phi = 2.0 * M_PI * v
-    sphere_dir = Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
-    light_point = lp.p1 + sphere_dir * lp.radius
-    to_light = light_point - hit_point
-    dist = V.length(to_light)
-    L = to_light * (1.0 / jnp.maximum(dist, 1e-20))
-    pdf = jnp.full(u.shape, 1.0 / (4.0 * M_PI))
-    return LightSampleData(light_point, pdf, sphere_dir, jnp.zeros_like(pdf), L, dist)
+    """Visible-cap solid-angle sampling of a sphere light.
+
+    DELIBERATE deviation from the reference: Lights.h:335-362 samples a
+    uniform point on the sphere SURFACE but reports pdf = 1/4pi as if it
+    were a solid-angle density — radiometrically wrong (a plane point under
+    a small sphere light comes out ~30x hot; caught by
+    tests/test_radiometric_oracle.py::test_sphere_light_inverse_square).
+    We instead sample the cone of directions subtending the sphere
+    (cos_a = sqrt(1 - (r/d)^2)) with the exact pdf 1/(2pi(1-cos_a)), which
+    is both correct and lower-variance (no wasted back-half samples).
+    Shading points inside the sphere get pdf 0 (NEE disabled; BSDF
+    sampling covers that case)."""
+    c = lp.p1 - hit_point
+    d = V.length(c)
+    d_safe = jnp.maximum(d, 1e-20)
+    axis = c * (1.0 / d_safe)
+    sin_a = jnp.clip(lp.radius / d_safe, 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    # cone sample around the center direction (solid-angle uniform)
+    phi = 2.0 * M_PI * u
+    cos_t = 1.0 - v * (1.0 - cos_a)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    tu, tv = create_coordinate_system(axis)
+    L = V.normalize(tu * (jnp.cos(phi) * sin_t) + tv * (jnp.sin(phi) * sin_t) + axis * cos_t)
+    # nearest ray-sphere intersection along L is the sampled surface point
+    disc = jnp.maximum(lp.radius * lp.radius - d * d * sin_t * sin_t, 0.0)
+    dist = jnp.maximum(d * cos_t - jnp.sqrt(disc), 0.0)
+    light_point = hit_point + L * dist
+    normal = V.normalize(light_point - lp.p1)
+    outside = d > lp.radius
+    pdf = jnp.where(outside, 1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cos_a, 1e-9)), 0.0)
+    return LightSampleData(light_point, pdf, normal, jnp.zeros_like(pdf), L, dist)
 
 
 def create_coordinate_system(n: Vec3):
@@ -286,7 +307,14 @@ def get_light_pdf(lp: LightParams, light_hit_point: Vec3, surface_hit_point: Vec
     """
     area, n, L, dist = _fill_light_data(lp, surface_hit_point, light_hit_point)
     rect_pdf = dist * dist / (V.dot(-L, n) * area)
-    sphere_pdf = jnp.full(lp.type.shape, 1.0 / (4.0 * M_PI))
+    # sphere: cone pdf consistent with sample_sphere_light (NOT the
+    # reference's 1/4pi — see the deviation note there)
+    dc = V.length(lp.p1 - surface_hit_point)
+    sin_a = jnp.clip(lp.radius / jnp.maximum(dc, 1e-20), 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    sphere_pdf = jnp.where(
+        dc > lp.radius, 1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cos_a, 1e-9)), 0.0
+    )
     distant_pdf = 1.0 / (2.0 * M_PI * (1.0 - jnp.cos(lp.half_angle)))
     return jnp.where(
         lp.type == 0,

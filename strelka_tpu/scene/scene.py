@@ -307,10 +307,21 @@ class Scene:
     # ------------------------------------------------------------------ lights
 
     def get_transform(self, desc: UniformLightDesc) -> np.ndarray:
-        """scene.h:337-348: T * R(euler degrees) * S(width, height, 1)."""
+        """T * R(euler degrees) * S — scale matched to the light type.
+
+        DELIBERATE deviation from the reference: scene.h:337-348 always
+        scales by (width, height, 1), so disc/sphere lights built without
+        use_xform get a radius-1 emissive proxy regardless of desc.radius
+        (latent upstream because UsdLux lights always take the useXform
+        branch, scene.cpp:344). A radius-0.25 sphere light then renders as
+        a radius-1 glowing ball and BSDF-sampled hits overcount direct
+        light ~1/r^2 (caught by test_radiometric_oracle.py)."""
         t = m3.translate(desc.position)
         r = m3.quat_to_mat4(m3.quat_from_euler(np.radians(desc.orientation)))
-        s = m3.scale([desc.width, desc.height, 1.0])
+        if desc.type in (1, 2):  # disc / sphere proxies are unit-radius
+            s = m3.scale(desc.radius)
+        else:
+            s = m3.scale([desc.width, desc.height, 1.0])
         return t @ r @ s
 
     def create_light(self, desc: UniformLightDesc) -> int:

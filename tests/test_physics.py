@@ -195,9 +195,18 @@ def test_sphere_distant_light_pdfs():
     )
     hit = _v3(np.zeros((n, 3)))
     sph = LS.sample_sphere_light(lp, u, v, hit)
-    np.testing.assert_allclose(np.asarray(sph.pdf), 1.0 / (4 * np.pi), rtol=1e-5)
+    # visible-cap cone sampling (deviation from the reference's 1/4pi —
+    # see sample_sphere_light): pdf = 1/(2pi(1-cos_a)), cos_a from r/d
+    cos_a = np.sqrt(1.0 - (0.5 / 3.0) ** 2)
+    np.testing.assert_allclose(np.asarray(sph.pdf), 1.0 / (2 * np.pi * (1 - cos_a)), rtol=1e-4)
     p = np.asarray(V.to_rows(sph.point_on_light))
     np.testing.assert_allclose(np.linalg.norm(p - [0, 3, 0], axis=1), 0.5, atol=1e-4)
+    # sampled directions lie inside the subtended cone, and the MIS-side
+    # pdf agrees with the sampling pdf (consistency the balance heuristic needs)
+    dirs = np.asarray(V.to_rows(sph.L))
+    assert (dirs @ np.array([0, 1.0, 0]) >= cos_a - 1e-4).all()
+    mis_pdf = np.asarray(LS.get_light_pdf(lp, sph.point_on_light, hit))
+    np.testing.assert_allclose(mis_pdf, np.asarray(sph.pdf), rtol=1e-4)
     # distant light: directions within half-angle cone around -normal
     d = LS.sample_distant_light(lp, u, v)
     cosang = np.asarray(V.to_rows(d.L)) @ np.array([0, 1.0, 0])
