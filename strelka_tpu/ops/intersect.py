@@ -178,7 +178,7 @@ def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, star
         return pallas_intersect_closest_mxu(
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
-            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+            tile=SUPER_PATH_TILE, tblk=tb, super_=sp, local=scene.tris_local,
         )
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -198,7 +198,7 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
         return pallas_intersect_any_mxu(
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
-            tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+            tile=SUPER_PATH_TILE, tblk=tb, super_=sp, local=scene.tris_local,
         )
     return pallas_intersect_any(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -288,6 +288,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+                local=scene.tris_local,
             )
         else:
             t, prim = pallas_intersect_closest_wl(
@@ -338,6 +339,7 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+                local=scene.tris_local,
             )
         else:
             t2p, prim2p = pallas_intersect_closest_wl(
@@ -394,6 +396,7 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+                local=scene.tris_local,
             )
         else:
             occ2p = pallas_intersect_any_wl(

@@ -573,7 +573,7 @@ def pallas_intersect_any_wl(
 
 def _closest_kernel_wl_mxu(
     wl_ref, bounds_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
-    *, ray_mask: int, tblk: int, super_: int, precision=None,
+    *, ray_mask: int, tblk: int, super_: int, precision=None, local: bool = False,
 ):
     i = pl.program_id(0)
     flags = wl_ref[2, i]
@@ -589,7 +589,11 @@ def _closest_kernel_wl_mxu(
     @pl.when((flags & 2) != 0)  # valid (non-pad) entry
     def _body():
         tile = rays.shape[1]
-        rt = _ray_features(rays)
+        rt = (
+            _ray_features_local(rays, bounds_ref, sb * super_)
+            if local
+            else _ray_features(rays)
+        )
         excl = excl_ref[0, :][None, :]
         for j in range(super_):
             blk = sb * super_ + j
@@ -612,7 +616,7 @@ def _closest_kernel_wl_mxu(
 
 def _any_kernel_wl_mxu(
     wl_ref, bounds_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
-    *, ray_mask: int, tblk: int, super_: int, precision=None,
+    *, ray_mask: int, tblk: int, super_: int, precision=None, local: bool = False,
 ):
     i = pl.program_id(0)
     flags = wl_ref[2, i]
@@ -627,7 +631,11 @@ def _any_kernel_wl_mxu(
     @pl.when((flags & 2) != 0)
     def _body():
         tile = rays.shape[1]
-        rt = _ray_features(rays)
+        rt = (
+            _ray_features_local(rays, bounds_ref, sb * super_)
+            if local
+            else _ray_features(rays)
+        )
         excl = excl_ref[0, :][None, :]
         live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
         for j in range(super_):
@@ -647,7 +655,7 @@ def _any_kernel_wl_mxu(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision", "local"),
 )
 def pallas_intersect_closest_wl_mxu(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
@@ -665,6 +673,7 @@ def pallas_intersect_closest_wl_mxu(
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # superblock-local feats (pack_tris_mxu_local)
 ):
     """MXU work-list closest sweep -> (t [N], prim [N]). Same schedule as
     pallas_intersect_closest_wl but the MT test rides 4 matmuls per live
@@ -678,7 +687,7 @@ def pallas_intersect_closest_wl_mxu(
     excl = _pack_exclude(exclude, n, n_pad)
     kernel = functools.partial(
         _closest_kernel_wl_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        precision=precision,
+        precision=precision, local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -713,7 +722,7 @@ def pallas_intersect_closest_wl_mxu(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision", "local"),
 )
 def pallas_intersect_any_wl_mxu(
     feats: jnp.ndarray,
@@ -731,6 +740,7 @@ def pallas_intersect_any_wl_mxu(
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # superblock-local feats (pack_tris_mxu_local)
 ):
     """MXU work-list any-hit sweep -> [N] bool (mask with visited_tiles)."""
     step = tblk * super_
@@ -739,7 +749,7 @@ def pallas_intersect_any_wl_mxu(
     excl = _pack_exclude(exclude, n, n_pad)
     kernel = functools.partial(
         _any_kernel_wl_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        precision=precision,
+        precision=precision, local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1087,6 +1097,61 @@ def pack_tris_mxu(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int =
     return _jnp.asarray(feats), _jnp.asarray(mask)
 
 
+def pack_tris_mxu_local(
+    v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER
+):
+    """Superblock-LOCAL MXU features (big-scene variant of pack_tris_mxu).
+
+    Triangles are translated to their superblock's anchor (the center of its
+    first sub-block AABB) before the feature products are formed, and the
+    kernels rebuild the ray features with the same anchor subtracted from
+    the origin (_ray_features_local). Moller-Trumbore is translation-
+    invariant, so t/u/v are exactly the world-space values.
+
+    Why: the o x d and e x v0 feature products carry |world position|
+    factors; their difference (the useful signal) is ~|tri size|. At
+    box_field scale (|o| ~ 13, tris ~ 0.2) the bf16x3 matmul passes lose the
+    cancellation bits — measured 47% bad-t / 7% fabricated hits vs an f64
+    oracle — which is why the MXU path was small-scene-only. Local anchors
+    shrink the magnitudes to superblock radius, the cornell-class regime
+    where bf16x3 is proven artifact-free. Feature products are formed in
+    f64 at pack time (free accuracy, host-side once per scene).
+
+    Anchor consistency contract: the kernel derives the anchor from the
+    ALREADY-PREFETCHED block_bounds via (lo + hi) * 0.5 in f32 (_sb_anchor);
+    this function computes it from the same block_bounds output with the
+    same f32 ops — bit-identical, no extra kernel input.
+    """
+    t = v0.shape[0]
+    t_pad = _pad_count(t, tblk, super_)
+    nsb = t_pad // (tblk * super_)
+    b = np.asarray(block_bounds(v0, e1, e2, geom_mask, tblk=tblk, super_=super_))
+    first = np.arange(nsb) * super_
+    anchors = (b[0:3, first] + b[3:6, first]) * np.float32(0.5)  # [3, nsb] f32
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    # per-tri anchor (tris are block-contiguous after the Morton sort)
+    tri_sb = np.minimum(np.arange(t) // (tblk * super_), nsb - 1)
+    v0l = v0 - anchors.T.astype(np.float64)[tri_sb]
+    n = np.cross(e1, e2)
+    e2xv0 = np.cross(e2, v0l)
+    e1xv0 = np.cross(e1, v0l)
+    feats = np.zeros((4, t_pad, _FDIM), np.float32)
+    feats[0, :t, 0:3] = -n
+    feats[1, :t, 6:9] = n
+    feats[1, :t, 9] = -np.sum(v0l * n, axis=-1)
+    feats[2, :t, 0:3] = -e2xv0
+    feats[2, :t, 3:6] = e2
+    feats[3, :t, 0:3] = e1xv0
+    feats[3, :t, 3:6] = -e1
+    mask = np.zeros((1, t_pad), np.float32)
+    mask[0, :t] = np.asarray(geom_mask, np.float32)
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(feats), _jnp.asarray(mask)
+
+
 def _ray_features(rays):
     """[16, TILE] feature rows from the [8, TILE] ray block."""
     o = rays[0:3, :]
@@ -1098,6 +1163,41 @@ def _ray_features(rays):
             o[0] * d[1] - o[1] * d[0],
         ]
     )
+    ones = jnp.ones_like(rays[0:1, :])
+    zeros = jnp.zeros((_FDIM - 10, rays.shape[1]), rays.dtype)
+    return jnp.concatenate([d, oxd, o, ones, zeros], axis=0)
+
+
+def _sb_anchor(bounds_ref, first_blk):
+    """Superblock local-frame anchor: center of its FIRST sub-block AABB.
+
+    MUST match pack_tris_mxu_local bit-for-bit — same (lo + hi) * 0.5 in f32
+    on the same block_bounds values (IEEE ops, deterministic both sides)."""
+    ax = (bounds_ref[0, first_blk] + bounds_ref[3, first_blk]) * 0.5
+    ay = (bounds_ref[1, first_blk] + bounds_ref[4, first_blk]) * 0.5
+    az = (bounds_ref[2, first_blk] + bounds_ref[5, first_blk]) * 0.5
+    return ax, ay, az
+
+
+def _ray_features_local(rays, bounds_ref, first_blk):
+    """[16, TILE] ray features with origins re-anchored to the superblock's
+    local frame (see pack_tris_mxu_local: translation shrinks the o x d /
+    e x v0 product magnitudes so the bf16x3 MXU passes keep the MT
+    cancellation bits at any world scale — MT itself is translation-
+    invariant, so t/u/v are unchanged)."""
+    ax, ay, az = _sb_anchor(bounds_ref, first_blk)
+    ox = rays[0, :] - ax
+    oy = rays[1, :] - ay
+    oz = rays[2, :] - az
+    d = rays[3:6, :]
+    oxd = jnp.stack(
+        [
+            oy * d[2] - oz * d[1],
+            oz * d[0] - ox * d[2],
+            ox * d[1] - oy * d[0],
+        ]
+    )
+    o = jnp.stack([ox, oy, oz])
     ones = jnp.ones_like(rays[0:1, :])
     zeros = jnp.zeros((_FDIM - 10, rays.shape[1]), rays.dtype)
     return jnp.concatenate([d, oxd, o, ones, zeros], axis=0)
@@ -1143,6 +1243,7 @@ def _mt_block_mxu(rt, rays, feats, mask_row, ray_mask: int, tmax_row=None, preci
 def _closest_kernel_mxu(
     sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref,
     t_ref, prim_ref, *, ray_mask: int, tblk: int, super_: int, precision=None,
+    local: bool = False,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
@@ -1160,7 +1261,11 @@ def _closest_kernel_mxu(
     @pl.when(super_hit)
     def _super():
         tile = rays.shape[1]
-        rt = _ray_features(rays)
+        rt = (
+            _ray_features_local(rays, bounds_ref, sb * super_)
+            if local
+            else _ray_features(rays)
+        )
         excl = excl_ref[0, :][None, :]
         for j in range(super_):
             blk = sb * super_ + j
@@ -1184,6 +1289,7 @@ def _closest_kernel_mxu(
 def _any_kernel_mxu(
     sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref,
     occ_ref, *, ray_mask: int, tblk: int, super_: int, precision=None,
+    local: bool = False,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
@@ -1201,7 +1307,11 @@ def _any_kernel_mxu(
     @pl.when(super_hit)
     def _super():
         tile = rays.shape[1]
-        rt = _ray_features(rays)
+        rt = (
+            _ray_features_local(rays, bounds_ref, sb * super_)
+            if local
+            else _ray_features(rays)
+        )
         excl = excl_ref[0, :][None, :]
         for j in range(super_):
             blk = sb * super_ + j
@@ -1241,7 +1351,7 @@ def _prep_common(origins, directions, tmin, tmax, exclude, starts, tile, nsb):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision", "local"),
 )
 def pallas_intersect_closest_mxu(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
@@ -1259,6 +1369,7 @@ def pallas_intersect_closest_mxu(
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # superblock-local feats (pack_tris_mxu_local)
 ):
     t_total = feats.shape[1]
     step = tblk * super_
@@ -1278,7 +1389,8 @@ def pallas_intersect_closest_mxu(
     # the residual two-pass scheme)
     grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(
-        _closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
+        _closest_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision,
+        local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1326,7 +1438,7 @@ def pallas_intersect_closest_mxu(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision"),
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "precision", "local"),
 )
 def pallas_intersect_any_mxu(
     feats: jnp.ndarray,
@@ -1344,6 +1456,7 @@ def pallas_intersect_any_mxu(
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # superblock-local feats (pack_tris_mxu_local)
 ):
     t_total = feats.shape[1]
     step = tblk * super_
@@ -1363,7 +1476,8 @@ def pallas_intersect_any_mxu(
     # the residual two-pass scheme)
     grid = (n_tiles, starts.shape[1])
     kernel = functools.partial(
-        _any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision
+        _any_kernel_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_, precision=precision,
+        local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

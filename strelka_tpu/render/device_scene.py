@@ -93,6 +93,9 @@ class DeviceScene:
     tris_packed: Optional[jnp.ndarray] = None  # [12, T] pallas VPU kernel layout
     tris_feats: Optional[jnp.ndarray] = None  # [4, T, 16] pallas MXU features
     tris_mask: Optional[jnp.ndarray] = None  # [1, T] geom mask for MXU kernel
+    # superblock-local MXU feats (pack_tris_mxu_local): kernels re-anchor ray
+    # origins per superblock so bf16x3 matmuls stay exact at any world scale
+    tris_local: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # Fat row-gather tables (ONE whole-row gather per hit instead of many
     # scalar gathers; element gathers are ~100x slower on TPU):
     tri_bounds: Optional[jnp.ndarray] = None  # [8, n_blocks] per-block AABBs
@@ -348,6 +351,7 @@ def build_device_scene(
     except Exception:  # noqa: BLE001
         use_pallas = False
     tris_feats = tris_mask = tri_bounds = blk_cents = None
+    tris_local = False
     if use_pallas:
         from strelka_tpu.ops.intersect import FLAT_KERNEL_MAX_TRIS
         from strelka_tpu.ops.pallas_intersect import (
@@ -390,10 +394,24 @@ def build_device_scene(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
             tblk=pack_tblk, super_=pack_super,
         )
-        tris_feats, tris_mask = pack_tris_mxu(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
-            tblk=pack_tblk, super_=pack_super,
-        )
+        # superblock scenes get LOCAL-frame MXU features: world-scale feature
+        # magnitudes break the bf16x3 matmul MT on big scenes (47% bad-t vs
+        # f64 oracle at box_field scale); local anchors restore the small-
+        # scene regime where the MXU path is proven artifact-free. Flat-path
+        # scenes (pack_super == 1) keep the global packing their kernels use.
+        tris_local = pack_super > 1 and _os.environ.get("STRELKA_MXU_GLOBAL") != "1"
+        if tris_local:
+            from strelka_tpu.ops.pallas_intersect import pack_tris_mxu_local
+
+            tris_feats, tris_mask = pack_tris_mxu_local(
+                p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+                tblk=pack_tblk, super_=pack_super,
+            )
+        else:
+            tris_feats, tris_mask = pack_tris_mxu(
+                p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+                tblk=pack_tblk, super_=pack_super,
+            )
         tri_bounds = block_bounds(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
             tblk=pack_tblk, super_=pack_super,
@@ -526,6 +544,7 @@ def build_device_scene(
         tris_packed=tris_packed,
         tris_feats=tris_feats,
         tris_mask=tris_mask,
+        tris_local=tris_local,
         tri_bounds=tri_bounds,
         block_cents=blk_cents,
         attr_table=jnp.asarray(attr_table),

@@ -536,3 +536,80 @@ def test_pallas_onehot_gather_bit_exact():
     out = pallas_gather_rows_t(table, idx, tile=256, interpret=True)
     ref = np.asarray(table)[np.asarray(idx)].T
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_local_feats_match_global_and_oracle():
+    """Superblock-local MXU packing (pack_tris_mxu_local + local=True) gives
+    the same hits as the global packing and the bruteforce oracle, on a
+    scene translated FAR from the origin (the regime where the bf16x3 MXU
+    passes break with global features — interpret mode is f32 so here it
+    checks the anchor bookkeeping, not the precision win itself)."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        build_worklist,
+        pack_tris_mxu,
+        pack_tris_mxu_local,
+        pallas_intersect_any_mxu,
+        pallas_intersect_any_wl_mxu,
+        pallas_intersect_closest_mxu,
+        pallas_intersect_closest_wl_mxu,
+        slab_matrix_any,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(21)
+    v0, e1, e2, mask = _scene(1024, rng)
+    o, d = _rays(512, rng)
+    shift = np.array([500.0, -300.0, 800.0], np.float32)  # far from origin
+    v0 = v0 + shift
+    o = o + shift
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    featsL, maskL = pack_tris_mxu_local(v0, e1, e2, mask, tblk=128, super_=2)
+    featsG, maskG = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=2)
+    ov = from_rows(jnp.asarray(o))
+    dv = from_rows(jnp.asarray(d))
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax))
+    tL, pL = pallas_intersect_closest_mxu(
+        featsL, maskL, bounds, *args, RAY_MASK_PRIMARY,
+        tile=256, tblk=128, super_=2, interpret=True, local=True,
+    )
+    tG, pG = pallas_intersect_closest_mxu(
+        featsG, maskG, bounds, *args, RAY_MASK_PRIMARY,
+        tile=256, tblk=128, super_=2, interpret=True,
+    )
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), *args, RAY_MASK_PRIMARY,
+    )
+    np.testing.assert_array_equal(np.asarray(pL), np.asarray(bf.prim))
+    np.testing.assert_array_equal(np.asarray(pL), np.asarray(pG))
+    hits = np.asarray(pL) >= 0
+    np.testing.assert_allclose(
+        np.asarray(tL)[hits], np.asarray(bf.t)[hits], rtol=2e-4, atol=2e-3
+    )
+    occL = pallas_intersect_any_mxu(
+        featsL, maskL, bounds, *args, RAY_MASK_PRIMARY,
+        tile=256, tblk=128, super_=2, interpret=True, local=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occL), hits)
+    # work-list kernels with local feats
+    sbounds = super_bounds_jnp(bounds, 2)
+    d2 = tile_box_d2(ov, sbounds, 256)
+    W = slab_matrix_any(ov, dv, jnp.asarray(tmin), jnp.asarray(tmax), sbounds, 256)
+    wl, count, visited = build_worklist(W, d2, 16)
+    twl, pwl = pallas_intersect_closest_wl_mxu(
+        featsL, maskL, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True, local=True,
+    )
+    vis_ray = np.repeat(np.asarray(visited), 256)[:512]
+    np.testing.assert_array_equal(
+        np.where(vis_ray, np.asarray(pwl), -1), np.asarray(bf.prim)
+    )
+    owl = pallas_intersect_any_wl_mxu(
+        featsL, maskL, bounds, wl, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True, local=True,
+    )
+    np.testing.assert_array_equal(np.asarray(owl) & vis_ray, hits)
