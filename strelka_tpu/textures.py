@@ -64,6 +64,10 @@ class TextureAtlas(NamedTuple):
     data: object
     rects: object
     size: int  # sheet width (kept for back-compat introspection)
+    # [n_tex, 3] i32 (kind, depth, base): kind 0 = 2d, 1 = 3d volume
+    # (depth slices at consecutive rect ids base..base+D-1), 2 = cubemap
+    # (6 faces at base..base+5, CUDA face order +x -x +y -y +z -z)
+    meta: object = None
 
 
 def _resize_bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -101,6 +105,8 @@ class TextureManager:
         self._images: List[np.ndarray] = []  # linear f32 [H,W,4]
         self._modes: List[int] = []
         self._srgb: List[bool] = []  # store sRGB-encoded u8 for this texture
+        self._nomip: List[bool] = []  # volume slices / cube faces: level 0 only
+        self._meta = {}  # head tex id -> (kind, depth, base)
         self._path_to_id = {}
 
     def load(self, path: str, srgb: bool = True, address_mode: int = ADDRESS_WRAP) -> int:
@@ -137,6 +143,7 @@ class TextureManager:
         self._images.append(arr.astype(np.float32))
         self._modes.append(address_mode)
         self._srgb.append(bool(srgb))
+        self._nomip.append(False)
         self._path_to_id[key] = tex_id
         log.debug("Loaded texture {} ({}x{}) -> id {}", path, arr.shape[1], arr.shape[0], tex_id)
         return tex_id
@@ -150,9 +157,46 @@ class TextureManager:
         self._images.append(a)
         self._modes.append(address_mode)
         self._srgb.append(False)
+        self._nomip.append(False)
         if name:
             self._path_to_id[(name, False)] = tex_id
         return tex_id
+
+    def add_volume(self, vol: np.ndarray, name: str = "", address_mode: int = ADDRESS_WRAP) -> int:
+        """Register an in-memory [D,H,W,3|4] float volume as a texture_3d
+        (tex_lookup_float4_3d, texture_support_cuda.h:433-463).
+
+        TPU shape: the D slices become D consecutive level-0 rects in the
+        one 2D sheet; trilinear-in-w = two bilinear slice samples + a lerp
+        (sample_3d). Returns the head texture id."""
+        v = np.asarray(vol, np.float32)
+        if v.ndim != 4:
+            raise ValueError(f"volume must be [D,H,W,C], got {v.shape}")
+        head = len(self._images)
+        for k in range(v.shape[0]):
+            self.add_array(v[k], address_mode=address_mode)
+            self._nomip[-1] = True
+        self._meta[head] = (1, v.shape[0], head)
+        if name:
+            self._path_to_id[(name, False)] = head
+        return head
+
+    def add_cubemap(self, faces: np.ndarray, name: str = "", ) -> int:
+        """Register an in-memory [6,H,W,3|4] cubemap, CUDA face order
+        (+x -x +y -y +z -z; tex_lookup_float4_cube,
+        texture_support_cuda.h:522-558). Faces sample with clamp addressing.
+        Returns the head texture id."""
+        f = np.asarray(faces, np.float32)
+        if f.ndim != 4 or f.shape[0] != 6:
+            raise ValueError(f"cubemap must be [6,H,W,C], got {f.shape}")
+        head = len(self._images)
+        for k in range(6):
+            self.add_array(f[k], address_mode=ADDRESS_CLAMP)
+            self._nomip[-1] = True
+        self._meta[head] = (2, 6, head)
+        if name:
+            self._path_to_id[(name, False)] = head
+        return head
 
     @property
     def count(self) -> int:
@@ -192,6 +236,8 @@ class TextureManager:
         bases = np.arange(n_tex, dtype=np.int32)  # unused when count == 1
         if mipmaps:
             for i in range(n_tex):
+                if self._nomip[i]:
+                    continue  # volume slices / cube faces: level 0 only
                 im = self._images[i]
                 bases[i] = len(rect_imgs)
                 level = 1
@@ -248,8 +294,14 @@ class TextureManager:
             "Texture sheet: {} textures / {} rects packed into {}x{} {} ({:.1f} MB)",
             n_tex, len(rect_imgs), sheet_w, total_h, dtype, sheet.nbytes / 1e6,
         )
+        meta = np.zeros((n_tex, 3), np.int32)
+        meta[:, 1] = 1
+        meta[:, 2] = np.arange(n_tex)
+        for head, (kind, depth, base) in self._meta.items():
+            meta[head] = (kind, depth, base)
         return TextureAtlas(
-            data=jnp.asarray(sheet), rects=jnp.asarray(rects), size=sheet_w
+            data=jnp.asarray(sheet), rects=jnp.asarray(rects), size=sheet_w,
+            meta=jnp.asarray(meta),
         )
 
 
@@ -360,6 +412,93 @@ def sample_trilinear(atlas: TextureAtlas, tex_id, uv, lod_uv):
     b = _sample_rect_rows(atlas, gather_rows_t(atlas.rects, ridx1), uv)
     out = a * (1.0 - frac) + b * frac
     return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
+
+
+def sample_3d(atlas: TextureAtlas, tex_id, uvw):
+    """texture_3d lookup (tex_lookup_float4_3d, texture_support_cuda.h:433-463).
+
+    tex_id: [N] i32 head ids from TextureManager.add_volume (< 0 -> ones).
+    uvw: [N,3]. Trilinear: bilinear on the two straddling slices (consecutive
+    rect ids, one fat row-gather each) + a lerp in w. w addressing follows
+    the texture's wrap/clamp mode like u and v."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops.vec import gather_rows_t
+
+    if atlas.meta is None:
+        return jnp.ones(uvw.shape[:-1] + (4,), jnp.float32)
+    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    m = gather_rows_t(atlas.meta, tid)  # [3, N]
+    depth = jnp.maximum(m[1], 1)
+    base = m[2]
+    df = depth.astype(jnp.float32)
+    head = gather_rows_t(atlas.rects, jnp.clip(base, 0, atlas.rects.shape[0] - 1))
+    clamp = head[RC_MODE] == ADDRESS_CLAMP
+    w = uvw[..., 2]
+    ww = jnp.where(clamp, jnp.clip(w, 0.0, 1.0), w % 1.0)
+    fd = ww * df - 0.5
+    k = jnp.floor(fd)
+    tw = (fd - k)[..., None]
+    k0 = k.astype(jnp.int32)
+    k1 = k0 + 1
+    k0 = jnp.where(clamp, jnp.clip(k0, 0, depth - 1), jnp.mod(k0, depth))
+    k1 = jnp.where(clamp, jnp.clip(k1, 0, depth - 1), jnp.mod(k1, depth))
+    rmax = atlas.rects.shape[0] - 1
+    a = _sample_rect_rows(
+        atlas, gather_rows_t(atlas.rects, jnp.clip(base + k0, 0, rmax)), uvw[..., :2]
+    )
+    b = _sample_rect_rows(
+        atlas, gather_rows_t(atlas.rects, jnp.clip(base + k1, 0, rmax)), uvw[..., :2]
+    )
+    out = a * (1.0 - tw) + b * tw
+    ok = (tex_id >= 0) & (m[0] == 1)
+    return jnp.where(ok[..., None], out, jnp.ones_like(out))
+
+
+def sample_cube(atlas: TextureAtlas, tex_id, direction):
+    """texture_cube lookup (tex_lookup_float4_cube,
+    texture_support_cuda.h:522-558). direction: [N,3] (need not be
+    normalized). CUDA cubemap convention: face = major axis, and
+
+      +x: (sc,tc) = (-z,-y)   -x: (+z,-y)
+      +y: (+x,+z)             -y: (+x,-z)
+      +z: (+x,-y)             -z: (-x,-y)
+
+    with u = (sc/|ma| + 1)/2, v flipped by the sampler's GL convention
+    (so tc maps through 1-v like 2D lookups). Faces use clamp addressing."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops.vec import gather_rows_t
+
+    if atlas.meta is None:
+        return jnp.ones(direction.shape[:-1] + (4,), jnp.float32)
+    tid = jnp.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    m = gather_rows_t(atlas.meta, tid)
+    base = m[2]
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    sc = jnp.where(
+        is_x, jnp.where(x >= 0, -z, z), jnp.where(is_y, x, jnp.where(z >= 0, x, -x))
+    )
+    tc = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    u = (sc / ma + 1.0) * 0.5
+    # _sample_rect_rows flips v (GL convention); feed 1-v so tc lands as-is
+    v = 1.0 - (tc / ma + 1.0) * 0.5
+    rmax = atlas.rects.shape[0] - 1
+    r = gather_rows_t(atlas.rects, jnp.clip(base + face, 0, rmax))
+    out = _sample_rect_rows(atlas, r, jnp.stack([u, v], axis=-1))
+    ok = (tex_id >= 0) & (m[0] == 2)
+    return jnp.where(ok[..., None], out, jnp.ones_like(out))
 
 
 def apply_normal_map(normal, tangent, binormal, tex_rgb):

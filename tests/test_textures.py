@@ -322,3 +322,69 @@ def test_mipmapped_render_no_shimmer():
     err_mip = np.abs(out["mip"] - out["const"]).mean()
     err_raw = np.abs(out["raw"] - out["const"]).mean()
     assert err_mip < err_raw * 0.35, (err_mip, err_raw)
+
+
+def test_volume_3d_lookup():
+    """texture_3d: slice-exact at slice centers, lerped between slices,
+    wrap vs clamp in w (tex_lookup_float4_3d parity,
+    texture_support_cuda.h:433-463)."""
+    from strelka_tpu.textures import ADDRESS_CLAMP, sample_3d
+
+    tm = TextureManager(atlas_size=64)
+    d, h, w = 4, 8, 8
+    vol = np.zeros((d, h, w, 3), np.float32)
+    for k in range(d):
+        vol[k] = (k + 1) / d  # constant slice values 0.25, 0.5, 0.75, 1.0
+    tid = tm.add_volume(vol, "vol")
+    tid_c = tm.add_volume(vol, "vol_clamp", address_mode=ADDRESS_CLAMP)
+    atlas = tm.build_atlas(dtype="f32")
+    assert int(np.asarray(atlas.meta)[tid, 0]) == 1
+    assert int(np.asarray(atlas.meta)[tid, 1]) == d
+
+    ids = jnp.full(4, tid, jnp.int32)
+    # slice centers: w = (k + 0.5)/D -> exactly slice k
+    uvw = jnp.asarray([[0.5, 0.5, (k + 0.5) / d] for k in range(4)], jnp.float32)
+    out = np.asarray(sample_3d(atlas, ids, uvw))
+    np.testing.assert_allclose(out[:, 0], [(k + 1) / d for k in range(4)], atol=1e-6)
+    # midpoint between slice 0 and 1
+    mid = np.asarray(sample_3d(atlas, ids[:1], jnp.asarray([[0.5, 0.5, 0.25]], jnp.float32)))
+    np.testing.assert_allclose(mid[0, 0], (0.25 + 0.5) / 2, atol=1e-6)
+    # wrap: w just below 0 blends slices D-1 and 0; clamp pins to slice 0
+    below = jnp.asarray([[0.5, 0.5, 0.01]], jnp.float32)
+    wr = np.asarray(sample_3d(atlas, ids[:1], below))[0, 0]
+    cl = np.asarray(sample_3d(atlas, jnp.full(1, tid_c, jnp.int32), below))[0, 0]
+    assert wr > 0.3  # pulled up by the wrap blend with slice D-1 (=1.0)
+    np.testing.assert_allclose(cl, 0.25, atol=0.02)
+    # invalid id -> ones
+    ones = np.asarray(sample_3d(atlas, jnp.full(1, -1, jnp.int32), below))
+    np.testing.assert_allclose(ones, 1.0)
+
+
+def test_cubemap_lookup():
+    """texture_cube: axis directions land on the right faces (CUDA face
+    order +x -x +y -y +z -z; tex_lookup_float4_cube,
+    texture_support_cuda.h:522-558)."""
+    from strelka_tpu.textures import sample_cube
+
+    tm = TextureManager(atlas_size=64)
+    colors = np.asarray(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1]], np.float32
+    )
+    faces = np.zeros((6, 8, 8, 3), np.float32)
+    faces[:] = colors[:, None, None, :]
+    tid = tm.add_cubemap(faces, "env")
+    atlas = tm.build_atlas(dtype="f32")
+    assert int(np.asarray(atlas.meta)[tid, 0]) == 2
+
+    dirs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.float32,
+    )
+    out = np.asarray(sample_cube(atlas, jnp.full(6, tid, jnp.int32), dirs))
+    np.testing.assert_allclose(out[:, :3], colors, atol=1e-6)
+    # off-axis direction still selects the major-axis face
+    d2 = jnp.asarray([[1.0, 0.3, -0.2]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sample_cube(atlas, jnp.full(1, tid, jnp.int32), d2))[0, :3],
+        colors[0], atol=1e-6,
+    )
