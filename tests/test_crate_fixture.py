@@ -35,6 +35,9 @@ TOKEN_T = 11
 SPECIFIER_T = 42
 VEC3F_T = 24
 INT_T = 3
+FLOAT_T = 8
+DOUBLE_T = 9
+TIMESAMPLES_T = 46
 ARRAY = 1 << 63
 INLINED = 1 << 62
 
@@ -70,6 +73,7 @@ def build_fixture() -> bytes:
     tokens = [
         "", "Root", "Mesh", "points", "faceVertexIndices", "faceVertexCounts",
         "typeName", "specifier", "default", "Xform", "point3f[]", "int[]",
+        "timeSamples", "gain", "float",
     ]
     TOK = {t: i for i, t in enumerate(tokens)}
 
@@ -89,6 +93,15 @@ def build_fixture() -> bytes:
     fvc = np.array([3, 3], np.int32)
     fvc_off = len(out)
     out += struct.pack("<Q", 2) + fvc.tobytes()
+    # timeSamples payload (crateFile.cpp _ReadTimeSamples layout):
+    # [times ValueRep][value ValueRep x N]; times = uncompressed double array
+    times_off = len(out)
+    out += struct.pack("<Q", 2) + np.array([1.0, 10.0], "<f8").tobytes()
+    ts_off = len(out)
+    times_rep = (DOUBLE_T << 48) | ARRAY | times_off
+    v_half = (FLOAT_T << 48) | INLINED | struct.unpack("<I", struct.pack("<f", 0.5))[0]
+    v_three = (FLOAT_T << 48) | INLINED | struct.unpack("<I", struct.pack("<f", 3.0))[0]
+    out += struct.pack("<QQQ", times_rep, v_half, v_three)
 
     # ---- reps
     def rep(vtype, flags=0, payload=0):
@@ -103,6 +116,8 @@ def build_fixture() -> bytes:
         (TOK["default"], rep(VEC3F_T, ARRAY, points_off)),         # f5
         (TOK["default"], rep(INT_T, ARRAY, fvi_off)),              # f6
         (TOK["default"], rep(INT_T, ARRAY, fvc_off)),              # f7
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["float"])),    # f8
+        (TOK["timeSamples"], rep(TIMESAMPLES_T, 0, ts_off)),       # f9
     ]
     NEG1 = 0xFFFFFFFF
     fieldsets = [
@@ -112,6 +127,7 @@ def build_fixture() -> bytes:
         3, 5, NEG1,      # fs @7: .points      (typeName, default)
         4, 6, NEG1,      # fs @10: .faceVertexIndices
         4, 7, NEG1,      # fs @13: .faceVertexCounts
+        8, 9, NEG1,      # fs @16: .gain (typeName=float, timeSamples)
     ]
 
     # ---- sections (deliberately in a non-canonical order)
@@ -131,21 +147,21 @@ def build_fixture() -> bytes:
     sections["FIELDSETS"] = struct.pack("<Q", len(fieldsets)) + _comp_ints(fieldsets)
 
     # paths, DFS: /(pi0) -> Root(pi1) -> Mesh(pi2) -> [points, fvi, fvc]
-    pidx = [0, 1, 2, 3, 4, 5]
+    pidx = [0, 1, 2, 3, 4, 5, 6]
     etok = [0, TOK["Root"], TOK["Mesh"], -TOK["points"],
-            -TOK["faceVertexIndices"], -TOK["faceVertexCounts"]]
-    jumps = [-1, -1, -1, 0, 0, -2]
+            -TOK["faceVertexIndices"], -TOK["faceVertexCounts"], -TOK["gain"]]
+    jumps = [-1, -1, -1, 0, 0, 0, -2]
     sections["PATHS"] = (
-        struct.pack("<QQ", 6, 6)
+        struct.pack("<QQ", 7, 7)
         + _comp_ints(pidx) + _comp_ints(etok) + _comp_ints(jumps)
     )
 
     # specs: pseudo-root(7), two prims(6), three attributes(1)
     sections["SPECS"] = (
-        struct.pack("<Q", 6)
-        + _comp_ints([0, 1, 2, 3, 4, 5])        # path index
-        + _comp_ints([0, 1, 4, 7, 10, 13])      # fieldset start
-        + _comp_ints([7, 6, 6, 1, 1, 1])        # spec type
+        struct.pack("<Q", 7)
+        + _comp_ints([0, 1, 2, 3, 4, 5, 6])     # path index
+        + _comp_ints([0, 1, 4, 7, 10, 13, 16])  # fieldset start
+        + _comp_ints([7, 6, 6, 1, 1, 1, 1])     # spec type
     )
 
     order = ["SPECS", "TOKENS", "PATHS", "FIELDS", "FIELDSETS"]
@@ -178,6 +194,10 @@ def test_hand_authored_usdc_parses(tmp_path):
     assert mesh.attrs["points"].type_str == "point3f[]"
     assert [int(v) for v in mesh.attrs["faceVertexIndices"].value] == [0, 1, 2, 0, 2, 3]
     assert [int(v) for v in mesh.attrs["faceVertexCounts"].value] == [3, 3]
+    # timeSamples decoded through the independent encoder's layout
+    g = mesh.attrs["gain"]
+    assert g.time_samples == ([1.0, 10.0], [0.5, 3.0])
+    assert g.value == 0.5  # static-render semantics: first sample
 
 
 def test_hand_authored_usdc_loads_into_scene(tmp_path):
