@@ -146,31 +146,81 @@ def bench_scene(name: str, width: int, height: int, spp: int, depth: int, iters:
     }
 
 
-def golden_ssim() -> float:
-    """Render cornell on the CURRENT backend at the golden config and compare
-    with the CPU-rendered golden (cross-backend fidelity)."""
+# per-scene golden configs (width, height, spp per launch, launches) —
+# small enough to render on CPU (scripts/gen_goldens.py) AND cheap to
+# re-render at bench time on the current backend for a per-scene SSIM
+GOLDEN_CONFIGS = {
+    "cornell": (64, 64, 4, 4),
+    "box_field": (64, 64, 4, 4),
+    "coffeetable": (64, 64, 4, 4),
+    "hair_patch": (64, 64, 4, 4),
+    "kitchen": (64, 64, 2, 2),
+}
+
+
+def _golden_host_scene(name: str):
+    from strelka_tpu.scene import testscenes as TS
+
+    if name == "cornell":
+        return TS.cornell_box(light_intensity=5000.0)
+    if name == "box_field":
+        return TS.box_field(grid=48)
+    if name == "hair_patch":
+        return TS.hair_patch(n_curves=256)
+    from strelka_tpu.loaders.usd import UsdLoader
+    from strelka_tpu.scene.scene import Scene
+
+    sh = Scene()
+    if name == "kitchen":
+        from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+
+        assert UsdLoader().load(ensure_kitchen(), sh)
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "scenes", "coffeetable.usda"
+        )
+        assert UsdLoader().load(path, sh)
+    return sh
+
+
+def render_golden_config(name: str):
+    """Render a bench scene at its golden config on the CURRENT backend
+    -> [H, W, 3] f32 in [0, 1] (the library-API path, not the bare
+    integrator — the same frames a user's Render produces)."""
     import numpy as np
 
     from strelka_tpu.render.buffer import BufferDesc, BufferFormat
     from strelka_tpu.render.render import RenderFactory
-    from strelka_tpu.scene.testscenes import cornell_box
     from strelka_tpu.settings import SharedContext, make_default_settings
-    from strelka_tpu.utils.image import read_png, ssim
 
-    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens", "cornell_64_16spp.png")
-    if not os.path.exists(golden_path):
-        return -1.0
-    s = make_default_settings(64, 64)
-    s.set("render/pt/sppTotal", 16)
-    s.set("render/pt/spp", 4)
+    w, h, spp, launches = GOLDEN_CONFIGS[name]
+    s = make_default_settings(w, h)
+    s.set("render/pt/sppTotal", spp * launches)
+    s.set("render/pt/spp", spp)
     r = RenderFactory.create_render()
-    r.set_scene(cornell_box(light_intensity=5000.0))
+    r.set_scene(_golden_host_scene(name))
     r.set_shared_context(SharedContext(s))
     r.init()
-    buf = r.create_buffer(BufferDesc(64, 64, BufferFormat.FLOAT4))
-    for _ in range(4):
+    buf = r.create_buffer(BufferDesc(w, h, BufferFormat.FLOAT4))
+    for _ in range(launches):
         r.render(buf)
-    img = np.clip(buf.map()[..., :3], 0, 1)
+    return np.clip(np.asarray(buf.map())[..., :3], 0.0, 1.0)
+
+
+def golden_ssim(name: str = "cornell") -> float:
+    """SSIM of the current-backend render vs the stored CPU golden (per-scene
+    cross-backend fidelity: bf16-MXU TPU vs f32 CPU of the same renderer;
+    absolute radiometry is pinned separately by the analytic oracles in
+    tests/test_radiometric_oracle.py)."""
+    from strelka_tpu.utils.image import read_png, ssim
+
+    gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+    golden_path = os.path.join(gdir, f"{name}_golden.png")
+    if not os.path.exists(golden_path) and name == "cornell":
+        golden_path = os.path.join(gdir, "cornell_64_16spp.png")
+    if not os.path.exists(golden_path):
+        return -1.0
+    img = render_golden_config(name)
     golden = read_png(golden_path)[..., :3]
     return float(ssim(img, golden))
 
@@ -199,10 +249,15 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         results[name] = row
 
-    try:
-        ssim_score = round(golden_ssim(), 4)
-    except Exception:  # noqa: BLE001
-        ssim_score = -1.0
+    ssims = {}
+    for name in results:
+        if name not in GOLDEN_CONFIGS or quick and name != "cornell":
+            continue
+        try:
+            ssims[name] = round(golden_ssim(name), 4)
+        except Exception:  # noqa: BLE001 — SSIM must never sink the bench
+            ssims[name] = -1.0
+    ssim_score = ssims.get("cornell", -1.0)
 
     head = results.get("cornell", {})
     value = head.get("mrays_per_sec", 0.0) / n_chips
@@ -217,7 +272,10 @@ def main() -> None:
                 "ms_per_launch": head.get("ms_per_launch", -1.0),
                 "ssim_vs_cpu_golden": ssim_score,
                 "scenes": {
-                    k: {kk: v[kk] for kk in ("mrays_per_sec", "ms_per_launch", "tris") if kk in v}
+                    k: dict(
+                        {kk: v[kk] for kk in ("mrays_per_sec", "ms_per_launch", "tris") if kk in v},
+                        **({"ssim": ssims[k]} if k in ssims else {}),
+                    )
                     for k, v in results.items()
                 },
             }

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Round-3 TPU A/B: superblock-local MXU feats on box_field.
+# Runs the moment the axon tunnel is healthy; each stage appends to the log.
+set -x
+cd /root/repo
+python -u -c "import time,jax; t=time.time(); print('devices', jax.devices(), '%.1fs'%(time.time()-t))" || exit 1
+# 1. correctness: capture a bounce wavefront, arbitrate vs f64 oracle
+python -u scripts/capture_bounce.py 48 || exit 2
+python -u scripts/oracle_probe.py 48 4096 || exit 3
+# 2. perf A/B: vpu baseline vs mxu-with-local-feats e2e
+python -u scripts/mxu_box_probe.py vpu mxu || exit 4
+# 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
+STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || exit 5
+# 4. cornell sanity (should be unchanged ~100ms)
+python -u scripts/perf_probe.py cornell 2>/dev/null || python -u scripts/perf_probe.py || true
+echo "ALL DONE"
