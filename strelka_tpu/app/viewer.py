@@ -52,6 +52,54 @@ class CameraController(InputHandler):
             self.camera.rotate(r * 8, u * 8)
 
 
+class PanelController(InputHandler):
+    """Keyboard front-end for the SettingsBinding knob set — the ImGui debug
+    panel's live mutations (Display.cpp:68-239) without a mouse UI (this
+    environment has no GL window; the reference binds only camera keys,
+    main.cpp:160-190, and drives these knobs with the mouse).
+
+    g: cycle debug view     t: cycle tonemapper   p: toggle accumulation
+    m: rect light sampling  [ ]: max depth -/+    c: request screenshot
+    """
+
+    def __init__(self, binding):
+        self.binding = binding
+        self.screenshot_requested = False
+
+    def _cycle(self, key: str, n: int, step: int = 1) -> None:
+        cur = int(self.binding._settings.get_int(key))
+        self.binding.set(key, (cur + step) % n)
+
+    def key_press(self, key: str, action: str) -> None:
+        key = (key or "").lower()
+        s = self.binding._settings
+        if key == "g":
+            self._cycle("render/pt/debug", 4)
+        elif key == "t":
+            self._cycle("render/pt/tonemapperType", 4)
+        elif key == "m":
+            self._cycle("render/pt/rectLightSamplingMethod", 2)
+        elif key == "p":
+            self.binding.set("render/pt/enableAcc", not s.get_bool("render/pt/enableAcc"))
+        elif key == "]":
+            self.binding.set("render/pt/depth", min(16, s.get_int("render/pt/depth") + 1))
+        elif key == "[":
+            self.binding.set("render/pt/depth", max(1, s.get_int("render/pt/depth") - 1))
+        elif key == "c":
+            self.screenshot_requested = True
+
+
+class CompositeHandler(InputHandler):
+    """Fan a key event out to several handlers (camera + panel)."""
+
+    def __init__(self, *handlers):
+        self.handlers = handlers
+
+    def key_press(self, key: str, action: str) -> None:
+        for h in self.handlers:
+            h.key_press(key, action)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser("strelka-viewer")
     parser.add_argument("-s", "--scene", required=True)
@@ -87,8 +135,11 @@ def main(argv=None) -> int:
         png_path=args.png_stream or "/tmp/strelka_view.png", png_every_n=4
     )
     display.init(args.width, args.height, ctx)
+    from strelka_tpu.display.display import SettingsBinding
+
     controller = CameraController(scene.get_camera(0), settings.get_float("render/cameraSpeed"))
-    display.set_input_handler(controller)
+    panel = PanelController(SettingsBinding(settings))
+    display.set_input_handler(CompositeHandler(controller, panel))
 
     buf = render.create_buffer(BufferDesc(args.width, args.height, BufferFormat.FLOAT4))
     stats = FrameStats()
@@ -103,6 +154,13 @@ def main(argv=None) -> int:
         display.draw_frame(buf.as_image())
         display.draw_ui()
         display.on_end_frame()
+        if panel.screenshot_requested:
+            panel.screenshot_requested = False
+            from strelka_tpu.utils.image import write_png
+
+            shot = f"/tmp/strelka_shot_{ctx.subframe_index}spp.png"
+            write_png(shot, buf.map()[..., :3])
+            log.info("Screenshot: {}", shot)
         stats.add_frame(time.perf_counter() - t0)
         display.set_window_title(stats.title(spp=ctx.subframe_index))
         frame += 1

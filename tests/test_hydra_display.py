@@ -127,3 +127,41 @@ def test_headless_display_and_settings_binding(tmp_path):
     assert any(key == "render/pt/debug" for _, key, _, _, _ in rows)
     binding.set("render/pt/debug", 1)
     assert s.get_int("render/pt/debug") == 1
+
+
+def test_panel_controller_hotkeys():
+    """Viewer hotkeys drive the SettingsBinding knob set live (the ImGui
+    debug-panel capability, Display.cpp:68-239, without a mouse UI)."""
+    from strelka_tpu.app.viewer import CompositeHandler, PanelController
+    from strelka_tpu.display.display import SettingsBinding
+    from strelka_tpu.settings import make_default_settings
+
+    s = make_default_settings(8, 8)
+    panel = PanelController(SettingsBinding(s))
+    panel.key_press("g", "press")
+    assert s.get_int("render/pt/debug") == 1
+    for _ in range(3):
+        panel.key_press("g", "press")
+    assert s.get_int("render/pt/debug") == 0  # wraps
+    panel.key_press("t", "press")
+    assert s.get_int("render/pt/tonemapperType") == 1
+    acc0 = s.get_bool("render/pt/enableAcc")
+    panel.key_press("p", "press")
+    assert s.get_bool("render/pt/enableAcc") is not acc0
+    d0 = s.get_int("render/pt/depth")
+    panel.key_press("]", "press")
+    assert s.get_int("render/pt/depth") == d0 + 1
+    panel.key_press("[", "press")
+    panel.key_press("[", "press")
+    assert s.get_int("render/pt/depth") == d0 - 1
+    panel.key_press("c", "press")
+    assert panel.screenshot_requested
+    # composite fans out to both handlers
+    hits = []
+
+    class Probe:
+        def key_press(self, key, action):
+            hits.append(key)
+
+    CompositeHandler(Probe(), Probe()).key_press("w", "press")
+    assert hits == ["w", "w"]
