@@ -14,3 +14,6 @@ STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || exit 5
 # 4. cornell sanity (should be unchanged ~100ms)
 python -u scripts/perf_probe.py cornell 2>/dev/null || python -u scripts/perf_probe.py || true
 echo "ALL DONE"
+# 5. shadow single-pass wl vs two-pass (direction-coherent grouped shadow tiles)
+STRELKA_SHADOW_SINGLE=1 python -u scripts/mxu_box_probe.py vpu mxu || true
+echo "SHADOW_SINGLE DONE"

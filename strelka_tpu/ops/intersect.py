@@ -366,6 +366,57 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     return jnp.where(better, t2, t1), jnp.where(better, prim2, prim1)
 
 
+def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    """Single work-list ANY sweep (no K-nearest phase 1): grouped shadow
+    rays are direction-coherent (each tile's rays aim at one light), so the
+    slab W matrix is already frustum-sparse and the K-nearest-around-origin
+    priming pass may be pure overhead. A/B toggle: STRELKA_SHADOW_SINGLE=1
+    routes any-hit sweeps here instead of _any_twopass."""
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_intersect_any_wl,
+        pallas_intersect_any_wl_mxu,
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+
+    tile = SUPER_PATH_TILE
+    n = tmin.shape[0]
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    d2m = tile_box_d2(origins, sbounds, tile)
+    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
+    _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
+    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
+    wl, count, visited = build_worklist(W, d2m, cap)
+
+    def wl_path(_):
+        if _wl_use_mxu(scene, use_mxu):
+            occ = pallas_intersect_any_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                origins, directions, tmin, tmax,
+                ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+                local=scene.tris_local,
+            )
+        else:
+            occ = pallas_intersect_any_wl(
+                scene.tris_packed, scene.tri_bounds, wl, origins, directions,
+                tmin, tmax, ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
+        vis_ray = jnp.repeat(visited, tile)[:n]
+        return occ & vis_ray
+
+    def rect_path(_):
+        starts = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        return _run_super_any(
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
+        )
+
+    return jax.lax.cond(count <= cap, wl_path, rect_path, None)
+
+
 def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_any_wl,
@@ -610,6 +661,10 @@ def intersect_any(
                 tblk=scene.kernel_tblk,
             )
         if _use_residual(scene):
+            if _os.environ.get("STRELKA_SHADOW_SINGLE") == "1":
+                return _any_wl_single(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
+                )
             return _any_twopass(
                 scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
             )
