@@ -17,3 +17,6 @@ echo "ALL DONE"
 # 5. shadow single-pass wl vs two-pass (direction-coherent grouped shadow tiles)
 STRELKA_SHADOW_SINGLE=1 python -u scripts/mxu_box_probe.py vpu mxu || true
 echo "SHADOW_SINGLE DONE"
+# 6. refresh showcase renders (kitchen added) with the current kernels
+timeout 3000 python -u scripts/render_showcase.py || true
+echo "SHOWCASE DONE"

@@ -43,3 +43,10 @@ UsdLoader().load("data/scenes/coffeetable.usda", host)
 render("coffeetable", host, 512, 8, 4)
 render("hair_patch", TS.hair_patch(n_curves=256), 128, 4, 4, exposure=8e-4, bg=0.35)
 render("box_field", TS.box_field(grid=48), 32, 2, 4, exposure=2e-4)
+
+# Kitchen-class interior (multi-material/multi-texture USD stage, 2 sphere
+# lights) — the reference's headline scene class (images/Kitchen_*.png)
+from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+host = Scene()
+UsdLoader().load(ensure_kitchen(), host)
+render("kitchen", host, 64, 2, 4, exposure=1.2e-3, bg=0.02)
