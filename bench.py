@@ -28,23 +28,21 @@ import sys
 import time
 
 
-def build_scene(name: str, width: int, height: int):
-    import jax.numpy as jnp
-
-    from strelka_tpu.ops import integrator as I
-    from strelka_tpu.render.device_scene import build_device_scene
+def build_host_scene(name: str):
+    """ONE host-scene construction per bench scene — the bench rows and the
+    per-scene golden SSIM render the SAME variant by construction."""
     from strelka_tpu.scene import testscenes as TS
 
     if name == "cornell":
-        host = TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
-    elif name == "box_field":
-        host = TS.box_field(grid=48)
-    elif name == "hair_patch":
-        host = TS.hair_patch(n_curves=256)
-    elif name == "hair_long":
+        return TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
+    if name == "box_field":
+        return TS.box_field(grid=48)
+    if name == "hair_patch":
+        return TS.hair_patch(n_curves=256)
+    if name == "hair_long":
         # einar-class scale: 20k strands -> 100k cubic segments (~800k cones)
-        host = TS.hair_patch(n_curves=20000)
-    elif name == "coffeetable":
+        return TS.hair_patch(n_curves=20000)
+    if name == "coffeetable":
         from strelka_tpu.loaders.usd import UsdLoader
         from strelka_tpu.scene.scene import Scene
 
@@ -52,7 +50,8 @@ def build_scene(name: str, width: int, height: int):
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "scenes", "coffeetable.usda")
         if not UsdLoader().load(path, host):
             raise RuntimeError("coffeetable.usda failed to load")
-    elif name == "kitchen":
+        return host
+    if name == "kitchen":
         # Kitchen-Set-class interior (>=100k tris, 10 materials, 4 textures,
         # 4 lights) ingested from a generated BINARY usdc stage — the full
         # crate-reader + material-network + texture-atlas path at scale
@@ -63,8 +62,17 @@ def build_scene(name: str, width: int, height: int):
         host = Scene()
         if not UsdLoader().load(ensure_kitchen(), host):
             raise RuntimeError("kitchen.usdc failed to load")
-    else:
-        raise ValueError(name)
+        return host
+    raise ValueError(name)
+
+
+def build_scene(name: str, width: int, height: int):
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+
+    host = build_host_scene(name)
     scene = build_device_scene(host)
     cam = host.get_camera(0)
     cam.update_aspect_ratio(width / height)
@@ -158,31 +166,6 @@ GOLDEN_CONFIGS = {
 }
 
 
-def _golden_host_scene(name: str):
-    from strelka_tpu.scene import testscenes as TS
-
-    if name == "cornell":
-        return TS.cornell_box(light_intensity=5000.0)
-    if name == "box_field":
-        return TS.box_field(grid=48)
-    if name == "hair_patch":
-        return TS.hair_patch(n_curves=256)
-    from strelka_tpu.loaders.usd import UsdLoader
-    from strelka_tpu.scene.scene import Scene
-
-    sh = Scene()
-    if name == "kitchen":
-        from strelka_tpu.scene.kitchen_gen import ensure_kitchen
-
-        assert UsdLoader().load(ensure_kitchen(), sh)
-    else:
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data", "scenes", "coffeetable.usda"
-        )
-        assert UsdLoader().load(path, sh)
-    return sh
-
-
 def render_golden_config(name: str):
     """Render a bench scene at its golden config on the CURRENT backend
     -> [H, W, 3] f32 in [0, 1] (the library-API path, not the bare
@@ -198,7 +181,7 @@ def render_golden_config(name: str):
     s.set("render/pt/sppTotal", spp * launches)
     s.set("render/pt/spp", spp)
     r = RenderFactory.create_render()
-    r.set_scene(_golden_host_scene(name))
+    r.set_scene(build_host_scene(name))
     r.set_shared_context(SharedContext(s))
     r.init()
     buf = r.create_buffer(BufferDesc(w, h, BufferFormat.FLOAT4))

@@ -205,6 +205,9 @@ def _all_time_samples(raw_tokens):
     except (SyntaxError, ValueError, TypeError):
         if not times or len(times) != len(values):
             return None
+        from strelka_tpu import log
+
+        log.debug("timeSamples block malformed past sample {}; truncating", len(values))
     return (times, values) if times and len(times) == len(values) else None
 
 

@@ -258,6 +258,27 @@ def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open
     return pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited
 
 
+def _wl_prep_single(scene, origins, directions, tmin, tmax):
+    """Shared single-sweep work-list prep (camera closest + shadow any):
+    per-tile box distances, slab W matrix, near-to-far work list."""
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_box_d2,
+    )
+
+    tile = SUPER_PATH_TILE
+    n = tmin.shape[0]
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    d2m = tile_box_d2(origins, sbounds, tile)
+    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
+    _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
+    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
+    wl, count, visited = build_worklist(W, d2m, cap)
+    return tile, n, d2m, wl, count, cap, visited
+
+
 def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     """Single work-list sweep: for CAMERA-class wavefronts (shared origin),
     the K-nearest-around-origin phase 1 of the two-pass resolves nothing (the
@@ -272,14 +293,9 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
         tile_box_d2,
     )
 
-    tile = SUPER_PATH_TILE
-    n = tmin.shape[0]
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    d2m = tile_box_d2(origins, sbounds, tile)
-    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
-    _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
-    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
-    wl, count, visited = build_worklist(W, d2m, cap)
+    tile, n, d2m, wl, count, cap, visited = _wl_prep_single(
+        scene, origins, directions, tmin, tmax
+    )
 
     def wl_path(_):
         if _wl_use_mxu(scene, use_mxu):
@@ -381,14 +397,9 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
         tile_box_d2,
     )
 
-    tile = SUPER_PATH_TILE
-    n = tmin.shape[0]
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    d2m = tile_box_d2(origins, sbounds, tile)
-    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
-    _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
-    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
-    wl, count, visited = build_worklist(W, d2m, cap)
+    tile, n, d2m, wl, count, cap, visited = _wl_prep_single(
+        scene, origins, directions, tmin, tmax
+    )
 
     def wl_path(_):
         if _wl_use_mxu(scene, use_mxu):

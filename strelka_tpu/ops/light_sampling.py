@@ -213,9 +213,13 @@ def sample_sphere_light(lp: LightParams, u, v, hit_point: Vec3) -> LightSampleDa
     axis = c * (1.0 / d_safe)
     sin_a = jnp.clip(lp.radius / d_safe, 0.0, 1.0)
     cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    # 1-cos_a computed stably as sin^2/(1+cos): the naive difference loses
+    # all bits for small/distant lights (underflows to 0 at d/r ~ 1e4,
+    # blowing the pdf up unboundedly and collapsing NEE+MIS to black)
+    one_minus_cos = sin_a * sin_a / (1.0 + cos_a)
     # cone sample around the center direction (solid-angle uniform)
     phi = 2.0 * M_PI * u
-    cos_t = 1.0 - v * (1.0 - cos_a)
+    cos_t = 1.0 - v * one_minus_cos
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     tu, tv = create_coordinate_system(axis)
     L = V.normalize(tu * (jnp.cos(phi) * sin_t) + tv * (jnp.sin(phi) * sin_t) + axis * cos_t)
@@ -225,7 +229,7 @@ def sample_sphere_light(lp: LightParams, u, v, hit_point: Vec3) -> LightSampleDa
     light_point = hit_point + L * dist
     normal = V.normalize(light_point - lp.p1)
     outside = d > lp.radius
-    pdf = jnp.where(outside, 1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cos_a, 1e-9)), 0.0)
+    pdf = jnp.where(outside, 1.0 / (2.0 * M_PI * jnp.maximum(one_minus_cos, 1e-12)), 0.0)
     return LightSampleData(light_point, pdf, normal, jnp.zeros_like(pdf), L, dist)
 
 
@@ -312,8 +316,10 @@ def get_light_pdf(lp: LightParams, light_hit_point: Vec3, surface_hit_point: Vec
     dc = V.length(lp.p1 - surface_hit_point)
     sin_a = jnp.clip(lp.radius / jnp.maximum(dc, 1e-20), 0.0, 1.0)
     cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    # stable 1-cos (see sample_sphere_light) — MUST match the sampling pdf
+    one_minus_cos = sin_a * sin_a / (1.0 + cos_a)
     sphere_pdf = jnp.where(
-        dc > lp.radius, 1.0 / (2.0 * M_PI * jnp.maximum(1.0 - cos_a, 1e-9)), 0.0
+        dc > lp.radius, 1.0 / (2.0 * M_PI * jnp.maximum(one_minus_cos, 1e-12)), 0.0
     )
     distant_pdf = 1.0 / (2.0 * M_PI * (1.0 - jnp.cos(lp.half_angle)))
     return jnp.where(

@@ -1098,7 +1098,8 @@ def pack_tris_mxu(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int =
 
 
 def pack_tris_mxu_local(
-    v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER
+    v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEFAULT_SUPER,
+    bounds=None,
 ):
     """Superblock-LOCAL MXU features (big-scene variant of pack_tris_mxu).
 
@@ -1125,7 +1126,13 @@ def pack_tris_mxu_local(
     t = v0.shape[0]
     t_pad = _pad_count(t, tblk, super_)
     nsb = t_pad // (tblk * super_)
-    b = np.asarray(block_bounds(v0, e1, e2, geom_mask, tblk=tblk, super_=super_))
+    # pass the scene's block_bounds output so the anchor contract is enforced
+    # by construction (the kernels read anchors from THAT array's SMEM copy)
+    b = np.asarray(
+        bounds
+        if bounds is not None
+        else block_bounds(v0, e1, e2, geom_mask, tblk=tblk, super_=super_)
+    )
     first = np.arange(nsb) * super_
     anchors = (b[0:3, first] + b[3:6, first]) * np.float32(0.5)  # [3, nsb] f32
     v0 = np.asarray(v0, np.float64)

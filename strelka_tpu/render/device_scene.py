@@ -399,23 +399,23 @@ def build_device_scene(
         # f64 oracle at box_field scale); local anchors restore the small-
         # scene regime where the MXU path is proven artifact-free. Flat-path
         # scenes (pack_super == 1) keep the global packing their kernels use.
+        tri_bounds = block_bounds(
+            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
+            tblk=pack_tblk, super_=pack_super,
+        )
         tris_local = pack_super > 1 and _os.environ.get("STRELKA_MXU_GLOBAL") != "1"
         if tris_local:
             from strelka_tpu.ops.pallas_intersect import pack_tris_mxu_local
 
             tris_feats, tris_mask = pack_tris_mxu_local(
                 p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
-                tblk=pack_tblk, super_=pack_super,
+                tblk=pack_tblk, super_=pack_super, bounds=tri_bounds,
             )
         else:
             tris_feats, tris_mask = pack_tris_mxu(
                 p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
                 tblk=pack_tblk, super_=pack_super,
             )
-        tri_bounds = block_bounds(
-            p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
-            tblk=pack_tblk, super_=pack_super,
-        )
         if pack_super > 1:
             # per-tile sweep start offsets index SUPERBLOCKS (grid step unit);
             # the flat path has no superblocks and no ordering

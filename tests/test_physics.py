@@ -392,3 +392,33 @@ def test_hair_chiang_double_highlight():
     assert abs(th[i_trt] + to) < np.radians(16.0)
     assert th[i_trt] != th[i_r], "tilt must separate the two highlights"
     assert abs(np.degrees(th[i_trt] - th[i_r])) > 2.0
+
+
+def test_sphere_light_pdf_distant_stability():
+    """1-cos_a must be computed stably (sin^2/(1+cos)): at d/r = 1e4 the
+    naive f32 difference underflows to 0 and the clamped pdf is ~5x wrong,
+    collapsing distant small sphere lights to black."""
+    n = 8
+    r, d = 0.25, 2500.0
+    pts = np.zeros((n, 4, 3), np.float32)
+    pts[:, 0, 0] = r
+    pts[:, 1] = [0, d, 0]
+    lp = LS.LightParams(
+        p0=_v3(pts[:, 0]), p1=_v3(pts[:, 1]), p2=_v3(pts[:, 2]), p3=_v3(pts[:, 3]),
+        color=_v3(np.ones((n, 3))), normal=_v3(np.tile([0.0, -1.0, 0.0], (n, 1))),
+        type=jnp.full(n, 2, jnp.int32), half_angle=jnp.full(n, 0.1),
+        radius=jnp.full(n, r, jnp.float32),
+    )
+    hit = _v3(np.zeros((n, 3)))
+    u = jnp.linspace(0.05, 0.95, n)
+    s = LS.sample_sphere_light(lp, u, u, hit)
+    # exact f64 cone pdf
+    sin_a = r / d
+    one_minus = np.float64(sin_a) ** 2 / (1.0 + np.sqrt(1.0 - np.float64(sin_a) ** 2))
+    expect = 1.0 / (2.0 * np.pi * one_minus)
+    np.testing.assert_allclose(np.asarray(s.pdf), expect, rtol=1e-3)
+    mis = np.asarray(LS.get_light_pdf(lp, s.point_on_light, hit))
+    np.testing.assert_allclose(mis, np.asarray(s.pdf), rtol=1e-3)
+    # sampled directions stay inside the (tiny) cone
+    dirs = np.asarray(V.to_rows(s.L))
+    assert (dirs @ np.array([0, 1.0, 0]) >= 1.0 - 3e-8).all()
