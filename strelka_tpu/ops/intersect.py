@@ -568,7 +568,7 @@ def intersect_closest(
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
-                    tblk=scene.kernel_tblk,
+                    tblk=scene.kernel_tblk, local=scene.tris_local,
                 )
             else:
                 t, prim = pallas_intersect_closest_flat(
@@ -664,7 +664,7 @@ def intersect_any(
                 return pallas_intersect_any_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
-                    tblk=scene.kernel_tblk,
+                    tblk=scene.kernel_tblk, local=scene.tris_local,
                 )
             return pallas_intersect_any_flat(
                 scene.tris_packed, scene.tri_bounds, origins, directions,

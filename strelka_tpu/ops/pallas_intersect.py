@@ -2083,7 +2083,7 @@ def _any_kernel_flat(
 
 def _closest_kernel_mxu_flat(
     bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, t_ref, prim_ref,
-    *, ray_mask: int, tblk: int, precision=None,
+    *, ray_mask: int, tblk: int, precision=None, local: bool = False,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
@@ -2101,7 +2101,8 @@ def _closest_kernel_mxu_flat(
 
     @pl.when(any_hit)
     def _work():
-        rt = _ray_features(rays)
+        # flat packing has super_=1, so the local anchor is per-BLOCK
+        rt = _ray_features_local(rays, bounds_ref, blk) if local else _ray_features(rays)
         t, valid = _mt_block_mxu(
             rt, rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask,
             tmax_row=t_ref[0, :], precision=precision,
@@ -2115,7 +2116,7 @@ def _closest_kernel_mxu_flat(
 
 def _any_kernel_mxu_flat(
     bounds_ref, starts_ref, rays_ref, excl_ref, feats_ref, mask_ref, occ_ref,
-    *, ray_mask: int, tblk: int, precision=None,
+    *, ray_mask: int, tblk: int, precision=None, local: bool = False,
 ):
     r = pl.program_id(0)
     k = pl.program_id(1)
@@ -2132,7 +2133,7 @@ def _any_kernel_mxu_flat(
 
     @pl.when(any_hit)
     def _work():
-        rt = _ray_features(rays)
+        rt = _ray_features_local(rays, bounds_ref, blk) if local else _ray_features(rays)
         _, valid = _mt_block_mxu(
             rt, rays, feats_ref[:, :, :], mask_ref[0, :], ray_mask, precision=precision
         )
@@ -2142,7 +2143,7 @@ def _any_kernel_mxu_flat(
 
 
 
-@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision", "local"))
 def pallas_intersect_closest_mxu_flat(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
     mask: jnp.ndarray,  # [1, T]
@@ -2158,6 +2159,7 @@ def pallas_intersect_closest_mxu_flat(
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # per-block-local feats (pack_tris_mxu_local, super_=1)
 ):
     t_total = feats.shape[1]
     nb = t_total // tblk
@@ -2165,7 +2167,8 @@ def pallas_intersect_closest_mxu_flat(
         origins, directions, tmin, tmax, exclude, starts, tile, nb
     )
     grid = (n_tiles, nb)
-    kernel = functools.partial(_closest_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    kernel = functools.partial(_closest_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision, local=local,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -2211,7 +2214,7 @@ def pallas_intersect_closest_mxu_flat(
 
 
 
-@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision", "local"))
 def pallas_intersect_any_mxu_flat(
     feats: jnp.ndarray,
     mask: jnp.ndarray,
@@ -2227,6 +2230,7 @@ def pallas_intersect_any_mxu_flat(
     tblk: int = DEFAULT_TBLK,
     interpret: bool = False,
     precision=None,
+    local: bool = False,  # per-block-local feats (pack_tris_mxu_local, super_=1)
 ):
     t_total = feats.shape[1]
     nb = t_total // tblk
@@ -2234,7 +2238,8 @@ def pallas_intersect_any_mxu_flat(
         origins, directions, tmin, tmax, exclude, starts, tile, nb
     )
     grid = (n_tiles, nb)
-    kernel = functools.partial(_any_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision)
+    kernel = functools.partial(_any_kernel_mxu_flat, ray_mask=ray_mask, tblk=tblk, precision=precision, local=local,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,

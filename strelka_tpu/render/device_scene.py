@@ -403,7 +403,14 @@ def build_device_scene(
             p[:, 0], p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], geom_mask[: p.shape[0]],
             tblk=pack_tblk, super_=pack_super,
         )
-        tris_local = pack_super > 1 and _os.environ.get("STRELKA_MXU_GLOBAL") != "1"
+        # local feats whenever the scene is beyond the small whole-VMEM
+        # kernels (which read the global layout): superblock scenes AND flat
+        # scenes above SMALL_MXU_MAX — per-block anchors at super_=1
+        from strelka_tpu.ops.intersect import SMALL_MXU_MAX
+
+        tris_local = (
+            num_tri > SMALL_MXU_MAX and _os.environ.get("STRELKA_MXU_GLOBAL") != "1"
+        )
         if tris_local:
             from strelka_tpu.ops.pallas_intersect import pack_tris_mxu_local
 

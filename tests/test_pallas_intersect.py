@@ -613,3 +613,37 @@ def test_local_feats_match_global_and_oracle():
         RAY_MASK_PRIMARY, tile=256, tblk=128, super_=2, interpret=True, local=True,
     )
     np.testing.assert_array_equal(np.asarray(owl) & vis_ray, hits)
+
+
+def test_local_feats_flat_kernels():
+    """Flat-path kernels (super_=1 -> per-block anchors) with local feats
+    match the oracle on far-from-origin geometry."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        pack_tris_mxu_local,
+        pallas_intersect_any_mxu_flat,
+        pallas_intersect_closest_mxu_flat,
+    )
+
+    rng = np.random.default_rng(22)
+    v0, e1, e2, mask = _scene(512, rng)
+    o, d = _rays(300, rng)
+    shift = np.array([-700.0, 250.0, 400.0], np.float32)
+    v0 = v0 + shift
+    o = o + shift
+    tmin = np.zeros(300, np.float32)
+    tmax = np.full(300, 1e16, np.float32)
+    feats, maskp = pack_tris_mxu_local(v0, e1, e2, mask, tblk=128, super_=1)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=128, super_=1)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax))
+    t, prim = pallas_intersect_closest_mxu_flat(
+        feats, maskp, bounds, *args, RAY_MASK_PRIMARY,
+        tile=256, tblk=128, interpret=True, local=True,
+    )
+    bf = intersect_closest_bruteforce(_Shim(v0, e1, e2, mask), *args, RAY_MASK_PRIMARY)
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(bf.prim))
+    occ = pallas_intersect_any_mxu_flat(
+        feats, maskp, bounds, *args, RAY_MASK_PRIMARY,
+        tile=256, tblk=128, interpret=True, local=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
