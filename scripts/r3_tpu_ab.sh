@@ -20,3 +20,6 @@ echo "SHADOW_SINGLE DONE"
 # 6. refresh showcase renders (kitchen added) with the current kernels
 timeout 3000 python -u scripts/render_showcase.py || true
 echo "SHOWCASE DONE"
+# 7. Kitchen Set 2048spp/4d converged wall-clock (BASELINE.md "establish baseline")
+timeout 5400 python -u scripts/soak.py --kitchen || true
+echo "KITCHEN SOAK DONE"

@@ -45,3 +45,14 @@ def soak(name, host, spp_total, spl, depth, W=512, H=512, exposure=6.25e-4):
 
 soak("cornell", TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True), 2048, 8, 4)
 soak("box_field", TS.box_field(grid=48), 128, 2, 4, exposure=2e-4)
+
+# Kitchen Set headline config: 2048 spp / 4 bounces (the reference's
+# converged image config, images/Kitchen_2048i_4d_2048spp_0.png) — records
+# the wall-clock BASELINE.md says to establish
+from strelka_tpu.loaders.usd import UsdLoader
+from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+from strelka_tpu.scene.scene import Scene
+if "--kitchen" in sys.argv:
+    host = Scene()
+    UsdLoader().load(ensure_kitchen(), host)
+    soak("kitchen", host, 2048, 4, 4, exposure=1.2e-3)
