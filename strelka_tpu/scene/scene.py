@@ -503,6 +503,21 @@ class Scene:
                     q0 = np.array([o0[3], o0[0], o0[1], o0[2]])
                     q1 = np.array([o1[3], o1[0], o1[1], o1[2]])
                     node.rotation = m3.quat_slerp(q0, q1, u)
+        # re-derive the camera from its (possibly animated) node — the
+        # reference ends updateAnimation with
+        # mCameras[0].matrices.view = getTransform(mCameras[0].node)
+        # (scene.cpp:303); same decompose as the glTF camera-node path
+        if self.cameras:
+            cam = self.cameras[0]
+            node_idx = getattr(cam, "node", -1)
+            if 0 <= node_idx < len(self.nodes):
+                xf = self.get_transform_from_node(node_idx)
+                rot = xf[:3, :3].copy()
+                sc = np.linalg.norm(rot, axis=0)
+                rot = rot / np.maximum(sc, 1e-20)
+                cam.position = xf[:3, 3] * sc
+                cam.orientation = m3.quat_conjugate(m3.quat_from_mat3(rot))
+                cam.update_view_matrix()
         self.dirty = True
 
     # ------------------------------------------------------------------ misc

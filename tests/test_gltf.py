@@ -180,3 +180,50 @@ def test_render_loaded_gltf(tmp_path):
     img = buf.map()
     assert not np.isnan(img).any()
     assert img[..., :3].max() > 0.0  # distant light hits the quad
+
+
+def test_update_animation_moves_camera_node():
+    """updateAnimation ends by re-deriving the camera from its node
+    (scene.cpp:303 parity) — a translation channel on the camera node must
+    move the camera between frames (and the render layer's view-change
+    detection then resets accumulation)."""
+    import numpy as np
+
+    from strelka_tpu.scene.camera import Camera
+    from strelka_tpu.scene.scene import (
+        Animation,
+        AnimationChannel,
+        AnimationSampler,
+        Node,
+        Scene,
+    )
+
+    scene = Scene()
+    scene.nodes.append(Node(name="camnode"))
+    cam = Camera(name="Main", fov=45.0, aspect=1.0)
+    cam.node = 0
+    scene.add_camera(cam)
+    anim = Animation(
+        samplers=[
+            AnimationSampler(
+                inputs=[0.0, 1.0],
+                outputs_vec4=[
+                    np.array([0.0, 0.0, 5.0, 0.0]),
+                    np.array([3.0, 0.0, 5.0, 0.0]),
+                ],
+            )
+        ],
+        channels=[AnimationChannel(path="translation", node=0, sampler_index=0)],
+        start=0.0,
+        end=1.0,
+    )
+    scene.animations.append(anim)
+    scene.update_animation(0.0)
+    p0 = np.asarray(scene.get_camera(0).position).copy()
+    v0 = np.asarray(scene.get_camera(0).matrices.view).copy()
+    scene.update_animation(0.5)
+    p1 = np.asarray(scene.get_camera(0).position)
+    v1 = np.asarray(scene.get_camera(0).matrices.view)
+    np.testing.assert_allclose(p0, [0.0, 0.0, 5.0], atol=1e-6)
+    np.testing.assert_allclose(p1, [1.5, 0.0, 5.0], atol=1e-6)
+    assert not np.allclose(v0, v1)
