@@ -223,9 +223,18 @@ def _encode_ints(values, wide: bool = False) -> bytes:
 def _read_compressed_ints(r: "_Reader", n: int, wide: bool = False) -> np.ndarray:
     comp_size = r.u64()
     comp = r.read(comp_size)
+    # untrusted-count guard: n comes from a section header; every decoded
+    # int needs a 2-bit code in the stream, so n is bounded by what the
+    # (255x-capped) decompressed buffer could physically hold — reject
+    # corrupt counts before any allocation sized by them
+    max_plausible_buf = len(comp) * 256 + 4096
+    if n < 0 or (n * 2 + 7) // 8 + (8 if wide else 4) > max_plausible_buf:
+        raise ValueError(f"integer-compression: implausible count {n}")
     # decompressed size upper bound: common + codes + n * maxint
     max_size = (8 if wide else 4) + (n * 2 + 7) // 8 + n * (8 if wide else 4)
     buf = _lenient_decompress(comp, max_size)
+    if (n * 2 + 7) // 8 + (8 if wide else 4) > len(buf):
+        raise ValueError(f"integer-compression: count {n} exceeds stream")
     try:
         from strelka_tpu.native import native_int_decode
 
@@ -239,6 +248,10 @@ def _read_compressed_ints(r: "_Reader", n: int, wide: bool = False) -> np.ndarra
 
 def _lenient_decompress(comp: bytes, max_size: int) -> bytes:
     """Decompress when the exact decoded size is unknown (bounded above)."""
+    # untrusted-count guard (mirrors lz4.fast_decompress): the bound derives
+    # from a header count; cap it by the physical 255x LZ4 expansion limit
+    # so corrupt counts cannot drive huge allocations
+    max_size = min(max_size, len(comp) * 256 + 4096)
     n_chunks = comp[0]
     if n_chunks == 0:
         try:

@@ -155,6 +155,14 @@ def fast_decompress(data: bytes, uncompressed_size: int) -> bytes:
     """pxr TfFastCompression::DecompressFromBuffer framing."""
     if not data:
         raise ValueError("empty compressed buffer")
+    # untrusted header guard: LZ4 expands at most ~255x per block, so a
+    # size claim beyond that is corruption — reject instead of attempting
+    # a huge allocation (byte-flip fuzz found a 442 GiB attempt)
+    if uncompressed_size < 0 or uncompressed_size > len(data) * 256 + 4096:
+        raise ValueError(
+            f"lz4: implausible uncompressed size {uncompressed_size} for "
+            f"{len(data)} compressed bytes"
+        )
     n_chunks = data[0]
     if n_chunks == 0:
         return lz4_block_decompress(data[1:], uncompressed_size)

@@ -209,3 +209,27 @@ def test_hand_authored_usdc_loads_into_scene(tmp_path):
     # quad triangulates into 2 triangles
     total_tris = sum(m.count // 3 for m in scene.meshes)
     assert total_tris == 2
+
+
+def test_crate_reader_byteflip_fuzz(tmp_path):
+    """Robust ingestion contract under corruption: every single-byte flip of
+    the fixture either parses (warnings allowed) or raises ValueError — the
+    ONE failure path read_usdc promises — never another exception type.
+    (UsdStage::Open-class robustness; crate.py converts low-level decode
+    errors.)"""
+    import numpy as np
+
+    blob = bytearray(build_fixture())
+    rng = np.random.default_rng(99)
+    path = str(tmp_path / "fuzz.usdc")
+    for _ in range(200):
+        i = int(rng.integers(0, len(blob)))
+        orig = blob[i]
+        blob[i] ^= int(rng.integers(1, 256))
+        with open(path, "wb") as f:
+            f.write(blob)
+        try:
+            read_usdc(path)
+        except ValueError:
+            pass
+        blob[i] = orig
