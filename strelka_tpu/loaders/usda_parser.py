@@ -131,6 +131,8 @@ def _parse_value(tz: _Tokenizer):
         tz.next()
         vals = []
         while tz.peek() != ")":
+            if tz.peek() is None:  # EOF never matches ')': would loop forever
+                raise SyntaxError("usda parse: unterminated tuple")
             vals.append(_parse_value(tz))
             if tz.peek() == ",":
                 tz.next()
@@ -140,6 +142,8 @@ def _parse_value(tz: _Tokenizer):
         tz.next()
         vals = []
         while tz.peek() != "]":
+            if tz.peek() is None:
+                raise SyntaxError("usda parse: unterminated list")
             vals.append(_parse_value(tz))
             if tz.peek() == ",":
                 tz.next()
@@ -334,6 +338,8 @@ def _parse_prim(tz: _Tokenizer, parent_path: str) -> Prim:
         prim.metadata = _parse_metadata_block(tz)
     tz.expect("{")
     while tz.peek() != "}":
+        if tz.peek() is None:
+            raise SyntaxError("usda parse: unterminated prim body")
         t = tz.peek()
         if t in ("def", "over", "class"):
             prim.children.append(_parse_prim(tz, prim.path))

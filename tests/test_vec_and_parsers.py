@@ -98,3 +98,29 @@ def Xform "A"
 def test_usda_parser_rejects_non_usda():
     with pytest.raises(ValueError):
         parse_usda("not a usd file")
+
+
+def test_usda_parser_mutation_fuzz():
+    """Robust ingestion contract for the text parser: single-char mutations
+    of a real stage either parse or raise SyntaxError — never hang (the
+    tuple/list/prim-body loops must reject EOF instead of spinning) and
+    never raise another exception type."""
+    import os
+
+    import numpy as np
+
+    from strelka_tpu.loaders.usda_parser import parse_usda
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "scenes", "coffeetable.usda",
+    )
+    src = open(path).read()
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        i = int(rng.integers(0, len(src)))
+        ch = chr(int(rng.integers(32, 127)))
+        try:
+            parse_usda(src[:i] + ch + src[i + 1 :])
+        except SyntaxError:
+            pass
