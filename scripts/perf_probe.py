@@ -74,3 +74,6 @@ if __name__ == "__main__":
         run("box:24", spp=2, iters=3, intersector="mxu")
     if which == "kitchen":
         run("kitchen", spp=2, iters=3, intersector="auto")
+    if which == "kitchen_ab":
+        run("kitchen", spp=2, iters=3, intersector="vpu")
+        run("kitchen", spp=2, iters=3, intersector="mxu")

@@ -23,3 +23,6 @@ echo "SHOWCASE DONE"
 # 7. Kitchen Set 2048spp/4d converged wall-clock (BASELINE.md "establish baseline")
 timeout 5400 python -u scripts/soak.py --kitchen || true
 echo "KITCHEN SOAK DONE"
+# 8. kitchen intersector A/B (local feats may flip the big-scene crossover)
+timeout 3000 python -u scripts/perf_probe.py kitchen_ab || true
+echo "KITCHEN AB DONE"
