@@ -17,6 +17,9 @@ echo "ALL DONE"
 # 5. shadow single-pass wl vs two-pass (direction-coherent grouped shadow tiles)
 STRELKA_SHADOW_SINGLE=1 python -u scripts/mxu_box_probe.py vpu mxu || true
 echo "SHADOW_SINGLE DONE"
+# 5b. temporal hit prediction A/B (per-ray block assignment vs K-nearest)
+timeout 3000 python -u scripts/predict_probe.py 48 6 || true
+echo "PREDICT AB DONE"
 # 6. refresh showcase renders (kitchen added) with the current kernels
 timeout 3000 python -u scripts/render_showcase.py || true
 echo "SHOWCASE DONE"

@@ -85,13 +85,21 @@ class FrameState(NamedTuple):
     diffuse_counter: jnp.ndarray  # [H,W] i32 (uint16 in reference)
     specular: jnp.ndarray  # [3,H,W] f32
     specular_counter: jnp.ndarray  # [H,W] i32
+    # temporal hit-prediction table (ops/hitcache.py): [H] i32 superblock of
+    # the last closest hit per (position cell, direction octant) hash. Purely
+    # a scheduling cache — resetting it never changes images, only speed.
+    hit_cache: jnp.ndarray | None = None
 
 
-def make_frame_state(height: int, width: int) -> FrameState:
+def make_frame_state(height: int, width: int, predict: bool | None = None) -> FrameState:
+    from strelka_tpu.ops import hitcache
+
     # distinct buffers (donation requires unique buffers per argument)
     z3 = lambda: jnp.zeros((3, height, width), jnp.float32)
     zc = lambda: jnp.zeros((height, width), jnp.int32)
-    return FrameState(z3(), z3(), zc(), z3(), zc())
+    predict = hitcache.enabled() if predict is None else predict
+    cache = hitcache.make_cache() if predict else None
+    return FrameState(z3(), z3(), zc(), z3(), zc(), cache)
 
 
 def generate_camera_rays(params: LaunchParams, px, py, jx, jy, width, height):
@@ -424,12 +432,23 @@ def _shadow_grouped_any(scene, org, to_light, tmin, tmax, ray_mask, exclude, lig
     return occ.astype(jnp.int32)[:, None][pos][:, 0] != 0
 
 
-def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits):
+def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
+                    pred=None):
     """Reorder the whole wavefront by spatial key; DEAD lanes get the max key
     so they cluster into tail tiles that the intersector culls in one slab
-    test each — stream compaction without any queue machinery."""
+    test each — stream compaction without any queue machinery.
+
+    pred: [N] i32 predicted superblock per lane (-1 unknown). When given the
+    key becomes predicted-block-MAJOR (position Morton within a block), so
+    ray tiles turn block-pure and the predicted phase-1 work list stays a
+    few entries per tile (ops/hitcache.py). Unpredicted lanes form group 0,
+    spatially sorted as before."""
     n = alive.shape[0]
     key = _ray_sort_key(scene, origin, direction)
+    if pred is not None:
+        # (pred+1) in the top 14 bits, top 18 bits of the spatial key below
+        group = jnp.clip(pred + 1, 0, (1 << 14) - 2).astype(jnp.uint32)
+        key = (group << 18) | (key >> 9)
     key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
     perm = jnp.argsort(key)
     return _permute_packed(perm, state_f32, state_bits)
@@ -482,6 +501,7 @@ def trace_paths(
     sort_rays: bool = False,
     cone_spread=None,
     collect_stats: bool = False,
+    hit_cache: jnp.ndarray | None = None,
 ):
     """One path per entry; returns (radiance Vec3, first_event [N]) — plus a
     stats dict (alive closest/shadow ray counts summed over bounces) when
@@ -523,10 +543,32 @@ def trace_paths(
     ray_id = None
     stat_closest = jnp.zeros((), jnp.float32)
     stat_shadow = jnp.zeros((), jnp.float32)
+    # temporal hit prediction (ops/hitcache.py): bounce wavefronts only (a
+    # camera wavefront shares one origin cell — nothing to predict, and it
+    # rides the single work-list schedule anyway), residual-path scenes only
+    from strelka_tpu.ops.hitcache import predict as _hc_predict
+    from strelka_tpu.ops.hitcache import ray_hash as _hc_hash
+    from strelka_tpu.ops.hitcache import update as _hc_update
+    from strelka_tpu.ops.intersect import _use_flat, _use_residual
+
+    use_pred = (
+        hit_cache is not None
+        and sort_rays
+        and bool(getattr(scene, "use_pallas", False))
+        and not _use_flat(scene)
+        and _use_residual(scene)
+    )
+    sb_size = scene.kernel_tblk * scene.kernel_super if use_pred else 1
     for depth in range(max_depth):
+        pred = None
+        if use_pred and depth >= 1:
+            pred = _hc_predict(
+                hit_cache, _hc_hash(scene, origin, direction, hit_cache.shape[0])
+            )
         if sort_rays and depth >= 1:
             if ray_id is None:
                 ray_id = jnp.arange(n, dtype=jnp.int32)
+            pred_col = [pred] if pred is not None else []
             f32s, bits = _sort_wavefront(
                 scene, origin, direction, alive,
                 [
@@ -536,7 +578,9 @@ def trace_paths(
                     throughput.x, throughput.y, throughput.z,
                     last_bsdf_pdf, t_total,
                 ],
-                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id],
+                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id]
+                + pred_col,
+                pred=pred,
             )
             origin = Vec3(*f32s[0:3])
             direction = Vec3(*f32s[3:6])
@@ -545,7 +589,9 @@ def trace_paths(
             last_bsdf_pdf = f32s[12]
             t_total = f32s[13]
             (sample_idx, first_event, prev_prim, inside, specular_bounce,
-             alive, ray_id) = bits
+             alive, ray_id) = bits[:7]
+            if pred is not None:
+                pred = bits[7]
 
         # One batched draw of the 5 folded Sobol dimensions per bounce,
         # fused into a single Pallas kernel on TPU (bit-identical to the XLA
@@ -563,8 +609,17 @@ def trace_paths(
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
             active=alive, exclude=prev_prim, shared_origin=(depth == 0),
-            skip_uv=on_pallas,
+            skip_uv=on_pallas, pred=pred,
         )
+        if use_pred and depth >= 1:
+            # remember the superblock that resolved each lane (hash recomputed
+            # from the SORTED origins — elementwise, matches `pred`'s keys)
+            hit_cache = _hc_update(
+                hit_cache,
+                _hc_hash(scene, origin, direction, hit_cache.shape[0]),
+                hit.prim // sb_size,
+                alive & (hit.prim >= 0),
+            )
         # curve (hair) primitives: dense round-cone sweep, closest wins
         is_curve = jnp.zeros(n, bool)
         chit = None
@@ -832,12 +887,12 @@ def trace_paths(
         )
         radiance = Vec3(*f32s)
         first_event = bits[0]
-    if collect_stats:
-        return radiance, first_event, {
-            "closest_rays": stat_closest,
-            "shadow_rays": stat_shadow,
-        }
-    return radiance, first_event
+    stats = (
+        {"closest_rays": stat_closest, "shadow_rays": stat_shadow}
+        if collect_stats
+        else None
+    )
+    return radiance, first_event, hit_cache, stats
 
 
 def render_launch(
@@ -921,9 +976,9 @@ def render_launch(
         # tan(fov_y/2)); drives mip selection in texture lookups
         cone_spread=2.0 * jnp.abs(params.clip_to_view[1, 1]) / fh,
         collect_stats=collect_stats,
+        hit_cache=state.hit_cache,
     )
-    radiance, first_event = out[0], out[1]
-    stats = out[2] if collect_stats else None
+    radiance, first_event, new_hit_cache, stats = out
     # [spl*n] components -> [spl, n] -> reduce over samples
     rad = Vec3(*[c.reshape(spl, n) for c in radiance])
     fe = first_event.reshape(spl, n)
@@ -997,6 +1052,7 @@ def render_launch(
         diffuse_counter=new_dcount,
         specular=new_specular,
         specular_counter=new_scount,
+        hit_cache=new_hit_cache,
     )
     if collect_stats:
         return new_state, image, stats

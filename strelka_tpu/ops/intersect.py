@@ -325,23 +325,17 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
     return jax.lax.cond(count <= cap, wl_path, rect_path, None)
 
 
-def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
+                    exclude, sbounds, t1, prim1, open_):
+    """Shared phase-2 of the residual closest sweeps: compact the open lanes,
+    work-list sweep them with tmax primed by phase 1, merge."""
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_closest_wl,
         pallas_intersect_closest_wl_mxu,
-        pallas_open_w,
-        super_bounds_jnp,
-        tile_sweep_order_k,
     )
 
     tile = SUPER_PATH_TILE
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
-    t1, prim1 = _run_super_closest(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
-    )
     bound = jnp.minimum(t1, tmax)
-    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
     tmax2 = jnp.where(open_, bound, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
@@ -380,6 +374,103 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     prim2 = back[1]
     better = prim2 >= 0  # phase-2 hits are < bound by construction
     return jnp.where(better, t2, t1), jnp.where(better, prim2, prim1)
+
+
+def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_open_w,
+        super_bounds_jnp,
+        tile_sweep_order_k,
+    )
+
+    tile = SUPER_PATH_TILE
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
+    t1, prim1 = _run_super_closest(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
+    )
+    bound = jnp.minimum(t1, tmax)
+    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
+    return _closest_finish(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        sbounds, t1, prim1, open_,
+    )
+
+
+def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
+                       ray_mask, exclude, pred):
+    """Residual two-pass with a PREDICTED phase 1 (ops/hitcache.py).
+
+    pred: [N] i32 predicted superblock per lane (-1 unknown). The wavefront
+    arrives sorted predicted-block-major, so each ray tile contains only a
+    few distinct predictions; phase 1 sweeps exactly those (tile, superblock)
+    pairs via the work-list kernels — per-RAY block assignment instead of the
+    K-nearest tile-union sweep. Phase 2 (residual open lanes) is unchanged:
+    correctness never depends on the predictions."""
+    from strelka_tpu.ops.hitcache import PRED_CAP
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_intersect_closest_wl,
+        pallas_intersect_closest_wl_mxu,
+        pallas_open_w,
+        super_bounds_jnp,
+    )
+
+    tile = SUPER_PATH_TILE
+    n = tmin.shape[0]
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    nsb = sbounds.shape[1]
+    n_tiles = -(-n // tile)
+
+    # per-tile predicted-superblock matrix: one [N] scatter (invalid lanes
+    # drop out of bounds)
+    lane_tile = (jnp.arange(n, dtype=jnp.int32) // tile).astype(jnp.int32)
+    valid = pred >= 0
+    Wp = jnp.zeros((n_tiles, nsb), jnp.int32).at[
+        jnp.where(valid, lane_tile, n_tiles), jnp.clip(pred, 0, nsb - 1)
+    ].set(1, mode="drop")
+    d2p = jnp.where(Wp > 0, 0.0, 1e30)  # swept-first order; also the open mask
+    cap1 = n_tiles * PRED_CAP
+    wl1, count1, visited1 = build_worklist(Wp > 0, d2p, cap1)
+    fits = count1 <= cap1
+
+    def phase1(_):
+        if _wl_use_mxu(scene, use_mxu):
+            t1p, prim1p = pallas_intersect_closest_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl1,
+                origins, directions, tmin, tmax,
+                ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+                local=scene.tris_local,
+            )
+        else:
+            t1p, prim1p = pallas_intersect_closest_wl(
+                scene.tris_packed, scene.tri_bounds, wl1,
+                origins, directions, tmin, tmax,
+                ray_mask, exclude=exclude,
+                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            )
+        vis_ray = jnp.repeat(visited1, tile)[:n]
+        prim1p = jnp.where(vis_ray, prim1p, -1)
+        return jnp.where(prim1p >= 0, t1p, _BIG), prim1p
+
+    def no_phase1(_):
+        return jnp.full(n, _BIG, jnp.float32), jnp.full(n, -1, jnp.int32)
+
+    t1, prim1 = jax.lax.cond(fits, phase1, no_phase1, None)
+    # open test: unswept = NOT in this tile's predicted set (d2 >= r2 with
+    # synthetic d2p/r2=1). On truncation overflow nothing was swept: force
+    # every block unswept so phase 2 sees the full scene.
+    d2_open = jnp.where(fits, d2p, 1e30)
+    r2t = jnp.ones(n_tiles, jnp.float32)
+    bound = jnp.minimum(t1, tmax)
+    open_, _, _ = pallas_open_w(
+        origins, directions, tmin, bound, sbounds, d2_open, r2t, tile
+    )
+    return _closest_finish(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        sbounds, t1, prim1, open_,
+    )
 
 
 def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
@@ -522,6 +613,7 @@ def intersect_closest(
     exclude: jnp.ndarray | None = None,
     shared_origin: bool = False,  # accepted for API stability; scheduling is uniform
     skip_uv: bool = False,  # caller recomputes barycentrics from its own attr gather
+    pred: jnp.ndarray | None = None,  # [N] i32 predicted superblock (hitcache)
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
     one, else jnp brute force. origins/directions: Vec3 (or [N,3]).
@@ -580,6 +672,11 @@ def intersect_closest(
             if shared_origin:
                 t, prim = _closest_wl_single(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
+                )
+            elif pred is not None:
+                t, prim = _closest_predicted(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
+                    exclude, pred
                 )
             else:
                 t, prim = _closest_twopass(
