@@ -20,6 +20,10 @@ echo "SHADOW_SINGLE DONE"
 # 5b. temporal hit prediction A/B (per-ray block assignment vs K-nearest)
 timeout 3000 python -u scripts/predict_probe.py 48 6 || true
 echo "PREDICT AB DONE"
+# 5c. flat-compact A/B on cornell (dead-to-tail partition + dead-tile guard)
+timeout 1800 python -u scripts/perf_probe.py cornell || true
+STRELKA_FLAT_COMPACT=1 timeout 1800 python -u scripts/perf_probe.py cornell || true
+echo "FLAT_COMPACT AB DONE"
 # 6. refresh showcase renders (kitchen added) with the current kernels
 timeout 3000 python -u scripts/render_showcase.py || true
 echo "SHOWCASE DONE"

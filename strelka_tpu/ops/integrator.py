@@ -433,7 +433,7 @@ def _shadow_grouped_any(scene, org, to_light, tmin, tmax, ray_mask, exclude, lig
 
 
 def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
-                    pred=None):
+                    pred=None, compact_only=False):
     """Reorder the whole wavefront by spatial key; DEAD lanes get the max key
     so they cluster into tail tiles that the intersector culls in one slab
     test each — stream compaction without any queue machinery.
@@ -444,6 +444,13 @@ def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
     few entries per tile (ops/hitcache.py). Unpredicted lanes form group 0,
     spatially sorted as before."""
     n = alive.shape[0]
+    if compact_only:
+        # stable alive-first partition: no argsort, alive lanes keep their
+        # existing (Z-order) coherence, dead lanes cluster into tail tiles
+        from strelka_tpu.ops.pallas_intersect import _partition_perm_flat
+
+        perm, _ = _partition_perm_flat(alive)
+        return _permute_packed(perm, state_f32, state_bits)
     key = _ray_sort_key(scene, origin, direction)
     if pred is not None:
         # (pred+1) in the top 14 bits, top 18 bits of the spatial key below
@@ -559,6 +566,17 @@ def trace_paths(
         and _use_residual(scene)
     )
     sb_size = scene.kernel_tblk * scene.kernel_super if use_pred else 1
+    # flat-path scenes skip the Morton sort (no block culling to feed), but a
+    # cheap stable DEAD-TO-TAIL partition (one cumsum+scatter, no argsort)
+    # still clusters terminated lanes into whole tiles the small kernels'
+    # dead-tile guard skips; alive lanes keep their Z-order coherence
+    compact_rays = (
+        not sort_rays
+        and bool(getattr(scene, "use_pallas", False))
+        and _use_flat(scene)
+        and _os.environ.get("STRELKA_FLAT_COMPACT", "0") == "1"
+    )
+    sort_rays = sort_rays or compact_rays
     for depth in range(max_depth):
         pred = None
         if use_pred and depth >= 1:
@@ -581,6 +599,7 @@ def trace_paths(
                 [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id]
                 + pred_col,
                 pred=pred,
+                compact_only=compact_rays,
             )
             origin = Vec3(*f32s[0:3])
             direction = Vec3(*f32s[3:6])

@@ -1774,20 +1774,28 @@ def _closest_kernel_mxu_small(
 ):
     rays = rays_ref[:, :]
     tile = rays.shape[1]
-    rt = _ray_features(rays)
-    excl = excl_ref[0, :][None, :]
-    best_t = rays[7, :]
-    best_p = jnp.full((tile,), -1, jnp.int32)
-    for k in range(nb):
-        t, valid = _mt_block_mxu(
-            rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
-            mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask,
-            tmax_row=best_t, precision=precision,
-        )
-        valid = valid & (_prim_ids(k, tblk, tile) != excl)
-        best_t, best_p = _fold_closest_packed(t, valid, best_t, best_p, k, tblk)
-    t_ref[0, :] = best_t
-    prim_ref[0, :] = best_p
+    # dead-tile skip: terminated lanes carry tmax <= tmin; once the
+    # integrator clusters them to the wavefront tail (flat-compact), a whole
+    # tile of them costs one reduction instead of nb matmul sweeps
+    t_ref[0, :] = rays[7, :]
+    prim_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        best_t = rays[7, :]
+        best_p = jnp.full((tile,), -1, jnp.int32)
+        for k in range(nb):
+            t, valid = _mt_block_mxu(
+                rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
+                mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask,
+                tmax_row=best_t, precision=precision,
+            )
+            valid = valid & (_prim_ids(k, tblk, tile) != excl)
+            best_t, best_p = _fold_closest_packed(t, valid, best_t, best_p, k, tblk)
+        t_ref[0, :] = best_t
+        prim_ref[0, :] = best_p
 
 
 def _mt_all_mxu(rays, rt, feats2_ref, mask_ref, excl_ref, ray_mask: int, t_total: int, precision):
@@ -1861,17 +1869,21 @@ def _any_kernel_mxu_small(
 ):
     rays = rays_ref[:, :]
     tile = rays.shape[1]
-    rt = _ray_features(rays)
-    excl = excl_ref[0, :][None, :]
-    occ = jnp.zeros((tile,), jnp.bool_)
-    for k in range(nb):
-        _, valid = _mt_block_mxu(
-            rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
-            mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask, precision=precision,
-        )
-        valid = valid & (_prim_ids(k, tblk, tile) != excl)
-        occ = occ | jnp.any(valid, axis=0)
-    occ_ref[0, :] = occ
+    occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        rt = _ray_features(rays)
+        excl = excl_ref[0, :][None, :]
+        occ = jnp.zeros((tile,), jnp.bool_)
+        for k in range(nb):
+            _, valid = _mt_block_mxu(
+                rt, rays, feats_ref[:, k * tblk : (k + 1) * tblk, :],
+                mask_ref[0, k * tblk : (k + 1) * tblk], ray_mask, precision=precision,
+            )
+            valid = valid & (_prim_ids(k, tblk, tile) != excl)
+            occ = occ | jnp.any(valid, axis=0)
+        occ_ref[0, :] = occ
 
 
 @functools.partial(jax.jit, static_argnames=("ray_mask", "tile", "tblk", "interpret", "precision"))

@@ -526,6 +526,40 @@ def test_small_mxu_kernels_match_oracle():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
 
 
+def test_small_mxu_kernels_dead_tile_guard():
+    """Fully-dead tiles (all tmax <= tmin) skip the sweep but still emit
+    miss/unoccluded; mixed tiles are unaffected (flat-compact support)."""
+    from strelka_tpu.ops.pallas_intersect import (
+        pack_tris_mxu,
+        pallas_intersect_any_mxu_small,
+        pallas_intersect_closest_mxu_small,
+    )
+
+    rng = np.random.default_rng(19)
+    v0, e1, e2, mask = _scene(512, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    tmax[256:] = 0.0  # tile 1 fully dead
+    tmax[100:120] = 0.0  # dead lanes inside a live tile
+    feats, maskp = pack_tris_mxu(v0, e1, e2, mask, tblk=128, super_=1)
+    bf = intersect_closest_bruteforce(
+        _Shim(v0, e1, e2, mask), jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, active=jnp.asarray(tmax) > 0,
+    )
+    t, prim = pallas_intersect_closest_mxu_small(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(bf.prim))
+    assert (np.asarray(prim)[256:] == -1).all()
+    occ = pallas_intersect_any_mxu_small(
+        feats, maskp, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
+
+
 def test_pallas_onehot_gather_bit_exact():
     """MXU one-hot gather == table[idx].T bit-exactly (HIGHEST precision)."""
     from strelka_tpu.ops.pallas_gather import pallas_gather_rows_t
