@@ -37,7 +37,7 @@ tmin = jnp.zeros(N, jnp.float32); tmax = jnp.full(N, 1e16, jnp.float32)
 def first_bounce(o, d):
     hit = intersect_closest(scene, o, d, tmin, tmax, RAY_MASK_PRIMARY)
     alive = hit.prim >= 0
-    position, uv, frame, mat_id, light_id = I._gather_surface(scene, hit, jnp.zeros(N, bool))
+    position, _uv, frame, *_rest = I._gather_surface(scene, hit, jnp.zeros(N, bool))
     # cosine-hemisphere sample around the shading normal (bsdf-shaped dirs)
     k = jax.random.split(jax.random.PRNGKey(7), 2)
     u1 = jax.random.uniform(k[0], (N,)); u2 = jax.random.uniform(k[1], (N,))

@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run(predict: bool, grid: int, iters: int, width=512, height=512, spp=2, depth=4):
+def run(predict: bool, grid, iters: int, width=512, height=512, spp=2, depth=4):
     os.environ["STRELKA_HIT_PREDICT"] = "1" if predict else "0"
     import jax
     import jax.numpy as jnp
@@ -25,7 +25,15 @@ def run(predict: bool, grid: int, iters: int, width=512, height=512, spp=2, dept
     from strelka_tpu.render.device_scene import build_device_scene
     from strelka_tpu.scene import testscenes as TS
 
-    sh = TS.box_field(grid=grid)
+    if grid == "kitchen":
+        from strelka_tpu.loaders.usd import UsdLoader
+        from strelka_tpu.scene.kitchen_gen import ensure_kitchen
+        from strelka_tpu.scene.scene import Scene
+
+        sh = Scene()
+        assert UsdLoader().load(ensure_kitchen(), sh)
+    else:
+        sh = TS.box_field(grid=int(grid))
     scene = build_device_scene(sh, intersector="vpu")
     cam = sh.get_camera(0)
     cam.update_aspect_ratio(width / height)
@@ -73,7 +81,7 @@ def run(predict: bool, grid: int, iters: int, width=512, height=512, spp=2, dept
 
 
 if __name__ == "__main__":
-    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    grid = sys.argv[1] if len(sys.argv) > 1 else 48
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     img_off, dt_off = run(False, grid, iters)
     img_on, dt_on = run(True, grid, iters)

@@ -20,6 +20,13 @@ echo "SHADOW_SINGLE DONE"
 # 5b. temporal hit prediction A/B (per-ray block assignment vs K-nearest)
 timeout 3000 python -u scripts/predict_probe.py 48 6 || true
 echo "PREDICT AB DONE"
+# 5b'. phase-1 K scan under prediction (0 = pure prediction)
+STRELKA_PRED_K=0 timeout 1800 python -u scripts/predict_probe.py 48 4 || true
+STRELKA_PRED_K=4 timeout 1800 python -u scripts/predict_probe.py 48 4 || true
+STRELKA_PRED_K=16 timeout 1800 python -u scripts/predict_probe.py 48 4 || true
+echo "PREDICT K SCAN DONE"
+timeout 3000 python -u scripts/predict_probe.py kitchen 6 || true
+echo "PREDICT KITCHEN AB DONE"
 # 5c. flat-compact A/B on cornell (dead-to-tail partition + dead-tile guard)
 timeout 1800 python -u scripts/perf_probe.py cornell || true
 STRELKA_FLAT_COMPACT=1 timeout 1800 python -u scripts/perf_probe.py cornell || true

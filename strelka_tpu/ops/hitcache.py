@@ -36,11 +36,23 @@ import jax.numpy as jnp
 
 # table size (entries, power of two). 2^20 x i32 = 4 MiB device-resident.
 CACHE_BITS = int(_os.environ.get("STRELKA_HIT_CACHE_BITS", "20"))
-# position-cell resolution: 2^CELL_BITS cells per world-AABB axis
-CELL_BITS = int(_os.environ.get("STRELKA_PRED_CELL_BITS", "7"))
+# position-cell resolution: 2^CELL_BITS cells per world-AABB axis.
+# scripts/predict_rate_probe.py scan (box_field 103k tris, 4 warm launches):
+# cell=6/dir=2 maximizes overall hit rate (0.52; coverage 0.89 x cond 0.58) —
+# finer keys lose more coverage than they gain accuracy.
+CELL_BITS = int(_os.environ.get("STRELKA_PRED_CELL_BITS", "6"))
+# direction quantization: 2^DIR_BITS bins per direction component (1 =
+# octant). Finer bins raise conditional accuracy at the cost of coverage
+# density (measured by scripts/predict_rate_probe.py).
+DIR_BITS = int(_os.environ.get("STRELKA_PRED_DIR_BITS", "2"))
 # phase-1 work-list capacity per ray tile (distinct predicted superblocks in
-# one tile after the predicted-major sort; overflow skips phase 1 entirely)
+# one tile after the predicted-major sort; overflow skips the predicted pass)
 PRED_CAP = int(_os.environ.get("STRELKA_PRED_CAP", "8"))
+# K-nearest superblocks swept alongside the predicted block in phase 1.
+# Prediction alone primes a TIGHT bound but cannot CLOSE a lane (every
+# unswept block entering before the hit keeps it open); the K nearest are
+# exactly those blocks. 0 = pure prediction (scan option).
+PRED_K = int(_os.environ.get("STRELKA_PRED_K", "8"))
 
 
 def enabled() -> bool:
@@ -71,16 +83,22 @@ def ray_hash(scene, origin, direction, n_entries: int) -> jnp.ndarray:
     cx = q(origin.x, lo[0], hi[0])
     cy = q(origin.y, lo[1], hi[1])
     cz = q(origin.z, lo[2], hi[2])
-    octant = (
-        (direction.x > 0).astype(jnp.uint32)
-        | ((direction.y > 0).astype(jnp.uint32) << 1)
-        | ((direction.z > 0).astype(jnp.uint32) << 2)
+    dscale = float(1 << DIR_BITS) - 1.0
+
+    def qd(c):
+        x = jnp.clip((c + 1.0) * 0.5, 0.0, 1.0)
+        return (x * dscale).astype(jnp.uint32)
+
+    dbin = (
+        qd(direction.x)
+        | (qd(direction.y) << DIR_BITS)
+        | (qd(direction.z) << (2 * DIR_BITS))
     )
     h = (
         cx * jnp.uint32(0x9E3779B1)
         ^ cy * jnp.uint32(0x85EBCA77)
         ^ cz * jnp.uint32(0xC2B2AE3D)
-        ^ octant * jnp.uint32(0x27D4EB2F)
+        ^ dbin * jnp.uint32(0x27D4EB2F)
     )
     h = h ^ (h >> 15)
     if n_entries & (n_entries - 1) == 0:

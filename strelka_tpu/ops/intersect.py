@@ -399,21 +399,27 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
 
 def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
                        ray_mask, exclude, pred):
-    """Residual two-pass with a PREDICTED phase 1 (ops/hitcache.py).
+    """Residual two-pass with a prediction-AUGMENTED phase 1 (ops/hitcache.py).
 
-    pred: [N] i32 predicted superblock per lane (-1 unknown). The wavefront
-    arrives sorted predicted-block-major, so each ray tile contains only a
-    few distinct predictions; phase 1 sweeps exactly those (tile, superblock)
-    pairs via the work-list kernels — per-RAY block assignment instead of the
-    K-nearest tile-union sweep. Phase 2 (residual open lanes) is unchanged:
+    pred: [N] i32 predicted superblock per lane (-1 unknown). Phase 1 sweeps
+    the K nearest superblocks per tile (K = PRED_K, smaller than the
+    unpredicted two-pass's RESIDUAL_K) PLUS each tile's predicted blocks via
+    one work-list pass with tmax primed by the K-nearest result. The two
+    roles are complementary: the predicted block supplies the TIGHT bound
+    (the actual hit, when the cache is right), while the near blocks are the
+    ones whose entry distance precedes that hit — exactly the set the open
+    test needs swept before it can CLOSE the lane. The wavefront arrives
+    sorted predicted-block-major, so the predicted work list stays a few
+    entries per tile. Phase 2 (residual open lanes) is unchanged:
     correctness never depends on the predictions."""
-    from strelka_tpu.ops.hitcache import PRED_CAP
+    from strelka_tpu.ops.hitcache import PRED_CAP, PRED_K
     from strelka_tpu.ops.pallas_intersect import (
         build_worklist,
         pallas_intersect_closest_wl,
         pallas_intersect_closest_wl_mxu,
         pallas_open_w,
         super_bounds_jnp,
+        tile_sweep_order_k,
     )
 
     tile = SUPER_PATH_TILE
@@ -422,6 +428,23 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
     nsb = sbounds.shape[1]
     n_tiles = -(-n // tile)
 
+    # --- phase 1a: K nearest superblocks per tile (rect sweep, K < RESIDUAL_K)
+    if PRED_K > 0:
+        k = min(PRED_K, nsb)
+        order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, k)
+        t1, prim1 = _run_super_closest(
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+            order_k,
+        )
+    else:  # pure prediction (scan option): nothing swept yet
+        from strelka_tpu.ops.pallas_intersect import tile_box_d2
+
+        d2 = tile_box_d2(origins, sbounds, tile)
+        r2t = jnp.full(n_tiles, 1e-30, jnp.float32)  # nothing inside the ball
+        t1 = jnp.full(n, _BIG, jnp.float32)
+        prim1 = jnp.full(n, -1, jnp.int32)
+
+    # --- phase 1b: predicted blocks, work-listed, tmax primed by phase 1a.
     # per-tile predicted-superblock matrix: one [N] scatter (invalid lanes
     # drop out of bounds)
     lane_tile = (jnp.arange(n, dtype=jnp.int32) // tile).astype(jnp.int32)
@@ -429,16 +452,18 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
     Wp = jnp.zeros((n_tiles, nsb), jnp.int32).at[
         jnp.where(valid, lane_tile, n_tiles), jnp.clip(pred, 0, nsb - 1)
     ].set(1, mode="drop")
-    d2p = jnp.where(Wp > 0, 0.0, 1e30)  # swept-first order; also the open mask
     cap1 = n_tiles * PRED_CAP
-    wl1, count1, visited1 = build_worklist(Wp > 0, d2p, cap1)
+    wl1, count1, visited1 = build_worklist(
+        Wp > 0, jnp.where(Wp > 0, 0.0, 1e30), cap1
+    )
     fits = count1 <= cap1
+    bound1 = jnp.minimum(t1, tmax)
 
-    def phase1(_):
+    def phase1b(_):
         if _wl_use_mxu(scene, use_mxu):
             t1p, prim1p = pallas_intersect_closest_wl_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl1,
-                origins, directions, tmin, tmax,
+                origins, directions, tmin, bound1,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
                 local=scene.tris_local,
@@ -446,7 +471,7 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
         else:
             t1p, prim1p = pallas_intersect_closest_wl(
                 scene.tris_packed, scene.tri_bounds, wl1,
-                origins, directions, tmin, tmax,
+                origins, directions, tmin, bound1,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
             )
@@ -454,22 +479,25 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
         prim1p = jnp.where(vis_ray, prim1p, -1)
         return jnp.where(prim1p >= 0, t1p, _BIG), prim1p
 
-    def no_phase1(_):
+    def no_phase1b(_):
         return jnp.full(n, _BIG, jnp.float32), jnp.full(n, -1, jnp.int32)
 
-    t1, prim1 = jax.lax.cond(fits, phase1, no_phase1, None)
-    # open test: unswept = NOT in this tile's predicted set (d2 >= r2 with
-    # synthetic d2p/r2=1). On truncation overflow nothing was swept: force
-    # every block unswept so phase 2 sees the full scene.
-    d2_open = jnp.where(fits, d2p, 1e30)
-    r2t = jnp.ones(n_tiles, jnp.float32)
-    bound = jnp.minimum(t1, tmax)
+    t1b, prim1b = jax.lax.cond(fits, phase1b, no_phase1b, None)
+    better = prim1b >= 0  # phase-1b hits are < bound1 by construction
+    t1m = jnp.where(better, t1b, t1)
+    prim1m = jnp.where(better, prim1b, prim1)
+
+    # open test: swept = the K-nearest ball (d2 < r2t) OR the tile's
+    # predicted set (its d2 forced to 0). On work-list overflow the predicted
+    # pass was skipped: leave d2 untouched so only the ball counts as swept.
+    d2_open = jnp.where((Wp > 0) & fits, 0.0, d2)
+    bound = jnp.minimum(t1m, tmax)
     open_, _, _ = pallas_open_w(
         origins, directions, tmin, bound, sbounds, d2_open, r2t, tile
     )
     return _closest_finish(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        sbounds, t1, prim1, open_,
+        sbounds, t1m, prim1m, open_,
     )
 
 
