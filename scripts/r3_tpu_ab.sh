@@ -9,6 +9,9 @@ python -u scripts/capture_bounce.py 48 || exit 2
 python -u scripts/oracle_probe.py 48 4096 || exit 3
 # 2. perf A/B: vpu baseline vs mxu-with-local-feats e2e
 python -u scripts/mxu_box_probe.py vpu mxu || exit 4
+# 2b. fused-K phase 1 (default ON) vs rectangular phase 1
+STRELKA_PHASE1_FUSED=0 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+echo "PHASE1_FUSED AB DONE"
 # 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
 STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || exit 5
 # 4. cornell sanity (should be unchanged ~100ms)

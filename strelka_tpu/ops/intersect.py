@@ -207,6 +207,37 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
     )
 
 
+# fused-K phase 1: sweep each tile's K nearest superblocks in ONE grid step
+# (K prefetch-indexed inputs, register accumulation — no t_ref read->write
+# serialization between the K steps, no per-sub-block when-guards, which on
+# phase-1 NEAR blocks almost always pass). VPU path only; A/B toggle.
+_PHASE1_FUSED = _os.environ.get("STRELKA_PHASE1_FUSED", "1") == "1"
+
+
+def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
+    if _PHASE1_FUSED and not use_mxu:
+        from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
+
+        return pallas_intersect_closest_fusedk(
+            scene.tris_packed, order_k, o, d, tmin, tmax, ray_mask,
+            exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+            super_=scene.kernel_super,
+        )
+    return _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+
+
+def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
+    if _PHASE1_FUSED and not use_mxu:
+        from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
+
+        return pallas_intersect_any_fusedk(
+            scene.tris_packed, order_k, o, d, tmin, tmax, ray_mask,
+            exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+            super_=scene.kernel_super,
+        )
+    return _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+
+
 # work-list capacity per tile for the phase-2 sweep; overflow falls back to
 # the rectangular grid via lax.cond (rare: phase-2 lists measured ~18/tile)
 _WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
@@ -386,7 +417,7 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
-    t1, prim1 = _run_super_closest(
+    t1, prim1 = _run_phase1_closest(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
     )
     bound = jnp.minimum(t1, tmax)
@@ -432,7 +463,7 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
     if PRED_K > 0:
         k = min(PRED_K, nsb)
         order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, k)
-        t1, prim1 = _run_super_closest(
+        t1, prim1 = _run_phase1_closest(
             scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
             order_k,
         )
@@ -559,7 +590,7 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
     tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
-    occ1 = _run_super_any(
+    occ1 = _run_phase1_any(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
     )
     bound = jnp.where(occ1, 0.0, tmax)

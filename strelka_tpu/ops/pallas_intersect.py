@@ -197,6 +197,208 @@ def _any_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Fused-K phase-1 kernels: ONE grid step per ray tile sweeps all K of the
+# tile's nearest superblocks, passed as K scalar-prefetch-indexed inputs so
+# the automatic pipeline prefetches them together (K * 2048 tris * 48 B =
+# 1.5 MB at K=16 — VMEM-resident with double buffering). vs the rectangular
+# (n_tiles, K) grid this removes the t_ref read->write serialization between
+# the K steps AND the per-sub-block when-guards (phase-1 blocks are the NEAR
+# ones — measured "nearly every sub-block guard passes" on bounce tiles, so
+# the guards are pure matmul-pipeline serialization there; NOTES fact #24:
+# rect phase 1 ran 438 ms against a ~129 ms flop floor). Accumulation stays
+# in registers; results are written once. A tile-level live guard skips the
+# dead tail tiles the wavefront sort clusters.
+# ---------------------------------------------------------------------------
+
+
+def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: int):
+    starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2]
+    tris_refs = refs[3 : 3 + k_fused]
+    t_ref, prim_ref = refs[3 + k_fused], refs[4 + k_fused]
+    r = pl.program_id(0)
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    t_ref[0, :] = rays[7, :]
+    prim_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        excl = excl_ref[0, :][None, :]
+        best_t = rays[7, :]
+        best_p = jnp.full((tile,), -1, jnp.int32)
+        for kk in range(k_fused):
+            sb = starts_ref[r, kk]
+            for j in range(super_):
+                blk = sb * super_ + j
+                t, valid = _mt_block(
+                    rays, tris_refs[kk][:, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=best_t,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < best_t
+                best_t = jnp.where(better, blk_best, best_t)
+                best_p = jnp.where(better, blk * tblk + blk_arg, best_p)
+        t_ref[0, :] = best_t
+        prim_ref[0, :] = best_p
+
+
+def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: int):
+    starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2]
+    tris_refs = refs[3 : 3 + k_fused]
+    occ_ref = refs[3 + k_fused]
+    r = pl.program_id(0)
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        excl = excl_ref[0, :][None, :]
+        occ = jnp.zeros((tile,), jnp.bool_)
+        for kk in range(k_fused):
+            sb = starts_ref[r, kk]
+            for j in range(super_):
+                blk = sb * super_ + j
+                _, valid = _mt_block(
+                    rays, tris_refs[kk][:, j * tblk : (j + 1) * tblk], ray_mask
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ = occ | jnp.any(valid, axis=0)
+        occ_ref[0, :] = occ
+
+
+def _fusedk_specs(tile, step, k_fused):
+    specs = [
+        pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+    ]
+    for kk in range(k_fused):
+        specs.append(
+            pl.BlockSpec(
+                (12, step),
+                (lambda kk: lambda r, starts: (0, starts[r, kk]))(kk),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    return specs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+)
+def pallas_intersect_closest_fusedk(
+    tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
+    order_k: jnp.ndarray,  # [n_tiles, K] i32 (tile_sweep_order_k)
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+):
+    """Phase-1 closest sweep of each tile's K nearest superblocks, fused into
+    one grid step per tile -> (t [N], prim [N]); same comparisons as the
+    rectangular sweep (bit-compatible)."""
+    step = tblk * super_
+    k_fused = int(order_k.shape[1])
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _closest_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        k_fused=k_fused,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=_fusedk_specs(tile, step, k_fused),
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_pad * k_fused * step,
+            bytes_accessed=4 * (8 * n_pad + 12 * k_fused * step),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order_k.astype(jnp.int32), rays, excl, *([tris_packed] * k_fused))
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+)
+def pallas_intersect_any_fusedk(
+    tris_packed: jnp.ndarray,
+    order_k: jnp.ndarray,  # [n_tiles, K] i32
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    interpret: bool = False,
+):
+    """Phase-1 any-hit sweep of each tile's K nearest superblocks -> occ [N]."""
+    step = tblk * super_
+    k_fused = int(order_k.shape[1])
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _any_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        k_fused=k_fused,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=_fusedk_specs(tile, step, k_fused),
+        out_specs=pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_pad * k_fused * step,
+            bytes_accessed=4 * (8 * n_pad + 12 * k_fused * step),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order_k.astype(jnp.int32), rays, excl, *([tris_packed] * k_fused))
+    return occ[0, :n]
+
+
+# ---------------------------------------------------------------------------
 # Work-list kernels: a 1-D grid over scalar-prefetched (ray-tile, superblock)
 # PAIRS instead of the rectangular (n_tiles x nsb) grid. The rectangular grid
 # pays ~1.4us of bookkeeping per step even when fully culled (measured: an

@@ -75,6 +75,8 @@ def interp(monkeypatch):
         "pallas_intersect_any",
         "pallas_intersect_closest_mxu",
         "pallas_intersect_any_mxu",
+        "pallas_intersect_closest_fusedk",
+        "pallas_intersect_any_fusedk",
         "pallas_open_w",
     ):
         fn = getattr(PI, name)

@@ -560,6 +560,58 @@ def test_small_mxu_kernels_dead_tile_guard():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
 
 
+def test_fusedk_phase1_matches_rect():
+    """Fused-K phase-1 kernels == the rectangular K-column sweep bit-for-bit
+    (same comparisons, register accumulation instead of t_ref round trips),
+    including the dead-tile guard and K < nsb partial sweeps."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        pack_tris,
+        pallas_intersect_any,
+        pallas_intersect_any_fusedk,
+        pallas_intersect_closest,
+        pallas_intersect_closest_fusedk,
+        super_bounds_jnp,
+        tile_sweep_order_k,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(29)
+    v0, e1, e2, mask = _scene(4096, rng)  # 8 superblocks at tblk=256/super_=2
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    tmax[256:] = 0.0  # a dead tile for the live guard
+    tris = pack_tris(v0, e1, e2, mask, tblk=256, super_=2)
+    bounds = block_bounds(v0, e1, e2, mask, tblk=256, super_=2)
+    ov, dv = from_rows(jnp.asarray(o)), from_rows(jnp.asarray(d))
+    sbounds = super_bounds_jnp(bounds, 2)
+    order_k, r2t, d2 = tile_sweep_order_k(ov, sbounds, 256, 3)  # K=3 of 8
+
+    t_r, prim_r = pallas_intersect_closest(
+        tris, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, starts=order_k, tile=256, tblk=256, super_=2,
+        interpret=True,
+    )
+    t_f, prim_f = pallas_intersect_closest_fusedk(
+        tris, order_k, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_PRIMARY, tile=256, tblk=256, super_=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prim_f), np.asarray(prim_r))
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_r))
+
+    occ_r = pallas_intersect_any(
+        tris, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_SHADOW, starts=order_k, tile=256, tblk=256, super_=2,
+        interpret=True,
+    )
+    occ_f = pallas_intersect_any_fusedk(
+        tris, order_k, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+        RAY_MASK_SHADOW, tile=256, tblk=256, super_=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_r))
+
+
 def test_pallas_onehot_gather_bit_exact():
     """MXU one-hot gather == table[idx].T bit-exactly (HIGHEST precision)."""
     from strelka_tpu.ops.pallas_gather import pallas_gather_rows_t
