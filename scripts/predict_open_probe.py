@@ -188,3 +188,7 @@ simulate(8, True, "K=8  + pred")
 simulate(4, True, "K=4  + pred")
 simulate(16, True, "K=16 + pred")
 simulate(0, True, "K=0  pure pred")
+# K decay curve (phase-1 cost is ~linear in K with the fused kernel; the
+# optimum balances K against open * phase-2 work)
+for K in (12, 24, 32, 48):
+    simulate(K, False, f"K={K} no-pred")

@@ -12,6 +12,11 @@ python -u scripts/mxu_box_probe.py vpu mxu || exit 4
 # 2b. fused-K phase 1 (default ON) vs rectangular phase 1
 STRELKA_PHASE1_FUSED=0 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "PHASE1_FUSED AB DONE"
+# 2c. K scan under the fused kernel (sim: open 0.65/0.50/0.34 at K=16/24/32;
+# fused phase-1 cost ~linear in K -> optimum likely 24-32)
+STRELKA_RESIDUAL_K=24 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+STRELKA_RESIDUAL_K=32 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+echo "RESIDUAL_K SCAN DONE"
 # 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
 STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || exit 5
 # 4. cornell sanity (should be unchanged ~100ms)
