@@ -133,15 +133,30 @@ tf = np.maximum(t0, t1).min(axis=2)
 passes = (tn <= tf) & sb_valid[None, :]  # lane could enter block
 
 
-def simulate(K, use_pred, label):
+def _morton_key():
+    """The integrator's _ray_sort_key on this wavefront (position Morton +
+    octant; see ops/integrator.py)."""
     import strelka_tpu.ops.integrator as II
 
-    # pred-major sort emulation (dead lanes to tail)
-    key = np.where(
-        okn,
-        (np.clip((pred if use_pred else np.full(N, -1)) + 1, 0, 2**14 - 2).astype(np.uint64) << np.uint64(18)),
-        np.uint64(1) << np.uint64(40),
-    )
+    k = II._ray_sort_key(scene, no, nd)
+    return np.asarray(k).astype(np.uint64)
+
+
+MKEY = None
+
+
+def simulate(K, use_pred, label):
+    global MKEY
+    if MKEY is None:
+        MKEY = _morton_key()
+    # sort emulation matching _sort_wavefront: Morton (no pred) or
+    # pred-major with the top Morton bits below (dead lanes to tail)
+    if use_pred:
+        group = np.clip(pred + 1, 0, 2**14 - 2).astype(np.uint64)
+        key = (group << np.uint64(18)) | (MKEY >> np.uint64(9))
+    else:
+        key = MKEY
+    key = np.where(okn, key, np.uint64(1) << np.uint64(40))
     perm = np.argsort(key, kind="stable")
     n_tiles = -(-N // TILE)
     lane_tile = np.arange(N) // TILE
