@@ -215,7 +215,18 @@ _PHASE1_FUSED = _os.environ.get("STRELKA_PHASE1_FUSED", "1") == "1"
 
 
 def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
-    if _PHASE1_FUSED and not use_mxu:
+    if _PHASE1_FUSED:
+        if use_mxu:
+            from strelka_tpu.ops.pallas_intersect import (
+                pallas_intersect_closest_fusedk_mxu,
+            )
+
+            return pallas_intersect_closest_fusedk_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
+                o, d, tmin, tmax, ray_mask,
+                exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+                super_=scene.kernel_super, local=scene.tris_local,
+            )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
         return pallas_intersect_closest_fusedk(
@@ -227,7 +238,16 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, ord
 
 
 def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
-    if _PHASE1_FUSED and not use_mxu:
+    if _PHASE1_FUSED:
+        if use_mxu:
+            from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk_mxu
+
+            return pallas_intersect_any_fusedk_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
+                o, d, tmin, tmax, ray_mask,
+                exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+                super_=scene.kernel_super, local=scene.tris_local,
+            )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
 
         return pallas_intersect_any_fusedk(

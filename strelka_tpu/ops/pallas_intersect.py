@@ -270,6 +270,261 @@ def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: in
         occ_ref[0, :] = occ
 
 
+def _closest_kernel_fusedk_mxu(
+    *refs, ray_mask: int, tblk: int, super_: int, chunk: int,
+    precision=None, local: bool = False,
+):
+    bounds_ref, starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2], refs[3]
+    feats_refs = refs[4 : 4 + chunk]
+    mask_refs = refs[4 + chunk : 4 + 2 * chunk]
+    t_ref, prim_ref = refs[4 + 2 * chunk], refs[5 + 2 * chunk]
+    r = pl.program_id(0)
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        excl = excl_ref[0, :][None, :]
+        best_t = t_ref[0, :]
+        best_p = prim_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[r, kc * chunk + i]
+            # local anchoring is per-SUPERBLOCK: recompute ray features
+            # against each block's first-sub-block AABB center
+            rt = (
+                _ray_features_local(rays, bounds_ref, sb * super_)
+                if local
+                else _ray_features(rays)
+            )
+            for j in range(super_):
+                blk = sb * super_ + j
+                t, valid = _mt_block_mxu(
+                    rt, rays, feats_refs[i][:, j * tblk : (j + 1) * tblk, :],
+                    mask_refs[i][0, j * tblk : (j + 1) * tblk], ray_mask,
+                    tmax_row=best_t, precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                best_t, best_p = _fold_closest_packed(t, valid, best_t, best_p, blk, tblk)
+        t_ref[0, :] = best_t
+        prim_ref[0, :] = best_p
+
+
+def _any_kernel_fusedk_mxu(
+    *refs, ray_mask: int, tblk: int, super_: int, chunk: int,
+    precision=None, local: bool = False,
+):
+    bounds_ref, starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2], refs[3]
+    feats_refs = refs[4 : 4 + chunk]
+    mask_refs = refs[4 + chunk : 4 + 2 * chunk]
+    occ_ref = refs[4 + 2 * chunk]
+    r = pl.program_id(0)
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        excl = excl_ref[0, :][None, :]
+        occ = occ_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[r, kc * chunk + i]
+            rt = (
+                _ray_features_local(rays, bounds_ref, sb * super_)
+                if local
+                else _ray_features(rays)
+            )
+            for j in range(super_):
+                blk = sb * super_ + j
+                _, valid = _mt_block_mxu(
+                    rt, rays, feats_refs[i][:, j * tblk : (j + 1) * tblk, :],
+                    mask_refs[i][0, j * tblk : (j + 1) * tblk], ray_mask,
+                    precision=precision,
+                )
+                valid = valid & (_prim_ids(blk, tblk, tile) != excl)
+                occ = occ | jnp.any(valid, axis=0)
+        occ_ref[0, :] = occ
+
+
+def _fusedk_mxu_specs(tile, step, chunk):
+    specs = [
+        pl.BlockSpec((8, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+    ]
+    for i in range(chunk):
+        specs.append(
+            pl.BlockSpec(
+                (4, step, _FDIM),
+                (lambda i: lambda r, kc, b, starts: (0, starts[r, kc * chunk + i], 0))(i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    for i in range(chunk):
+        specs.append(
+            pl.BlockSpec(
+                (1, step),
+                (lambda i: lambda r, kc, b, starts: (0, starts[r, kc * chunk + i]))(i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    return specs
+
+
+def _pad_order_chunk(order_k, chunk):
+    """Pad the order table's K dim to a chunk multiple by repeating the last
+    column (re-sweeping a block is idempotent for both min and OR folds)."""
+    K = order_k.shape[1]
+    pad = (-K) % chunk
+    if pad:
+        order_k = jnp.concatenate(
+            [order_k, jnp.repeat(order_k[:, -1:], pad, axis=1)], axis=1
+        )
+    return order_k.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "chunk", "interpret", "precision", "local"),
+)
+def pallas_intersect_closest_fusedk_mxu(
+    feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu[_local])
+    mask: jnp.ndarray,  # [1, T]
+    bounds: jnp.ndarray,  # [8, n_blocks]
+    order_k: jnp.ndarray,  # [n_tiles, K] i32
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    chunk: int = 4,  # superblocks fused per grid step (VMEM-bounded: full
+    # K=16 fusion of the 5.3x-fatter MXU feats would need 16 MB + buffers)
+    interpret: bool = False,
+    precision=None,
+    local: bool = False,
+):
+    """MXU phase-1 closest sweep, CHUNK superblocks per grid step in
+    registers (t_ref round trips cut chunk-fold) -> (t [N], prim [N])."""
+    step = tblk * super_
+    order_k = _pad_order_chunk(order_k, chunk)
+    n_steps = order_k.shape[1] // chunk
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _closest_kernel_fusedk_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        chunk=chunk, precision=precision, local=local,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_steps),
+        in_specs=_fusedk_mxu_specs(tile, step, chunk),
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * _FDIM * n_pad * order_k.shape[1] * step,
+            bytes_accessed=4 * (8 * n_pad + 4 * _FDIM * order_k.shape[1] * step),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        bounds, order_k, rays, excl,
+        *([feats] * chunk), *([mask] * chunk),
+    )
+    t = t_out[0, :n]
+    prim = prim_out[0, :n]
+    return jnp.where(prim >= 0, t, _BIG), prim
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_mask", "tile", "tblk", "super_", "chunk", "interpret", "precision", "local"),
+)
+def pallas_intersect_any_fusedk_mxu(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    bounds: jnp.ndarray,
+    order_k: jnp.ndarray,  # [n_tiles, K] i32
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    ray_mask: int,
+    exclude: jnp.ndarray | None = None,
+    tile: int = DEFAULT_TILE,
+    tblk: int = DEFAULT_TBLK,
+    super_: int = DEFAULT_SUPER,
+    chunk: int = 4,
+    interpret: bool = False,
+    precision=None,
+    local: bool = False,
+):
+    """MXU phase-1 any-hit sweep, CHUNK superblocks per grid step -> occ [N]."""
+    step = tblk * super_
+    order_k = _pad_order_chunk(order_k, chunk)
+    n_steps = order_k.shape[1] // chunk
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    n = tmin.shape[0]
+    excl = _pack_exclude(exclude, n, n_pad)
+    n_tiles = n_pad // tile
+    kernel = functools.partial(
+        _any_kernel_fusedk_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
+        chunk=chunk, precision=precision, local=local,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_steps),
+        in_specs=_fusedk_mxu_specs(tile, step, chunk),
+        out_specs=pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * _FDIM * n_pad * order_k.shape[1] * step,
+            bytes_accessed=4 * (8 * n_pad + 4 * _FDIM * order_k.shape[1] * step),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        bounds, order_k, rays, excl,
+        *([feats] * chunk), *([mask] * chunk),
+    )
+    return occ[0, :n]
+
+
 def _fusedk_specs(tile, step, k_fused):
     specs = [
         pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),

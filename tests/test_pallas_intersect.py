@@ -612,6 +612,69 @@ def test_fusedk_phase1_matches_rect():
     np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_r))
 
 
+def test_fusedk_mxu_phase1_matches_rect():
+    """Partial-fusion MXU phase-1 kernels == the rectangular MXU sweep
+    (chunk superblocks per step in registers; order padded to a chunk
+    multiple by repeating the last column — idempotent folds), global and
+    superblock-LOCAL feature anchoring both."""
+    from strelka_tpu.ops.pallas_intersect import (
+        block_bounds,
+        pack_tris_mxu,
+        pack_tris_mxu_local,
+        pallas_intersect_any_fusedk_mxu,
+        pallas_intersect_any_mxu,
+        pallas_intersect_closest_fusedk_mxu,
+        pallas_intersect_closest_mxu,
+        super_bounds_jnp,
+        tile_sweep_order_k,
+    )
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(37)
+    v0, e1, e2, mask = _scene(4096, rng)
+    o, d = _rays(512, rng)
+    tmin = np.zeros(512, np.float32)
+    tmax = np.full(512, 1e16, np.float32)
+    tmax[256:] = 0.0  # dead tile
+    bounds = block_bounds(v0, e1, e2, mask, tblk=256, super_=2)
+    ov, dv = from_rows(jnp.asarray(o)), from_rows(jnp.asarray(d))
+    sbounds = super_bounds_jnp(bounds, 2)
+    order_k, _, _ = tile_sweep_order_k(ov, sbounds, 256, 3)  # K=3 pads to 4
+
+    for local in (False, True):
+        if local:
+            feats, fmask = pack_tris_mxu_local(
+                v0, e1, e2, mask, tblk=256, super_=2, bounds=np.asarray(bounds)
+            )
+        else:
+            feats, fmask = pack_tris_mxu(v0, e1, e2, mask, tblk=256, super_=2)
+        t_r, prim_r = pallas_intersect_closest_mxu(
+            feats, fmask, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+            RAY_MASK_PRIMARY, starts=order_k, tile=256, tblk=256, super_=2,
+            interpret=True, local=local,
+        )
+        t_f, prim_f = pallas_intersect_closest_fusedk_mxu(
+            feats, fmask, bounds, order_k, ov, dv, jnp.asarray(tmin),
+            jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=256, super_=2,
+            chunk=2, interpret=True, local=local,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(prim_f), np.asarray(prim_r), err_msg=f"local={local}"
+        )
+        np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_r))
+        occ_r = pallas_intersect_any_mxu(
+            feats, fmask, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
+            RAY_MASK_SHADOW, starts=order_k, tile=256, tblk=256, super_=2,
+            interpret=True, local=local,
+        )
+        occ_f = pallas_intersect_any_fusedk_mxu(
+            feats, fmask, bounds, order_k, ov, dv, jnp.asarray(tmin),
+            jnp.asarray(tmax), RAY_MASK_SHADOW, tile=256, tblk=256, super_=2,
+            chunk=2, interpret=True, local=local,
+        )
+        np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_r))
+
+
 def test_pallas_onehot_gather_bit_exact():
     """MXU one-hot gather == table[idx].T bit-exactly (HIGHEST precision)."""
     from strelka_tpu.ops.pallas_gather import pallas_gather_rows_t
