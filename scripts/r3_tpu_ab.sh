@@ -8,7 +8,7 @@ python -u -c "import time,jax; t=time.time(); print('devices', jax.devices(), '%
 python -u scripts/capture_bounce.py 48 || exit 2
 python -u scripts/oracle_probe.py 48 4096 || exit 3
 # 2. perf A/B: vpu baseline vs mxu-with-local-feats e2e
-python -u scripts/mxu_box_probe.py vpu mxu || exit 4
+python -u scripts/mxu_box_probe.py vpu mxu || echo 'MXU AB FAILED (continuing)'
 # 2b. fused-K phase 1 (default ON) vs rectangular phase 1
 STRELKA_PHASE1_FUSED=0 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "PHASE1_FUSED AB DONE"
@@ -18,7 +18,7 @@ STRELKA_RESIDUAL_K=24 timeout 1800 python -u scripts/mxu_box_probe.py vpu || tru
 STRELKA_RESIDUAL_K=32 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "RESIDUAL_K SCAN DONE"
 # 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
-STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || exit 5
+STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || echo 'WL_MXU FAILED (continuing)'
 # 4. cornell sanity (should be unchanged ~100ms)
 python -u scripts/perf_probe.py cornell 2>/dev/null || python -u scripts/perf_probe.py || true
 echo "ALL DONE"
