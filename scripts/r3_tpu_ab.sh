@@ -22,6 +22,9 @@ STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || echo 'WL_MXU FAILED (
 # 4. cornell sanity (should be unchanged ~100ms)
 python -u scripts/perf_probe.py cornell 2>/dev/null || python -u scripts/perf_probe.py || true
 echo "ALL DONE"
+# 4b. shade/epilogue breakdown (where cornell's non-sweep ms live)
+timeout 1800 python -u scripts/shade_profile.py || true
+echo "SHADE PROFILE DONE"
 # 5. shadow single-pass wl vs two-pass (direction-coherent grouped shadow tiles)
 STRELKA_SHADOW_SINGLE=1 python -u scripts/mxu_box_probe.py vpu mxu || true
 echo "SHADOW_SINGLE DONE"
@@ -39,6 +42,10 @@ echo "PREDICT KITCHEN AB DONE"
 timeout 1800 python -u scripts/perf_probe.py cornell || true
 STRELKA_FLAT_COMPACT=1 timeout 1800 python -u scripts/perf_probe.py cornell || true
 echo "FLAT_COMPACT AB DONE"
+# 5d. einar-scale hair: cone two-pass A/B (hair_long 100k segments)
+timeout 3000 python -u scripts/hair_probe.py || true
+STRELKA_CONE_NO_TWOPASS=1 timeout 3000 python -u scripts/hair_probe.py || true
+echo "HAIR TWOPASS AB DONE"
 # 6. refresh showcase renders (kitchen added) with the current kernels
 timeout 3000 python -u scripts/render_showcase.py || true
 echo "SHOWCASE DONE"

@@ -621,8 +621,12 @@ def pallas_intersect_cones(
     super_: int = CONE_SUPER,
     interpret: bool = False,
     any_hit: bool = False,
+    starts: jnp.ndarray | None = None,  # [n_tiles, K] per-tile sweep order
 ):
-    """Dense block-culled cone sweep -> (t [N], cone [N] i32) or occ [N]."""
+    """Dense block-culled cone sweep -> (t [N], cone [N] i32) or occ [N].
+
+    starts: optional [n_tiles, K] i32 order table; K < nsb sweeps only each
+    tile's K scheduled superblocks (phase 1 of the cone residual two-pass)."""
     from strelka_tpu.ops.pallas_intersect import _pack_rays
 
     n = tmin.shape[0]
@@ -644,7 +648,9 @@ def pallas_intersect_cones(
     # any-hit progressive pruning finds near occluders first. Falls back to
     # plain order when the SMEM table would overflow (1MB SMEM budget).
     padded_tbl_bytes = n_tiles * (-(-nsb // 128) * 128) * 4
-    if nsb >= 8 and padded_tbl_bytes <= 600_000:
+    if starts is not None:
+        starts = jnp.clip(starts.astype(jnp.int32), 0, nsb - 1)
+    elif nsb >= 8 and padded_tbl_bytes <= 600_000:
         from strelka_tpu.ops import vec as V
         from strelka_tpu.ops.pallas_intersect import tile_box_d2
 
@@ -653,7 +659,7 @@ def pallas_intersect_cones(
         starts = jnp.argsort(d2, axis=1).astype(jnp.int32)
     else:
         starts = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[None, :], (n_tiles, nsb))
-    grid = (n_tiles, nsb)
+    grid = (n_tiles, starts.shape[1])
     in_specs = [
         pl.BlockSpec((8, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -797,19 +803,123 @@ def _cones_sweep(scene, origins, directions, tmin, tmax, any_hit: bool):
     return jax.lax.cond(count <= cap, wl_path, lambda _: rect(), None)
 
 
-def intersect_curves_closest_scene(scene, origins, directions, tmin, tmax, active=None) -> CurveHit:
+# cone residual two-pass (bounce wavefronts on einar-class cone sets): hair
+# hits are usually within the ray's own strand cluster, so the K-nearest
+# ball primes a tight bound and the open test closes most lanes; the open
+# remainder compacts and finishes work-listed (same machinery as triangles,
+# ops/intersect.py:_closest_twopass)
+CONE_RESIDUAL_K = int(__import__("os").environ.get("STRELKA_CONE_K", "16"))
+_CONE_NO_TWOPASS = __import__("os").environ.get("STRELKA_CONE_NO_TWOPASS") == "1"
+
+
+def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
+                   tile: int = 1024, tblk: int = CONE_TBLK,
+                   super_: int = CONE_SUPER, k: int | None = None):
+    from strelka_tpu.ops import vec as V
+    from strelka_tpu.ops.intersect import _gather_ray_rows, _partition_perm
+    from strelka_tpu.ops.pallas_intersect import (
+        build_worklist,
+        pallas_open_w,
+        tile_box_d2,
+        tile_sweep_order_k,
+    )
+
+    n = tmin.shape[0]
+    org_v = origins if hasattr(origins, "x") else V.from_rows(origins)
+    dir_v = directions if hasattr(directions, "x") else V.from_rows(directions)
+    sbounds = _cone_super_bounds(scene.cone_bounds, super_)
+    nsb = sbounds.shape[1]
+    k = min(CONE_RESIDUAL_K if k is None else k, nsb)
+    order_k, r2t, d2 = tile_sweep_order_k(org_v, sbounds, tile, k)
+    out1 = pallas_intersect_cones(
+        scene.cones_packed, scene.cone_bounds, org_v, dir_v, tmin, tmax,
+        any_hit=any_hit, starts=order_k, tile=tile, tblk=tblk, super_=super_,
+    )
+    if any_hit:
+        occ1 = out1
+        bound = jnp.where(occ1, 0.0, tmax)
+    else:
+        t1, cone1 = out1
+        bound = jnp.minimum(t1, tmax)
+    open_, _, _ = pallas_open_w(org_v, dir_v, tmin, bound, sbounds, d2, r2t, tile)
+    tmax2 = jnp.where(open_, jnp.where(any_hit, tmax, bound), 0.0)
+    perm, pos = _partition_perm(open_)
+    o2, d2v, tmin2, tmax2p, _ = _gather_ray_rows(
+        perm, org_v, dir_v, tmin, tmax2, None
+    )
+    d2m = tile_box_d2(o2, sbounds, tile)
+    no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
+    _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
+    cap = (-(-n // tile)) * min(_CONE_WL_CAP, nsb)
+    wl, count, visited = build_worklist(W2, d2m, cap)
+
+    def wl_path(_):
+        return pallas_intersect_cones_wl(
+            scene.cones_packed, scene.cone_bounds, wl, o2, d2v,
+            tmin2, tmax2p, tile=tile, tblk=tblk, super_=super_, any_hit=any_hit,
+        )
+
+    def rect_path(_):
+        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        return pallas_intersect_cones(
+            scene.cones_packed, scene.cone_bounds, o2, d2v, tmin2, tmax2p,
+            any_hit=any_hit, starts=starts2, tile=tile, tblk=tblk, super_=super_,
+        )
+
+    vis_ray = jnp.repeat(visited, tile)[:n]
+    if any_hit:
+        occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
+        # wl garbage on unvisited tiles only matters for the wl path; the
+        # rect path writes every tile — mask is safe for both (an unvisited
+        # tile has no open lane that could be occluded in phase 2)
+        occ2p = occ2p & vis_ray
+        occ2 = occ2p.astype(jnp.int32)[:, None][pos][:, 0] != 0
+        return occ1 | occ2
+    t2p, cone2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
+    cone2p = jnp.where(vis_ray, cone2p, -1)
+    back = jnp.stack(
+        [jax.lax.bitcast_convert_type(t2p, jnp.int32), cone2p], axis=1
+    )[pos].T
+    t2 = jax.lax.bitcast_convert_type(back[0], jnp.float32)
+    cone2 = back[1]
+    better = cone2 >= 0  # phase-2 hits are < bound by construction
+    return jnp.where(better, t2, t1), jnp.where(better, cone2, cone1)
+
+
+def _cones_dispatch(scene, origins, directions, tmin, tmax, any_hit: bool,
+                    shared_origin: bool):
+    m_total = scene.cones_packed.shape[1]
+    nsb = m_total // (CONE_TBLK * CONE_SUPER)
+    if (
+        not _CONE_NO_TWOPASS
+        and not shared_origin
+        and nsb >= 2 * CONE_RESIDUAL_K
+    ):
+        return _cones_twopass(scene, origins, directions, tmin, tmax, any_hit)
+    return _cones_sweep(scene, origins, directions, tmin, tmax, any_hit)
+
+
+def intersect_curves_closest_scene(scene, origins, directions, tmin, tmax,
+                                   active=None, shared_origin=False) -> CurveHit:
     """Dispatch: Pallas cone kernel on TPU, jnp scan sweep otherwise."""
     if getattr(scene, "cones_packed", None) is not None:
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        t, cone = _cones_sweep(scene, origins, directions, tmin, tmax, any_hit=False)
+        t, cone = _cones_dispatch(
+            scene, origins, directions, tmin, tmax, any_hit=False,
+            shared_origin=shared_origin,
+        )
         return cone_hit_to_seg_u(scene.cones, origins, directions, t, cone)
     return intersect_curves_closest(scene.cones, origins, directions, tmin, tmax, active)
 
 
-def intersect_curves_any_scene(scene, origins, directions, tmin, tmax, active=None) -> jnp.ndarray:
+def intersect_curves_any_scene(scene, origins, directions, tmin, tmax,
+                               active=None, shared_origin=False) -> jnp.ndarray:
     if getattr(scene, "cones_packed", None) is not None:
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
-        return _cones_sweep(scene, origins, directions, tmin, tmax, any_hit=True)
+        return _cones_dispatch(
+            scene, origins, directions, tmin, tmax, any_hit=True,
+            shared_origin=shared_origin,
+        )
     return intersect_curves_any(scene.cones, origins, directions, tmin, tmax, active)

@@ -646,7 +646,8 @@ def trace_paths(
             from strelka_tpu.ops.curves import intersect_curves_closest_scene
 
             chit = intersect_curves_closest_scene(
-                scene, origin, direction, tmin_mat, tmax_big, active=alive
+                scene, origin, direction, tmin_mat, tmax_big, active=alive,
+                shared_origin=(depth == 0),
             )
             is_curve = alive & (chit.seg >= 0) & (chit.t < hit.t)
         missed = alive & (hit.prim < 0) & ~is_curve

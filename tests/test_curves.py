@@ -201,3 +201,78 @@ def test_pallas_cone_kernel_matches_sweep():
     )
     ref2 = intersect_curves_closest(cones, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.full(n, 8.0, jnp.float32))
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref2.seg) >= 0)
+
+
+def test_cone_twopass_matches_rect():
+    """Cone residual two-pass (K-nearest prime -> open -> compact -> wl) ==
+    the full rectangular sweep, closest and any-hit, in interpret mode."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import strelka_tpu.ops.curves as C
+    import strelka_tpu.ops.pallas_intersect as PI
+    from strelka_tpu.ops.curves import FlatCones, morton_sort_cones, pack_cones
+
+    rng = np.random.default_rng(41)
+    m = 2048  # 8 superblocks at tblk=128/super_=2
+    a = rng.uniform(-5, 5, (m, 3)).astype(np.float32)
+    b = a + rng.normal(0, 0.4, (m, 3)).astype(np.float32)
+    cones = FlatCones(
+        a=jnp.asarray(a), b=jnp.asarray(b),
+        ra=jnp.asarray(rng.uniform(0.02, 0.15, m).astype(np.float32)),
+        rb=jnp.asarray(rng.uniform(0.02, 0.15, m).astype(np.float32)),
+        seg_id=jnp.arange(m, dtype=jnp.int32),
+        u0=jnp.zeros(m), u1=jnp.ones(m),
+    )
+    perm = morton_sort_cones(cones)
+    cones = FlatCones(*[jnp.asarray(np.asarray(f)[perm]) for f in cones])
+    packed, bounds = pack_cones(cones, tblk=128, super_=2)
+
+    class _S:
+        cones_packed = packed
+        cone_bounds = bounds
+
+    n = 512
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = np.full(n, 1e16, np.float32)
+    tmax[256:384] = 0.0  # dead lanes
+    tmax = jnp.asarray(tmax)
+
+    orig_cones = C.pallas_intersect_cones
+    orig_wl = C.pallas_intersect_cones_wl
+    orig_ow = PI.pallas_open_w
+    C.pallas_intersect_cones = functools.partial(orig_cones, interpret=True)
+    C.pallas_intersect_cones_wl = functools.partial(orig_wl, interpret=True)
+    PI.pallas_open_w = functools.partial(orig_ow, interpret=True)
+    try:
+        t_r, cone_r = orig_cones(
+            packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+            tile=256, tblk=128, super_=2, interpret=True,
+        )
+        t_t, cone_t = C._cones_twopass(
+            _S(), jnp.asarray(o), jnp.asarray(d), tmin, tmax, any_hit=False,
+            tile=256, tblk=128, super_=2, k=2,
+        )
+        np.testing.assert_array_equal(np.asarray(cone_t), np.asarray(cone_r))
+        hits = np.asarray(cone_r) >= 0
+        np.testing.assert_array_equal(np.asarray(t_t)[hits], np.asarray(t_r)[hits])
+
+        occ_r = orig_cones(
+            packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin,
+            jnp.where(tmax > 0, 8.0, 0.0), tile=256, tblk=128, super_=2,
+            interpret=True, any_hit=True,
+        )
+        occ_t = C._cones_twopass(
+            _S(), jnp.asarray(o), jnp.asarray(d), tmin,
+            jnp.where(tmax > 0, 8.0, 0.0), any_hit=True,
+            tile=256, tblk=128, super_=2, k=2,
+        )
+        np.testing.assert_array_equal(np.asarray(occ_t), np.asarray(occ_r))
+    finally:
+        C.pallas_intersect_cones = orig_cones
+        C.pallas_intersect_cones_wl = orig_wl
+        PI.pallas_open_w = orig_ow
