@@ -473,6 +473,143 @@ def _cone_any_kernel(
                 occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
+# fused-K phase-1 cone kernels: one grid step per ray tile sweeps all K of
+# the tile's nearest cone superblocks (K prefetch-indexed inputs, register
+# accumulation) — same rationale as the triangle fused-K kernels
+# (ops/pallas_intersect.py): no t_ref round trips between the K steps, no
+# per-sub-block when-guards on near blocks that almost always pass, and a
+# tile-level dead guard for the sorted tail.
+
+
+def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
+    starts_ref, rays_ref = refs[0], refs[1]
+    cones_refs = refs[2 : 2 + k_fused]
+    t_ref, cone_ref = refs[2 + k_fused], refs[3 + k_fused]
+    r = pl.program_id(0)
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    t_ref[0, :] = rays[7, :]
+    cone_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        best_t = rays[7, :]
+        best_c = jnp.full((tile,), -1, jnp.int32)
+        for kk in range(k_fused):
+            sb = starts_ref[r, kk]
+            for j in range(super_):
+                blk = sb * super_ + j
+                t, valid = _cone_block(
+                    rays, cones_refs[kk][:, j * tblk : (j + 1) * tblk],
+                    tmax_row=best_t,
+                )
+                t_masked = jnp.where(valid, t, _BIG)
+                blk_best = jnp.min(t_masked, axis=0)
+                blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+                better = blk_best < best_t
+                best_t = jnp.where(better, blk_best, best_t)
+                best_c = jnp.where(better, blk * tblk + blk_arg, best_c)
+        t_ref[0, :] = best_t
+        cone_ref[0, :] = best_c
+
+
+def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
+    starts_ref, rays_ref = refs[0], refs[1]
+    cones_refs = refs[2 : 2 + k_fused]
+    occ_ref = refs[2 + k_fused]
+    r = pl.program_id(0)
+    rays = rays_ref[:, :]
+    tile = rays.shape[1]
+    occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        occ = jnp.zeros((tile,), jnp.bool_)
+        for kk in range(k_fused):
+            sb = starts_ref[r, kk]
+            for j in range(super_):
+                _, valid = _cone_block(
+                    rays, cones_refs[kk][:, j * tblk : (j + 1) * tblk]
+                )
+                occ = occ | jnp.any(valid, axis=0)
+        occ_ref[0, :] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
+def pallas_intersect_cones_fusedk(
+    cones_packed: jnp.ndarray,  # [12, M]
+    order_k: jnp.ndarray,  # [n_tiles, K] i32
+    origins,
+    directions,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    tile: int = 1024,
+    tblk: int = CONE_TBLK,
+    super_: int = CONE_SUPER,
+    interpret: bool = False,
+    any_hit: bool = False,
+):
+    """Fused-K phase-1 cone sweep -> (t, cone) or occ (bit-compatible with
+    the rectangular sweep over the same order table)."""
+    from strelka_tpu.ops.pallas_intersect import _pack_rays
+
+    n = tmin.shape[0]
+    rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
+    step = tblk * super_
+    k_fused = int(order_k.shape[1])
+    n_tiles = n_pad // tile
+    in_specs = [pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM)]
+    for kk in range(k_fused):
+        in_specs.append(
+            pl.BlockSpec(
+                (12, step),
+                (lambda kk: lambda r, starts: (0, starts[r, kk]))(kk),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    if any_hit:
+        kernel = functools.partial(
+            _cone_any_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused
+        )
+        occ = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(order_k.astype(jnp.int32), rays, *([cones_packed] * k_fused))
+        return occ[0, :n]
+    kernel = functools.partial(
+        _cone_closest_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused
+    )
+    t_out, cone_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(order_k.astype(jnp.int32), rays, *([cones_packed] * k_fused))
+    t = t_out[0, :n]
+    cone = cone_out[0, :n]
+    return jnp.where(cone >= 0, t, _BIG), cone
+
+
 def _cone_closest_kernel_wl(
     wl_ref, bounds_ref, rays_ref, cones_ref, t_ref, cone_ref,
     *, tblk: int, super_: int,
@@ -831,9 +968,9 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
     nsb = sbounds.shape[1]
     k = min(CONE_RESIDUAL_K if k is None else k, nsb)
     order_k, r2t, d2 = tile_sweep_order_k(org_v, sbounds, tile, k)
-    out1 = pallas_intersect_cones(
-        scene.cones_packed, scene.cone_bounds, org_v, dir_v, tmin, tmax,
-        any_hit=any_hit, starts=order_k, tile=tile, tblk=tblk, super_=super_,
+    out1 = pallas_intersect_cones_fusedk(
+        scene.cones_packed, order_k, org_v, dir_v, tmin, tmax,
+        any_hit=any_hit, tile=tile, tblk=tblk, super_=super_,
     )
     if any_hit:
         occ1 = out1

@@ -244,9 +244,11 @@ def test_cone_twopass_matches_rect():
 
     orig_cones = C.pallas_intersect_cones
     orig_wl = C.pallas_intersect_cones_wl
+    orig_fk = C.pallas_intersect_cones_fusedk
     orig_ow = PI.pallas_open_w
     C.pallas_intersect_cones = functools.partial(orig_cones, interpret=True)
     C.pallas_intersect_cones_wl = functools.partial(orig_wl, interpret=True)
+    C.pallas_intersect_cones_fusedk = functools.partial(orig_fk, interpret=True)
     PI.pallas_open_w = functools.partial(orig_ow, interpret=True)
     try:
         t_r, cone_r = orig_cones(
@@ -272,7 +274,26 @@ def test_cone_twopass_matches_rect():
             tile=256, tblk=128, super_=2, k=2,
         )
         np.testing.assert_array_equal(np.asarray(occ_t), np.asarray(occ_r))
+
+        # fused-K phase-1 kernel == rect sweep over the same order table
+        from strelka_tpu.ops.pallas_intersect import tile_sweep_order_k
+        from strelka_tpu.ops.vec import from_rows
+
+        sbounds = C._cone_super_bounds(bounds, 2)
+        order_k, _, _ = tile_sweep_order_k(from_rows(jnp.asarray(o)), sbounds, 256, 3)
+        t_fk, cone_fk = orig_fk(
+            packed, order_k, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+            tile=256, tblk=128, super_=2, interpret=True,
+        )
+        t_rk, cone_rk = orig_cones(
+            packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+            tile=256, tblk=128, super_=2, starts=order_k, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(cone_fk), np.asarray(cone_rk))
+        hk = np.asarray(cone_rk) >= 0
+        np.testing.assert_array_equal(np.asarray(t_fk)[hk], np.asarray(t_rk)[hk])
     finally:
         C.pallas_intersect_cones = orig_cones
         C.pallas_intersect_cones_wl = orig_wl
+        C.pallas_intersect_cones_fusedk = orig_fk
         PI.pallas_open_w = orig_ow
