@@ -214,7 +214,11 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
 _PHASE1_FUSED = _os.environ.get("STRELKA_PHASE1_FUSED", "1") == "1"
 
 
-def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
+def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
+                        order_k, sbounds, d2, r2t):
+    """Phase-1 closest sweep over each tile's K scheduled superblocks.
+    Returns (t, prim, open): the fused kernels compute the residual open
+    test in the same pass; the rectangular fallback runs pallas_open_w."""
     if _PHASE1_FUSED:
         if use_mxu:
             from strelka_tpu.ops.pallas_intersect import (
@@ -223,39 +227,53 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, ord
 
             return pallas_intersect_closest_fusedk_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
-                o, d, tmin, tmax, ray_mask,
+                sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
         return pallas_intersect_closest_fusedk(
-            scene.tris_packed, order_k, o, d, tmin, tmax, ray_mask,
-            exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
-            super_=scene.kernel_super,
+            scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
+            ray_mask, exclude=exclude, tile=SUPER_PATH_TILE,
+            tblk=scene.kernel_tblk, super_=scene.kernel_super,
         )
-    return _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+    from strelka_tpu.ops.pallas_intersect import pallas_open_w
+
+    t1, prim1 = _run_super_closest(
+        scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k
+    )
+    bound = jnp.minimum(t1, tmax)
+    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, SUPER_PATH_TILE)
+    return t1, prim1, open_
 
 
-def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k):
+def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
+                    order_k, sbounds, d2, r2t):
+    """Phase-1 any-hit sweep; returns (occ, open) (see _run_phase1_closest)."""
     if _PHASE1_FUSED:
         if use_mxu:
             from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk_mxu
 
             return pallas_intersect_any_fusedk_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
-                o, d, tmin, tmax, ray_mask,
+                sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
 
         return pallas_intersect_any_fusedk(
-            scene.tris_packed, order_k, o, d, tmin, tmax, ray_mask,
-            exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
-            super_=scene.kernel_super,
+            scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
+            ray_mask, exclude=exclude, tile=SUPER_PATH_TILE,
+            tblk=scene.kernel_tblk, super_=scene.kernel_super,
         )
-    return _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+    from strelka_tpu.ops.pallas_intersect import pallas_open_w
+
+    occ1 = _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+    bound = jnp.where(occ1, 0.0, tmax)
+    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, SUPER_PATH_TILE)
+    return occ1, open_
 
 
 # work-list capacity per tile for the phase-2 sweep; overflow falls back to
@@ -429,7 +447,6 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
 
 def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     from strelka_tpu.ops.pallas_intersect import (
-        pallas_open_w,
         super_bounds_jnp,
         tile_sweep_order_k,
     )
@@ -437,11 +454,10 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
-    t1, prim1 = _run_phase1_closest(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
+    t1, prim1, open_ = _run_phase1_closest(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        order_k, sbounds, d2, r2t,
     )
-    bound = jnp.minimum(t1, tmax)
-    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
     return _closest_finish(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
         sbounds, t1, prim1, open_,
@@ -479,13 +495,15 @@ def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
     nsb = sbounds.shape[1]
     n_tiles = -(-n // tile)
 
-    # --- phase 1a: K nearest superblocks per tile (rect sweep, K < RESIDUAL_K)
+    # --- phase 1a: K nearest superblocks per tile (K < RESIDUAL_K). The
+    # fused kernel's in-pass open flag uses the pre-1b bound and swept set;
+    # the tighter post-1b open test below replaces it (discarded here).
     if PRED_K > 0:
         k = min(PRED_K, nsb)
         order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, k)
-        t1, prim1 = _run_phase1_closest(
+        t1, prim1, _open_1a = _run_phase1_closest(
             scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-            order_k,
+            order_k, sbounds, d2, r2t,
         )
     else:  # pure prediction (scan option): nothing swept yet
         from strelka_tpu.ops.pallas_intersect import tile_box_d2
@@ -602,7 +620,6 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_any_wl,
         pallas_intersect_any_wl_mxu,
-        pallas_open_w,
         super_bounds_jnp,
         tile_sweep_order_k,
     )
@@ -610,11 +627,10 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
     tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
-    occ1 = _run_phase1_any(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, order_k
+    occ1, open_ = _run_phase1_any(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        order_k, sbounds, d2, r2t,
     )
-    bound = jnp.where(occ1, 0.0, tmax)
-    open_, _, _ = pallas_open_w(origins, directions, tmin, bound, sbounds, d2, r2t, tile)
     tmax2 = jnp.where(open_, tmax, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_

@@ -211,15 +211,53 @@ def _any_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: int):
-    starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2]
-    tris_refs = refs[3 : 3 + k_fused]
-    t_ref, prim_ref = refs[3 + k_fused], refs[4 + k_fused]
+def _fused_open_epilogue(rays, bound, sb_ref, d2_ref, r2_ref, *, nsb_pad, chunk=128):
+    """In-kernel residual open test (the _openw_kernel slab pass, bound =
+    the phase-1 result): open lane = any UNSWEPT valid superblock whose slab
+    entry precedes the lane's bound. Fusing it here saves a separate
+    pallas_open_w launch + ray repack per sweep."""
+    tile = rays.shape[1]
+    tminv = rays[6, :][None, :]
+    boundv = bound[None, :]
+    r2 = r2_ref[0, 0, 0]
+    inv = []
+    for c in range(3):
+        dirc = rays[3 + c, :][None, :]
+        inv.append(1.0 / jnp.where(jnp.abs(dirc) > 1e-20, dirc, 1e-20))
+    open_acc = jnp.zeros((1, tile), jnp.int32)
+    for c0 in range(0, nsb_pad, chunk):
+        c1 = min(c0 + chunk, nsb_pad)
+        m = c1 - c0
+        tnear = jnp.broadcast_to(tminv, (m, tile))
+        tfar = jnp.broadcast_to(boundv, (m, tile))
+        vb = None
+        for c in range(3):
+            o = rays[c, :][None, :]
+            lo = sb_ref[c, c0:c1][:, None]
+            hi = sb_ref[3 + c, c0:c1][:, None]
+            t0 = (lo - o) * inv[c]
+            t1 = (hi - o) * inv[c]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+            v = lo <= hi
+            vb = v if vb is None else (vb & v)
+        pass_ = (tnear <= tfar) & (tnear < boundv) & vb
+        unswept = d2_ref[0, 0, c0:c1][:, None] >= r2
+        open_acc = open_acc | jnp.any(pass_ & unswept, axis=0)[None, :].astype(jnp.int32)
+    return open_acc[0, :]
+
+
+def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
+                           k_fused: int, nsb_pad: int):
+    starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:6]
+    tris_refs = refs[6 : 6 + k_fused]
+    t_ref, prim_ref, open_ref = refs[6 + k_fused : 9 + k_fused]
     r = pl.program_id(0)
     rays = rays_ref[:, :]
     tile = rays.shape[1]
     t_ref[0, :] = rays[7, :]
     prim_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
+    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
@@ -243,16 +281,21 @@ def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused
                 best_p = jnp.where(better, blk * tblk + blk_arg, best_p)
         t_ref[0, :] = best_t
         prim_ref[0, :] = best_p
+        open_ref[0, :] = _fused_open_epilogue(
+            rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+        )
 
 
-def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: int):
-    starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2]
-    tris_refs = refs[3 : 3 + k_fused]
-    occ_ref = refs[3 + k_fused]
+def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
+                       k_fused: int, nsb_pad: int):
+    starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:6]
+    tris_refs = refs[6 : 6 + k_fused]
+    occ_ref, open_ref = refs[6 + k_fused : 8 + k_fused]
     r = pl.program_id(0)
     rays = rays_ref[:, :]
     tile = rays.shape[1]
     occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
+    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
@@ -268,23 +311,30 @@ def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int, k_fused: in
                 valid = valid & (_prim_ids(blk, tblk, tile) != excl)
                 occ = occ | jnp.any(valid, axis=0)
         occ_ref[0, :] = occ
+        # occluded lanes: bound 0 -> closed; unoccluded: full segment
+        bound = jnp.where(occ, 0.0, rays[7, :])
+        open_ref[0, :] = _fused_open_epilogue(
+            rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+        )
 
 
 def _closest_kernel_fusedk_mxu(
-    *refs, ray_mask: int, tblk: int, super_: int, chunk: int,
+    *refs, ray_mask: int, tblk: int, super_: int, chunk: int, nsb_pad: int,
     precision=None, local: bool = False,
 ):
-    bounds_ref, starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2], refs[3]
-    feats_refs = refs[4 : 4 + chunk]
-    mask_refs = refs[4 + chunk : 4 + 2 * chunk]
-    t_ref, prim_ref = refs[4 + 2 * chunk], refs[5 + 2 * chunk]
+    bounds_ref, starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:7]
+    feats_refs = refs[7 : 7 + chunk]
+    mask_refs = refs[7 + chunk : 7 + 2 * chunk]
+    t_ref, prim_ref, open_ref = refs[7 + 2 * chunk : 10 + 2 * chunk]
     r = pl.program_id(0)
     kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
 
     @pl.when(kc == 0)
     def _init():
         t_ref[:, :] = rays_ref[7, :][None, :]
         prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
 
     rays = rays_ref[:, :]
     tile = rays.shape[1]
@@ -315,21 +365,29 @@ def _closest_kernel_fusedk_mxu(
         t_ref[0, :] = best_t
         prim_ref[0, :] = best_p
 
+        @pl.when(kc == last)
+        def _open():
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
+
 
 def _any_kernel_fusedk_mxu(
-    *refs, ray_mask: int, tblk: int, super_: int, chunk: int,
+    *refs, ray_mask: int, tblk: int, super_: int, chunk: int, nsb_pad: int,
     precision=None, local: bool = False,
 ):
-    bounds_ref, starts_ref, rays_ref, excl_ref = refs[0], refs[1], refs[2], refs[3]
-    feats_refs = refs[4 : 4 + chunk]
-    mask_refs = refs[4 + chunk : 4 + 2 * chunk]
-    occ_ref = refs[4 + 2 * chunk]
+    bounds_ref, starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:7]
+    feats_refs = refs[7 : 7 + chunk]
+    mask_refs = refs[7 + chunk : 7 + 2 * chunk]
+    occ_ref, open_ref = refs[7 + 2 * chunk : 9 + 2 * chunk]
     r = pl.program_id(0)
     kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
 
     @pl.when(kc == 0)
     def _init():
         occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
 
     rays = rays_ref[:, :]
     tile = rays.shape[1]
@@ -356,11 +414,21 @@ def _any_kernel_fusedk_mxu(
                 occ = occ | jnp.any(valid, axis=0)
         occ_ref[0, :] = occ
 
+        @pl.when(kc == last)
+        def _open():
+            bound = jnp.where(occ, 0.0, rays[7, :])
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
 
-def _fusedk_mxu_specs(tile, step, chunk):
+
+def _fusedk_mxu_specs(tile, step, chunk, nsb_pad):
     specs = [
         pl.BlockSpec((8, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nsb_pad), lambda r, kc, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsb_pad), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
     ]
     for i in range(chunk):
         specs.append(
@@ -402,6 +470,9 @@ def pallas_intersect_closest_fusedk_mxu(
     mask: jnp.ndarray,  # [1, T]
     bounds: jnp.ndarray,  # [8, n_blocks]
     order_k: jnp.ndarray,  # [n_tiles, K] i32
+    sbounds: jnp.ndarray,  # [8, nsb] (open epilogue)
+    d2: jnp.ndarray,  # [n_tiles, nsb]
+    r2t: jnp.ndarray,  # [n_tiles]
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -418,7 +489,8 @@ def pallas_intersect_closest_fusedk_mxu(
     local: bool = False,
 ):
     """MXU phase-1 closest sweep, CHUNK superblocks per grid step in
-    registers (t_ref round trips cut chunk-fold) -> (t [N], prim [N])."""
+    registers, residual open test fused at the last step
+    -> (t [N], prim [N], open [N])."""
     step = tblk * super_
     order_k = _pad_order_chunk(order_k, chunk)
     n_steps = order_k.shape[1] // chunk
@@ -426,24 +498,27 @@ def pallas_intersect_closest_fusedk_mxu(
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
+    sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _closest_kernel_fusedk_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        chunk=chunk, precision=precision, local=local,
+        chunk=chunk, nsb_pad=nsb_pad, precision=precision, local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, n_steps),
-        in_specs=_fusedk_mxu_specs(tile, step, chunk),
+        in_specs=_fusedk_mxu_specs(tile, step, chunk, nsb_pad),
         out_specs=[
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
         ],
     )
-    t_out, prim_out = pl.pallas_call(
+    t_out, prim_out, open_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -456,12 +531,12 @@ def pallas_intersect_closest_fusedk_mxu(
         ),
         interpret=interpret,
     )(
-        bounds, order_k, rays, excl,
+        bounds, order_k, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
         *([feats] * chunk), *([mask] * chunk),
     )
     t = t_out[0, :n]
     prim = prim_out[0, :n]
-    return jnp.where(prim >= 0, t, _BIG), prim
+    return jnp.where(prim >= 0, t, _BIG), prim, open_out[0, :n] != 0
 
 
 @functools.partial(
@@ -473,6 +548,9 @@ def pallas_intersect_any_fusedk_mxu(
     mask: jnp.ndarray,
     bounds: jnp.ndarray,
     order_k: jnp.ndarray,  # [n_tiles, K] i32
+    sbounds: jnp.ndarray,  # [8, nsb]
+    d2: jnp.ndarray,  # [n_tiles, nsb]
+    r2t: jnp.ndarray,  # [n_tiles]
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -487,7 +565,8 @@ def pallas_intersect_any_fusedk_mxu(
     precision=None,
     local: bool = False,
 ):
-    """MXU phase-1 any-hit sweep, CHUNK superblocks per grid step -> occ [N]."""
+    """MXU phase-1 any-hit sweep, CHUNK superblocks per grid step, open test
+    fused at the last step -> (occ [N], open [N])."""
     step = tblk * super_
     order_k = _pad_order_chunk(order_k, chunk)
     n_steps = order_k.shape[1] // chunk
@@ -495,20 +574,27 @@ def pallas_intersect_any_fusedk_mxu(
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
+    sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _any_kernel_fusedk_mxu, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        chunk=chunk, precision=precision, local=local,
+        chunk=chunk, nsb_pad=nsb_pad, precision=precision, local=local,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, n_steps),
-        in_specs=_fusedk_mxu_specs(tile, step, chunk),
-        out_specs=pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        in_specs=_fusedk_mxu_specs(tile, step, chunk, nsb_pad),
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
     )
-    occ = pl.pallas_call(
+    occ, open_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -519,16 +605,39 @@ def pallas_intersect_any_fusedk_mxu(
         ),
         interpret=interpret,
     )(
-        bounds, order_k, rays, excl,
+        bounds, order_k, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
         *([feats] * chunk), *([mask] * chunk),
     )
-    return occ[0, :n]
+    return occ[0, :n], open_out[0, :n] != 0
 
 
-def _fusedk_specs(tile, step, k_fused):
+def _pad_open_inputs(sbounds, d2, n_tiles):
+    """Pad sbounds/d2 to a 128-multiple superblock count for the fused open
+    epilogue (inverted pad boxes never pass; far pad d2 is harmless)."""
+    nsb = sbounds.shape[1]
+    nsb_pad = ((nsb + 127) // 128) * 128
+    if nsb_pad != nsb:
+        pad_sb = jnp.concatenate(
+            [
+                jnp.full((3, nsb_pad - nsb), 1e30, sbounds.dtype),
+                jnp.full((3, nsb_pad - nsb), -1e30, sbounds.dtype),
+                jnp.zeros((2, nsb_pad - nsb), sbounds.dtype),
+            ]
+        )
+        sbounds = jnp.concatenate([sbounds[:8], pad_sb], axis=1)
+        d2 = jnp.concatenate(
+            [d2, jnp.full((d2.shape[0], nsb_pad - nsb), 1e30, d2.dtype)], axis=1
+        )
+    return sbounds, d2.reshape(n_tiles, 1, nsb_pad), nsb_pad
+
+
+def _fusedk_specs(tile, step, k_fused, nsb_pad):
     specs = [
         pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nsb_pad), lambda r, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsb_pad), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
     ]
     for kk in range(k_fused):
         specs.append(
@@ -547,6 +656,9 @@ def _fusedk_specs(tile, step, k_fused):
 def pallas_intersect_closest_fusedk(
     tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
     order_k: jnp.ndarray,  # [n_tiles, K] i32 (tile_sweep_order_k)
+    sbounds: jnp.ndarray,  # [8, nsb] superblock AABBs (open epilogue)
+    d2: jnp.ndarray,  # [n_tiles, nsb] tile-box distances (open: swept mask)
+    r2t: jnp.ndarray,  # [n_tiles] swept-ball radius^2
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -559,32 +671,36 @@ def pallas_intersect_closest_fusedk(
     interpret: bool = False,
 ):
     """Phase-1 closest sweep of each tile's K nearest superblocks, fused into
-    one grid step per tile -> (t [N], prim [N]); same comparisons as the
-    rectangular sweep (bit-compatible)."""
+    one grid step per tile, WITH the residual open test fused in the same
+    kernel -> (t [N], prim [N], open [N] bool); t/prim bit-compatible with
+    the rectangular sweep, open bit-compatible with pallas_open_w."""
     step = tblk * super_
     k_fused = int(order_k.shape[1])
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
+    sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _closest_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        k_fused=k_fused,
+        k_fused=k_fused, nsb_pad=nsb_pad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=_fusedk_specs(tile, step, k_fused),
+        in_specs=_fusedk_specs(tile, step, k_fused, nsb_pad),
         out_specs=[
+            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
         ],
     )
-    t_out, prim_out = pl.pallas_call(
+    t_out, prim_out, open_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -596,10 +712,13 @@ def pallas_intersect_closest_fusedk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_k.astype(jnp.int32), rays, excl, *([tris_packed] * k_fused))
+    )(
+        order_k.astype(jnp.int32), rays, excl, sbounds, d2r,
+        r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
+    )
     t = t_out[0, :n]
     prim = prim_out[0, :n]
-    return jnp.where(prim >= 0, t, _BIG), prim
+    return jnp.where(prim >= 0, t, _BIG), prim, open_out[0, :n] != 0
 
 
 @functools.partial(
@@ -608,6 +727,9 @@ def pallas_intersect_closest_fusedk(
 def pallas_intersect_any_fusedk(
     tris_packed: jnp.ndarray,
     order_k: jnp.ndarray,  # [n_tiles, K] i32
+    sbounds: jnp.ndarray,  # [8, nsb]
+    d2: jnp.ndarray,  # [n_tiles, nsb]
+    r2t: jnp.ndarray,  # [n_tiles]
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -619,27 +741,35 @@ def pallas_intersect_any_fusedk(
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
 ):
-    """Phase-1 any-hit sweep of each tile's K nearest superblocks -> occ [N]."""
+    """Phase-1 any-hit sweep of each tile's K nearest superblocks, with the
+    residual open test fused -> (occ [N], open [N])."""
     step = tblk * super_
     k_fused = int(order_k.shape[1])
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
     n_tiles = n_pad // tile
+    sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _any_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        k_fused=k_fused,
+        k_fused=k_fused, nsb_pad=nsb_pad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=_fusedk_specs(tile, step, k_fused),
-        out_specs=pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        in_specs=_fusedk_specs(tile, step, k_fused, nsb_pad),
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        ],
     )
-    occ = pl.pallas_call(
+    occ, open_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -649,8 +779,11 @@ def pallas_intersect_any_fusedk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order_k.astype(jnp.int32), rays, excl, *([tris_packed] * k_fused))
-    return occ[0, :n]
+    )(
+        order_k.astype(jnp.int32), rays, excl, sbounds, d2r,
+        r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
+    )
+    return occ[0, :n], open_out[0, :n] != 0
 
 
 # ---------------------------------------------------------------------------

@@ -563,7 +563,8 @@ def test_small_mxu_kernels_dead_tile_guard():
 def test_fusedk_phase1_matches_rect():
     """Fused-K phase-1 kernels == the rectangular K-column sweep bit-for-bit
     (same comparisons, register accumulation instead of t_ref round trips),
-    including the dead-tile guard and K < nsb partial sweeps."""
+    including the dead-tile guard, K < nsb partial sweeps, and the FUSED
+    residual open flag == pallas_open_w."""
     from strelka_tpu.ops.pallas_intersect import (
         block_bounds,
         pack_tris,
@@ -571,6 +572,7 @@ def test_fusedk_phase1_matches_rect():
         pallas_intersect_any_fusedk,
         pallas_intersect_closest,
         pallas_intersect_closest_fusedk,
+        pallas_open_w,
         super_bounds_jnp,
         tile_sweep_order_k,
     )
@@ -593,23 +595,35 @@ def test_fusedk_phase1_matches_rect():
         RAY_MASK_PRIMARY, starts=order_k, tile=256, tblk=256, super_=2,
         interpret=True,
     )
-    t_f, prim_f = pallas_intersect_closest_fusedk(
-        tris, order_k, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
-        RAY_MASK_PRIMARY, tile=256, tblk=256, super_=2, interpret=True,
+    t_f, prim_f, open_f = pallas_intersect_closest_fusedk(
+        tris, order_k, sbounds, d2, r2t, ov, dv, jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=256, super_=2,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(prim_f), np.asarray(prim_r))
     np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_r))
+    bound = jnp.minimum(jnp.where(prim_r >= 0, t_r, 1e16), jnp.asarray(tmax))
+    open_ref, _, _ = pallas_open_w(
+        ov, dv, jnp.asarray(tmin), bound, sbounds, d2, r2t, 256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(open_f), np.asarray(open_ref))
 
     occ_r = pallas_intersect_any(
         tris, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
         RAY_MASK_SHADOW, starts=order_k, tile=256, tblk=256, super_=2,
         interpret=True,
     )
-    occ_f = pallas_intersect_any_fusedk(
-        tris, order_k, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
-        RAY_MASK_SHADOW, tile=256, tblk=256, super_=2, interpret=True,
+    occ_f, aopen_f = pallas_intersect_any_fusedk(
+        tris, order_k, sbounds, d2, r2t, ov, dv, jnp.asarray(tmin),
+        jnp.asarray(tmax), RAY_MASK_SHADOW, tile=256, tblk=256, super_=2,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_r))
+    abound = jnp.where(occ_r, 0.0, jnp.asarray(tmax))
+    aopen_ref, _, _ = pallas_open_w(
+        ov, dv, jnp.asarray(tmin), abound, sbounds, d2, r2t, 256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(aopen_f), np.asarray(aopen_ref))
 
 
 def test_fusedk_mxu_phase1_matches_rect():
@@ -639,7 +653,7 @@ def test_fusedk_mxu_phase1_matches_rect():
     bounds = block_bounds(v0, e1, e2, mask, tblk=256, super_=2)
     ov, dv = from_rows(jnp.asarray(o)), from_rows(jnp.asarray(d))
     sbounds = super_bounds_jnp(bounds, 2)
-    order_k, _, _ = tile_sweep_order_k(ov, sbounds, 256, 3)  # K=3 pads to 4
+    order_k, r2t, d2 = tile_sweep_order_k(ov, sbounds, 256, 3)  # K=3 pads to 4
 
     for local in (False, True):
         if local:
@@ -653,24 +667,31 @@ def test_fusedk_mxu_phase1_matches_rect():
             RAY_MASK_PRIMARY, starts=order_k, tile=256, tblk=256, super_=2,
             interpret=True, local=local,
         )
-        t_f, prim_f = pallas_intersect_closest_fusedk_mxu(
-            feats, fmask, bounds, order_k, ov, dv, jnp.asarray(tmin),
-            jnp.asarray(tmax), RAY_MASK_PRIMARY, tile=256, tblk=256, super_=2,
-            chunk=2, interpret=True, local=local,
+        t_f, prim_f, open_f = pallas_intersect_closest_fusedk_mxu(
+            feats, fmask, bounds, order_k, sbounds, d2, r2t, ov, dv,
+            jnp.asarray(tmin), jnp.asarray(tmax), RAY_MASK_PRIMARY,
+            tile=256, tblk=256, super_=2, chunk=2, interpret=True, local=local,
         )
         np.testing.assert_array_equal(
             np.asarray(prim_f), np.asarray(prim_r), err_msg=f"local={local}"
         )
         np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_r))
+        from strelka_tpu.ops.pallas_intersect import pallas_open_w
+
+        bound = jnp.minimum(jnp.where(prim_r >= 0, t_r, 1e16), jnp.asarray(tmax))
+        open_ref, _, _ = pallas_open_w(
+            ov, dv, jnp.asarray(tmin), bound, sbounds, d2, r2t, 256, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(open_f), np.asarray(open_ref))
         occ_r = pallas_intersect_any_mxu(
             feats, fmask, bounds, ov, dv, jnp.asarray(tmin), jnp.asarray(tmax),
             RAY_MASK_SHADOW, starts=order_k, tile=256, tblk=256, super_=2,
             interpret=True, local=local,
         )
-        occ_f = pallas_intersect_any_fusedk_mxu(
-            feats, fmask, bounds, order_k, ov, dv, jnp.asarray(tmin),
-            jnp.asarray(tmax), RAY_MASK_SHADOW, tile=256, tblk=256, super_=2,
-            chunk=2, interpret=True, local=local,
+        occ_f, _aopen = pallas_intersect_any_fusedk_mxu(
+            feats, fmask, bounds, order_k, sbounds, d2, r2t, ov, dv,
+            jnp.asarray(tmin), jnp.asarray(tmax), RAY_MASK_SHADOW,
+            tile=256, tblk=256, super_=2, chunk=2, interpret=True, local=local,
         )
         np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_r))
 
