@@ -481,15 +481,19 @@ def _cone_any_kernel(
 # tile-level dead guard for the sorted tail.
 
 
-def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
-    starts_ref, rays_ref = refs[0], refs[1]
-    cones_refs = refs[2 : 2 + k_fused]
-    t_ref, cone_ref = refs[2 + k_fused], refs[3 + k_fused]
+def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
+                                nsb_pad: int):
+    from strelka_tpu.ops.pallas_intersect import _fused_open_epilogue
+
+    starts_ref, rays_ref, sb_ref, d2_ref, r2_ref = refs[0:5]
+    cones_refs = refs[5 : 5 + k_fused]
+    t_ref, cone_ref, open_ref = refs[5 + k_fused : 8 + k_fused]
     r = pl.program_id(0)
     rays = rays_ref[:, :]
     tile = rays.shape[1]
     t_ref[0, :] = rays[7, :]
     cone_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
+    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
@@ -511,16 +515,23 @@ def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
                 best_c = jnp.where(better, blk * tblk + blk_arg, best_c)
         t_ref[0, :] = best_t
         cone_ref[0, :] = best_c
+        open_ref[0, :] = _fused_open_epilogue(
+            rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+        )
 
 
-def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
-    starts_ref, rays_ref = refs[0], refs[1]
-    cones_refs = refs[2 : 2 + k_fused]
-    occ_ref = refs[2 + k_fused]
+def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
+                            nsb_pad: int):
+    from strelka_tpu.ops.pallas_intersect import _fused_open_epilogue
+
+    starts_ref, rays_ref, sb_ref, d2_ref, r2_ref = refs[0:5]
+    cones_refs = refs[5 : 5 + k_fused]
+    occ_ref, open_ref = refs[5 + k_fused : 7 + k_fused]
     r = pl.program_id(0)
     rays = rays_ref[:, :]
     tile = rays.shape[1]
     occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
+    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
@@ -533,12 +544,19 @@ def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int):
                 )
                 occ = occ | jnp.any(valid, axis=0)
         occ_ref[0, :] = occ
+        bound = jnp.where(occ, 0.0, rays[7, :])
+        open_ref[0, :] = _fused_open_epilogue(
+            rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
 def pallas_intersect_cones_fusedk(
     cones_packed: jnp.ndarray,  # [12, M]
     order_k: jnp.ndarray,  # [n_tiles, K] i32
+    sbounds: jnp.ndarray,  # [8, nsb] (fused open epilogue)
+    d2: jnp.ndarray,  # [n_tiles, nsb]
+    r2t: jnp.ndarray,  # [n_tiles]
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -549,16 +567,23 @@ def pallas_intersect_cones_fusedk(
     interpret: bool = False,
     any_hit: bool = False,
 ):
-    """Fused-K phase-1 cone sweep -> (t, cone) or occ (bit-compatible with
-    the rectangular sweep over the same order table)."""
-    from strelka_tpu.ops.pallas_intersect import _pack_rays
+    """Fused-K phase-1 cone sweep with the residual open test fused
+    -> (t, cone, open) or (occ, open); t/cone/occ bit-compatible with the
+    rectangular sweep over the same order table, open with pallas_open_w."""
+    from strelka_tpu.ops.pallas_intersect import _pack_rays, _pad_open_inputs
 
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     step = tblk * super_
     k_fused = int(order_k.shape[1])
     n_tiles = n_pad // tile
-    in_specs = [pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM)]
+    sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nsb_pad), lambda r, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsb_pad), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+    ]
     for kk in range(k_fused):
         in_specs.append(
             pl.BlockSpec(
@@ -567,27 +592,39 @@ def pallas_intersect_cones_fusedk(
                 memory_space=pltpu.VMEM,
             )
         )
+    operands = (
+        order_k.astype(jnp.int32), rays, sbounds, d2r, r2t.reshape(-1, 1, 1),
+        *([cones_packed] * k_fused),
+    )
     if any_hit:
         kernel = functools.partial(
-            _cone_any_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused
+            _cone_any_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused,
+            nsb_pad=nsb_pad,
         )
-        occ = pl.pallas_call(
+        occ, open_out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                out_specs=[
+                    pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                ],
             ),
-            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            ],
             compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(order_k.astype(jnp.int32), rays, *([cones_packed] * k_fused))
-        return occ[0, :n]
+        )(*operands)
+        return occ[0, :n], open_out[0, :n] != 0
     kernel = functools.partial(
-        _cone_closest_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused
+        _cone_closest_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused,
+        nsb_pad=nsb_pad,
     )
-    t_out, cone_out = pl.pallas_call(
+    t_out, cone_out, open_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -596,18 +633,20 @@ def pallas_intersect_cones_fusedk(
             out_specs=[
                 pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(order_k.astype(jnp.int32), rays, *([cones_packed] * k_fused))
+    )(*operands)
     t = t_out[0, :n]
     cone = cone_out[0, :n]
-    return jnp.where(cone >= 0, t, _BIG), cone
+    return jnp.where(cone >= 0, t, _BIG), cone, open_out[0, :n] != 0
 
 
 def _cone_closest_kernel_wl(
@@ -969,16 +1008,15 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
     k = min(CONE_RESIDUAL_K if k is None else k, nsb)
     order_k, r2t, d2 = tile_sweep_order_k(org_v, sbounds, tile, k)
     out1 = pallas_intersect_cones_fusedk(
-        scene.cones_packed, order_k, org_v, dir_v, tmin, tmax,
+        scene.cones_packed, order_k, sbounds, d2, r2t, org_v, dir_v, tmin, tmax,
         any_hit=any_hit, tile=tile, tblk=tblk, super_=super_,
     )
     if any_hit:
-        occ1 = out1
+        occ1, open_ = out1
         bound = jnp.where(occ1, 0.0, tmax)
     else:
-        t1, cone1 = out1
+        t1, cone1, open_ = out1
         bound = jnp.minimum(t1, tmax)
-    open_, _, _ = pallas_open_w(org_v, dir_v, tmin, bound, sbounds, d2, r2t, tile)
     tmax2 = jnp.where(open_, jnp.where(any_hit, tmax, bound), 0.0)
     perm, pos = _partition_perm(open_)
     o2, d2v, tmin2, tmax2p, _ = _gather_ray_rows(

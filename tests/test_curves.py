@@ -280,10 +280,10 @@ def test_cone_twopass_matches_rect():
         from strelka_tpu.ops.vec import from_rows
 
         sbounds = C._cone_super_bounds(bounds, 2)
-        order_k, _, _ = tile_sweep_order_k(from_rows(jnp.asarray(o)), sbounds, 256, 3)
-        t_fk, cone_fk = orig_fk(
-            packed, order_k, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
-            tile=256, tblk=128, super_=2, interpret=True,
+        order_k, r2t, d2 = tile_sweep_order_k(from_rows(jnp.asarray(o)), sbounds, 256, 3)
+        t_fk, cone_fk, open_fk = orig_fk(
+            packed, order_k, sbounds, d2, r2t, jnp.asarray(o), jnp.asarray(d),
+            tmin, tmax, tile=256, tblk=128, super_=2, interpret=True,
         )
         t_rk, cone_rk = orig_cones(
             packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
