@@ -917,38 +917,47 @@ def _openw_kernel(rays_ref, sb_ref, d2_ref, r2_ref, open_ref, w_ref, tn_ref, *, 
     beams (camera, shadow) and mixed bounce tiles alike."""
     rays = rays_ref[:, :]
     tile = rays.shape[1]
-    tminv = rays[6, :][None, :]
-    bound = rays[7, :][None, :]
-    open_acc = jnp.zeros((1, tile), jnp.int32)
-    r2 = r2_ref[0, 0, 0]
-    inv = []
-    for c in range(3):
-        dirc = rays[3 + c, :][None, :]
-        inv.append(1.0 / jnp.where(jnp.abs(dirc) > 1e-20, dirc, 1e-20))
-    for c0 in range(0, nsb_pad, chunk):
-        c1 = min(c0 + chunk, nsb_pad)
-        m = c1 - c0
-        tnear = jnp.broadcast_to(tminv, (m, tile))
-        tfar = jnp.broadcast_to(bound, (m, tile))
-        vb = None
+    # dead-tile skip: in phase-2 prep the wavefront arrives open-first
+    # partitioned, so most tail tiles carry bound <= tmin everywhere and the
+    # whole chunk loop is skippable after writing the trivial outputs
+    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
+    w_ref[0, 0, :] = jnp.zeros((nsb_pad,), jnp.int32)
+    tn_ref[0, 0, :] = jnp.full((nsb_pad,), _BIG, jnp.float32)
+
+    @pl.when(jnp.any(rays[7, :] > rays[6, :]))
+    def _live():
+        tminv = rays[6, :][None, :]
+        bound = rays[7, :][None, :]
+        open_acc = jnp.zeros((1, tile), jnp.int32)
+        r2 = r2_ref[0, 0, 0]
+        inv = []
         for c in range(3):
-            o = rays[c, :][None, :]
-            # minor-dim insertion on the f32 rows (Mosaic: only 32-bit types
-            # may insert a minor dim), bool compares AFTER insertion
-            lo = sb_ref[c, c0:c1][:, None]
-            hi = sb_ref[3 + c, c0:c1][:, None]
-            t0 = (lo - o) * inv[c]
-            t1 = (hi - o) * inv[c]
-            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-            v = lo <= hi  # inverted (empty/pad) boxes never pass
-            vb = v if vb is None else (vb & v)
-        pass_ = (tnear <= tfar) & (tnear < bound) & vb
-        w_ref[0, 0, c0:c1] = jnp.any(pass_, axis=1).astype(jnp.int32)
-        tn_ref[0, 0, c0:c1] = jnp.min(jnp.where(pass_, tnear, _BIG), axis=1)
-        unswept = d2_ref[0, 0, c0:c1][:, None] >= r2
-        open_acc = open_acc | jnp.any(pass_ & unswept, axis=0)[None, :].astype(jnp.int32)
-    open_ref[0, :] = open_acc[0, :]
+            dirc = rays[3 + c, :][None, :]
+            inv.append(1.0 / jnp.where(jnp.abs(dirc) > 1e-20, dirc, 1e-20))
+        for c0 in range(0, nsb_pad, chunk):
+            c1 = min(c0 + chunk, nsb_pad)
+            m = c1 - c0
+            tnear = jnp.broadcast_to(tminv, (m, tile))
+            tfar = jnp.broadcast_to(bound, (m, tile))
+            vb = None
+            for c in range(3):
+                o = rays[c, :][None, :]
+                # minor-dim insertion on the f32 rows (Mosaic: only 32-bit
+                # types may insert a minor dim), bool compares AFTER insertion
+                lo = sb_ref[c, c0:c1][:, None]
+                hi = sb_ref[3 + c, c0:c1][:, None]
+                t0 = (lo - o) * inv[c]
+                t1 = (hi - o) * inv[c]
+                tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+                tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+                v = lo <= hi  # inverted (empty/pad) boxes never pass
+                vb = v if vb is None else (vb & v)
+            pass_ = (tnear <= tfar) & (tnear < bound) & vb
+            w_ref[0, 0, c0:c1] = jnp.any(pass_, axis=1).astype(jnp.int32)
+            tn_ref[0, 0, c0:c1] = jnp.min(jnp.where(pass_, tnear, _BIG), axis=1)
+            unswept = d2_ref[0, 0, c0:c1][:, None] >= r2
+            open_acc = open_acc | jnp.any(pass_ & unswept, axis=0)[None, :].astype(jnp.int32)
+        open_ref[0, :] = open_acc[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
