@@ -17,6 +17,9 @@ echo "PHASE1_FUSED AB DONE"
 STRELKA_RESIDUAL_K=24 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_RESIDUAL_K=32 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "RESIDUAL_K SCAN DONE"
+# 2d. sort-once A/B (keep the bounce-1 order for later bounces)
+STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+echo "SORT_ONCE AB DONE"
 # 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
 STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || echo 'WL_MXU FAILED (continuing)'
 # 4. cornell sanity (should be unchanged ~100ms)

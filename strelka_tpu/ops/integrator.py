@@ -577,13 +577,17 @@ def trace_paths(
         and _os.environ.get("STRELKA_FLAT_COMPACT", "0") == "1"
     )
     sort_rays = sort_rays or compact_rays
+    # A/B: argsort the wavefront only at bounce 1 and keep that order for
+    # later bounces (origins drift from their sorted cells but slowly; saves
+    # ~25 ms/bounce of argsort + permutes if tile coherence holds)
+    sort_once = _os.environ.get("STRELKA_SORT_ONCE", "0") == "1"
     for depth in range(max_depth):
         pred = None
         if use_pred and depth >= 1:
             pred = _hc_predict(
                 hit_cache, _hc_hash(scene, origin, direction, hit_cache.shape[0])
             )
-        if sort_rays and depth >= 1:
+        if sort_rays and depth >= 1 and not (sort_once and depth > 1):
             if ray_id is None:
                 ray_id = jnp.arange(n, dtype=jnp.int32)
             pred_col = [pred] if pred is not None else []
