@@ -7,6 +7,10 @@ python -u -c "import time,jax; t=time.time(); print('devices', jax.devices(), '%
 # 1. correctness: capture a bounce wavefront, arbitrate vs f64 oracle
 python -u scripts/capture_bounce.py 48 || exit 2
 python -u scripts/oracle_probe.py 48 4096 || exit 3
+# 1b. auto-tune binary scheduling flags -> tuned.json (later processes,
+# including the driver's bench, default to the measured winners)
+timeout 7200 python -u scripts/tune_defaults.py || true
+echo "TUNE DEFAULTS DONE"
 # 2. perf A/B: vpu baseline vs mxu-with-local-feats e2e
 python -u scripts/mxu_box_probe.py vpu mxu || echo 'MXU AB FAILED (continuing)'
 # 2b. fused-K phase 1 (default ON) vs rectangular phase 1

@@ -1,0 +1,134 @@
+"""Auto-tune binary scheduling flags on the real chip -> tuned.json.
+
+Each flag is A/B-timed in a fresh subprocess (flags are read at import/trace
+time) on the scene class it affects; the winner is persisted via
+strelka_tpu.tuned.write so later processes — including the driver's bench —
+default to it without this session. Env vars still override everything.
+
+A variant that CRASHES (e.g. a Mosaic compile failure on this chip) simply
+loses, so an aggressive default can never sink the bench.
+
+Usage: python scripts/tune_defaults.py           # tune all flags
+       python scripts/tune_defaults.py --probe box:32   # internal timing mode
+"""
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+FLAGS = [
+    # (name, scene, baked-in default)
+    ("phase1_fused", "box:32", True),
+    ("sort_once", "box:32", False),
+    ("shadow_single", "box:32", False),
+    ("hit_predict", "box:32", False),
+    ("flat_compact", "cornell", False),
+]
+MARGIN = 0.98  # challenger must be >=2% faster than the incumbent default
+
+
+def probe(scene_name: str) -> None:
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops import integrator as I
+    from strelka_tpu.render.device_scene import build_device_scene
+    from strelka_tpu.scene import testscenes as TS
+
+    if scene_name == "cornell":
+        sh = TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
+        spp = 4
+    else:
+        sh = TS.box_field(grid=int(scene_name.split(":")[1]))
+        spp = 2
+    width = height = 512
+    scene = build_device_scene(sh)
+    cam = sh.get_camera(0)
+    cam.update_aspect_ratio(1.0)
+
+    def params_at(sub):
+        return I.LaunchParams(
+            subframe_index=jnp.int32(sub),
+            clip_to_view=jnp.asarray(cam.clip_to_view(), jnp.float32),
+            view_to_world=jnp.asarray(cam.view_to_world(), jnp.float32),
+            exposure=jnp.asarray([6.25e-4] * 3, jnp.float32),
+            bg_color=jnp.full(3, 0.1, jnp.float32),
+        )
+
+    def step(scene, params, state):
+        return I.render_launch(
+            scene, params, state, width=width, height=height,
+            samples_per_launch=spp, max_sample_count=10000, max_depth=4,
+            enable_accumulation=True,
+        )
+
+    fn = jax.jit(step, donate_argnums=(2,))
+    state = I.make_frame_state(height, width)
+    state, image = fn(scene, params_at(0), state)
+    np.asarray(image[0, 0])  # hard sync (block_until_ready unreliable on axon)
+    times = []
+    for i in range(1, 5):  # launch 1 warms caches; steady = launches 2-4
+        t0 = time.perf_counter()
+        state, image = fn(scene, params_at(i * spp), state)
+        np.asarray(image[0, 0])
+        times.append(time.perf_counter() - t0)
+    img = np.asarray(image)
+    assert np.isfinite(img).all(), "non-finite image in tuning probe"
+    print(f"MS {float(np.mean(times[1:])) * 1e3:.2f}", flush=True)
+
+
+def run_variant(flag: str, value: bool, scene: str):
+    env = dict(os.environ)
+    env["STRELKA_" + flag.upper()] = "1" if value else "0"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", __file__, "--probe", scene],
+            env=env, capture_output=True, text=True, timeout=2400,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"  {flag}={int(value)}: TIMEOUT", flush=True)
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("MS "):
+            ms = float(line.split()[1])
+            print(f"  {flag}={int(value)}: {ms:.1f} ms", flush=True)
+            return ms
+    tail = (out.stdout + out.stderr).strip().splitlines()[-3:]
+    print(f"  {flag}={int(value)}: FAILED rc={out.returncode} {' | '.join(tail)}", flush=True)
+    return None
+
+
+def main() -> None:
+    from strelka_tpu import tuned
+
+    decisions = {}
+    for flag, scene, default in FLAGS:
+        print(f"tuning {flag} on {scene} (default {default})", flush=True)
+        ms = {v: run_variant(flag, v, scene) for v in (default, not default)}
+        base, chall = ms[default], ms[not default]
+        if base is None and chall is None:
+            print(f"  {flag}: both variants failed — leaving default", flush=True)
+            continue
+        if base is None:
+            winner = not default
+        elif chall is None:
+            winner = default
+        else:
+            winner = (not default) if chall < base * MARGIN else default
+        decisions[flag] = bool(winner)
+        tuned.write({flag: bool(winner)})  # later flags tune WITH this winner
+        print(f"  -> {flag} = {winner}", flush=True)
+    print("tuned.json:", json.dumps(decisions), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--probe":
+        probe(sys.argv[2])
+    else:
+        main()

@@ -57,9 +57,11 @@ PRED_K = int(_os.environ.get("STRELKA_PRED_K", "16"))
 
 
 def enabled() -> bool:
-    """Master switch (STRELKA_HIT_PREDICT=1 opt-in until the TPU A/B lands;
+    """Master switch (STRELKA_HIT_PREDICT env, else tuned.json, else off;
     the integrator additionally requires the residual path and sort_rays)."""
-    return _os.environ.get("STRELKA_HIT_PREDICT", "0") == "1"
+    from strelka_tpu import tuned
+
+    return tuned.get_bool("hit_predict", False)
 
 
 def make_cache(n_entries: int | None = None) -> jnp.ndarray:

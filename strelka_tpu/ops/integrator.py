@@ -556,6 +556,7 @@ def trace_paths(
     from strelka_tpu.ops.hitcache import predict as _hc_predict
     from strelka_tpu.ops.hitcache import ray_hash as _hc_hash
     from strelka_tpu.ops.hitcache import update as _hc_update
+    from strelka_tpu import tuned as _tuned
     from strelka_tpu.ops.intersect import _use_flat, _use_residual
 
     use_pred = (
@@ -574,13 +575,13 @@ def trace_paths(
         not sort_rays
         and bool(getattr(scene, "use_pallas", False))
         and _use_flat(scene)
-        and _os.environ.get("STRELKA_FLAT_COMPACT", "0") == "1"
+        and _tuned.get_bool("flat_compact", False)
     )
     sort_rays = sort_rays or compact_rays
     # A/B: argsort the wavefront only at bounce 1 and keep that order for
     # later bounces (origins drift from their sorted cells but slowly; saves
     # ~25 ms/bounce of argsort + permutes if tile coherence holds)
-    sort_once = _os.environ.get("STRELKA_SORT_ONCE", "0") == "1"
+    sort_once = _tuned.get_bool("sort_once", False)
     for depth in range(max_depth):
         pred = None
         if use_pred and depth >= 1:

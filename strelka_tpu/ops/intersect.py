@@ -211,7 +211,9 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
 # (K prefetch-indexed inputs, register accumulation — no t_ref read->write
 # serialization between the K steps, no per-sub-block when-guards, which on
 # phase-1 NEAR blocks almost always pass). VPU path only; A/B toggle.
-_PHASE1_FUSED = _os.environ.get("STRELKA_PHASE1_FUSED", "1") == "1"
+from strelka_tpu import tuned as _tuned
+
+_PHASE1_FUSED = _tuned.get_bool("phase1_fused", True)
 
 
 def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
@@ -864,7 +866,7 @@ def intersect_any(
                 tblk=scene.kernel_tblk,
             )
         if _use_residual(scene):
-            if _os.environ.get("STRELKA_SHADOW_SINGLE") == "1":
+            if _tuned.get_bool("shadow_single", False):
                 return _any_wl_single(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )

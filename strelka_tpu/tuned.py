@@ -1,0 +1,49 @@
+"""Self-tuned default flags, persisted per host.
+
+The unattended TPU A/B chain (scripts/r3_tpu_ab.sh -> scripts/tune_defaults.py)
+measures each binary scheduling flag on the real chip and records the winner
+in tuned.json at the repo root. Library modules read their defaults from here
+so a flag validated after this session still takes effect in later runs
+(e.g. the driver's bench) — environment variables always win, tuned.json is
+only consulted when the variable is unset.
+
+This replaces hand-maintained per-host constants; the reference has no
+equivalent (OptiX tunes its own BVH/launch parameters inside the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_PATH = os.environ.get(
+    "STRELKA_TUNED",
+    os.path.join(os.path.dirname(__file__), "..", "tuned.json"),
+)
+
+
+def _load() -> dict:
+    try:
+        with open(_PATH) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except Exception:  # noqa: BLE001 — missing/corrupt file = no tuning
+        return {}
+
+
+def get_bool(name: str, default: bool) -> bool:
+    """Flag resolution order: STRELKA_<NAME> env var -> tuned.json -> default."""
+    env = os.environ.get("STRELKA_" + name.upper())
+    if env is not None and env != "":
+        return env == "1"
+    v = _load().get(name, default)
+    return bool(v)
+
+
+def write(updates: dict) -> None:
+    data = _load()
+    data.update(updates)
+    tmp = _PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, _PATH)
