@@ -21,6 +21,9 @@ echo "PHASE1_FUSED AB DONE"
 STRELKA_RESIDUAL_K=24 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_RESIDUAL_K=32 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "RESIDUAL_K SCAN DONE"
+# 2c'. bucket counting-sort vs argsort for the per-bounce wavefront sort
+STRELKA_BUCKET_SORT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+echo "BUCKET_SORT AB DONE"
 # 2d. sort-once A/B (keep the bounce-1 order for later bounces)
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "SORT_ONCE AB DONE"

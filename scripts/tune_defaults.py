@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 FLAGS = [
     # (name, scene, baked-in default)
     ("phase1_fused", "box:32", True),
+    ("bucket_sort", "box:32", False),
     ("sort_once", "box:32", False),
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),

@@ -457,7 +457,24 @@ def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
         group = jnp.clip(pred + 1, 0, (1 << 14) - 2).astype(jnp.uint32)
         key = (group << 18) | (key >> 9)
     key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
-    perm = jnp.argsort(key)
+    from strelka_tpu import tuned as _tuned
+
+    if (
+        pred is None
+        and getattr(scene, "use_pallas", False)
+        and _tuned.get_bool("bucket_sort", False)
+    ):
+        # Counting sort on the top 9 key bits (512 spatial groups + one dead
+        # group): the intersector only consumes the key's group structure,
+        # and stability inherits last bounce's coherence within each group.
+        # ~an order of magnitude cheaper than the full argsort per bounce
+        # (ops/bucket_sort.py).
+        from strelka_tpu.ops.bucket_sort import bucket_sort_perm
+
+        bucket = jnp.minimum(key >> 18, jnp.uint32(512)).astype(jnp.int32)
+        perm = bucket_sort_perm(bucket, 513, use_pallas=True)
+    else:
+        perm = jnp.argsort(key)
     return _permute_packed(perm, state_f32, state_bits)
 
 
