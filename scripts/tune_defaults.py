@@ -22,6 +22,7 @@ FLAGS = [
     # (name, scene, baked-in default)
     ("phase1_fused", "box:32", True),
     ("bucket_sort", "box:32", False),
+    ("ray_rounds", "box:32", False),
     ("sort_once", "box:32", False),
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),

@@ -620,8 +620,6 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
 
 def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     from strelka_tpu.ops.pallas_intersect import (
-        pallas_intersect_any_wl,
-        pallas_intersect_any_wl_mxu,
         super_bounds_jnp,
         tile_sweep_order_k,
     )
@@ -633,6 +631,22 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
         order_k, sbounds, d2, r2t,
     )
+    return _any_finish(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        sbounds, occ1, open_,
+    )
+
+
+def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
+                exclude, sbounds, occ1, open_):
+    """Shared phase-2 of the residual any sweeps: compact the open lanes,
+    work-list sweep them, merge with the phase-1 occlusion."""
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_any_wl,
+        pallas_intersect_any_wl_mxu,
+    )
+
+    tile = SUPER_PATH_TILE
     tmax2 = jnp.where(open_, tmax, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
@@ -666,6 +680,82 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
     occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
     occ2 = occ2p.astype(jnp.int32)[:, None][pos][:, 0] != 0
     return occ1 | occ2
+
+
+def _wl_sweep_fns(scene, use_mxu, ray_mask, tile):
+    """Work-list sweep callbacks (closest, any) for the grouped-rounds
+    scheduler — the same kernels the two-pass phase 2 uses."""
+    from strelka_tpu.ops.pallas_intersect import (
+        pallas_intersect_any_wl,
+        pallas_intersect_any_wl_mxu,
+        pallas_intersect_closest_wl,
+        pallas_intersect_closest_wl_mxu,
+    )
+
+    mxu = _wl_use_mxu(scene, use_mxu)
+    tb, sp = scene.kernel_tblk, scene.kernel_super
+
+    def sweep_closest(wl, o, d, tmin, tmax, excl):
+        if mxu:
+            return pallas_intersect_closest_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                o, d, tmin, tmax, ray_mask, exclude=excl,
+                tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
+            )
+        return pallas_intersect_closest_wl(
+            scene.tris_packed, scene.tri_bounds, wl, o, d, tmin, tmax,
+            ray_mask, exclude=excl, tile=tile, tblk=tb, super_=sp,
+        )
+
+    def sweep_any(wl, o, d, tmin, tmax, excl):
+        if mxu:
+            return pallas_intersect_any_wl_mxu(
+                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
+                o, d, tmin, tmax, ray_mask, exclude=excl,
+                tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
+            )
+        return pallas_intersect_any_wl(
+            scene.tris_packed, scene.tri_bounds, wl, o, d, tmin, tmax,
+            ray_mask, exclude=excl, tile=tile, tblk=tb, super_=sp,
+        )
+
+    return sweep_closest, sweep_any
+
+
+def _closest_rounds(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    """Per-ray grouped-rounds closest sweep (ops/rounds.py) + residual
+    finish for lanes the round budget left open."""
+    from strelka_tpu.ops.pallas_intersect import super_bounds_jnp
+    from strelka_tpu.ops.rounds import rounds_traverse
+
+    tile = SUPER_PATH_TILE
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    sc, sa = _wl_sweep_fns(scene, use_mxu, ray_mask, tile)
+    t1, prim1, open_ = rounds_traverse(
+        sc, sa, sbounds, origins, directions, tmin, tmax, exclude,
+        tile=tile, mode="closest",
+    )
+    return _closest_finish(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        sbounds, t1, prim1, open_,
+    )
+
+
+def _any_rounds(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
+    from strelka_tpu.ops.pallas_intersect import super_bounds_jnp
+    from strelka_tpu.ops.rounds import rounds_traverse
+
+    tile = SUPER_PATH_TILE
+    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    sc, sa = _wl_sweep_fns(scene, use_mxu, ray_mask, tile)
+    occ1, open_ = rounds_traverse(
+        sc, sa, sbounds, origins, directions, tmin, tmax, exclude,
+        tile=tile, mode="any",
+    )
+    return _any_finish(
+        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
+        sbounds, occ1, open_,
+    )
 
 
 def _tile_starts(scene, origins):
@@ -775,6 +865,10 @@ def intersect_closest(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                     exclude, pred
                 )
+            elif _tuned.get_bool("ray_rounds", False):
+                t, prim = _closest_rounds(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
+                )
             else:
                 t, prim = _closest_twopass(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
@@ -868,6 +962,10 @@ def intersect_any(
         if _use_residual(scene):
             if _tuned.get_bool("shadow_single", False):
                 return _any_wl_single(
+                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
+                )
+            if _tuned.get_bool("ray_rounds", False):
+                return _any_rounds(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
             return _any_twopass(
