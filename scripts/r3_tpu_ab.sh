@@ -28,6 +28,7 @@ echo "BUCKET_SORT AB DONE"
 STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 timeout 2400 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 STRELKA_ROUNDS=4 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 STRELKA_ROUNDS=8 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+STRELKA_RAY_ROUNDS=1 STRELKA_RAY_ROUNDS_ANY=1 STRELKA_RAY_ROUNDS_CAMERA=1 STRELKA_BUCKET_SORT=1 timeout 2400 python -u scripts/mxu_box_probe.py vpu || true
 echo "RAY_ROUNDS AB DONE"
 # 2d. sort-once A/B (keep the bounce-1 order for later bounces)
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true

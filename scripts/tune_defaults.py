@@ -23,6 +23,8 @@ FLAGS = [
     ("phase1_fused", "box:32", True),
     ("bucket_sort", "box:32", False),
     ("ray_rounds", "box:32", False),
+    ("ray_rounds_any", "box:32", False),
+    ("ray_rounds_camera", "box:32", False),
     ("sort_once", "box:32", False),
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),

@@ -857,9 +857,16 @@ def intersect_closest(
                 )
         elif _use_residual(scene):
             if shared_origin:
-                t, prim = _closest_wl_single(
-                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
-                )
+                if _tuned.get_bool("ray_rounds_camera", False):
+                    t, prim = _closest_rounds(
+                        scene, use_mxu, origins, directions, tmin, tmax,
+                        ray_mask, exclude
+                    )
+                else:
+                    t, prim = _closest_wl_single(
+                        scene, use_mxu, origins, directions, tmin, tmax,
+                        ray_mask, exclude
+                    )
             elif pred is not None:
                 t, prim = _closest_predicted(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
@@ -964,7 +971,7 @@ def intersect_any(
                 return _any_wl_single(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
-            if _tuned.get_bool("ray_rounds", False):
+            if _tuned.get_bool("ray_rounds_any", False):
                 return _any_rounds(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
