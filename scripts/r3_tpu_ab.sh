@@ -24,11 +24,11 @@ echo "RESIDUAL_K SCAN DONE"
 # 2c'. bucket counting-sort vs argsort for the per-bounce wavefront sort
 STRELKA_BUCKET_SORT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "BUCKET_SORT AB DONE"
-# 2c''. per-ray grouped-rounds traversal vs the tile-K two-pass (fact #24)
+# 2c''. per-ray grouped-rounds traversal vs the tile-K two-pass: the CPU
+# sim (scripts/rounds_sim.py) predicts a 1.9x pair-count LOSS (median 7
+# blocks enter before a hit; tile amortization wins) — one cheap
+# confirmation run only
 STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 timeout 2400 python -u scripts/mxu_box_probe.py vpu || true
-STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 STRELKA_ROUNDS=4 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
-STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 STRELKA_ROUNDS=8 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
-STRELKA_RAY_ROUNDS=1 STRELKA_RAY_ROUNDS_ANY=1 STRELKA_RAY_ROUNDS_CAMERA=1 STRELKA_BUCKET_SORT=1 timeout 2400 python -u scripts/mxu_box_probe.py vpu || true
 echo "RAY_ROUNDS AB DONE"
 # 2d. sort-once A/B (keep the bounce-1 order for later bounces)
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true

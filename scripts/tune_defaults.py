@@ -22,9 +22,8 @@ FLAGS = [
     # (name, scene, baked-in default)
     ("phase1_fused", "box:32", True),
     ("bucket_sort", "box:32", False),
-    ("ray_rounds", "box:32", False),
-    ("ray_rounds_any", "box:32", False),
-    ("ray_rounds_camera", "box:32", False),
+    # ray_rounds* stay env-only: rounds_sim.py predicts the grouped-rounds
+    # scheduler loses ~1.9x on swept pairs (chain stage 2c'' confirms)
     ("sort_once", "box:32", False),
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),
