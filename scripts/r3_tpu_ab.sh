@@ -30,6 +30,12 @@ echo "BUCKET_SORT AB DONE"
 # confirmation run only
 STRELKA_RAY_ROUNDS=1 STRELKA_BUCKET_SORT=1 timeout 2400 python -u scripts/mxu_box_probe.py vpu || true
 echo "RAY_ROUNDS AB DONE"
+# 2c'''. sched_sim-backed two-pass tiling: p2 tile 256 (+octant sub-sort),
+# p1 tile 512 — sim predicts closest path 372 -> ~247 ms equivalent
+STRELKA_P2_TILE=256 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+STRELKA_P2_TILE=256 STRELKA_P2_OCTANT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+STRELKA_P1_TILE=512 STRELKA_P2_TILE=256 STRELKA_P2_OCTANT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+echo "P2_TILE AB DONE"
 # 2d. sort-once A/B (keep the bounce-1 order for later bounces)
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "SORT_ONCE AB DONE"

@@ -28,6 +28,14 @@ FLAGS = [
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),
     ("flat_compact", "cornell", False),
+    ("p2_octant", "box:32", False),
+]
+# integer-choice knobs: (name, scene, default, alternatives). sched_sim.py
+# backs the candidates: phase-2 tile 256 cuts the open-union work ~29%,
+# phase-1 tile 512 tightens the K-ball (open 0.34 -> 0.19).
+CHOICE_FLAGS = [
+    ("p2_tile", "box:32", 1024, [256, 512]),
+    ("p1_tile", "box:32", 1024, [512]),
 ]
 MARGIN = 0.98  # challenger must be >=2% faster than the incumbent default
 
@@ -86,9 +94,11 @@ def probe(scene_name: str) -> None:
     print(f"MS {float(np.mean(times[1:])) * 1e3:.2f}", flush=True)
 
 
-def run_variant(flag: str, value: bool, scene: str):
+def run_variant(flag: str, value, scene: str):
     env = dict(os.environ)
-    env["STRELKA_" + flag.upper()] = "1" if value else "0"
+    env["STRELKA_" + flag.upper()] = (
+        ("1" if value else "0") if isinstance(value, bool) else str(value)
+    )
     try:
         out = subprocess.run(
             [sys.executable, "-u", __file__, "--probe", scene],
@@ -126,6 +136,22 @@ def main() -> None:
             winner = (not default) if chall < base * MARGIN else default
         decisions[flag] = bool(winner)
         tuned.write({flag: bool(winner)})  # later flags tune WITH this winner
+        print(f"  -> {flag} = {winner}", flush=True)
+    for flag, scene, default, alts in CHOICE_FLAGS:
+        print(f"tuning {flag} on {scene} (default {default})", flush=True)
+        ms = {v: run_variant(flag, v, scene) for v in [default] + alts}
+        base = ms[default]
+        winner = default
+        best = base if base is not None else float("inf")
+        for v in alts:
+            if ms[v] is not None and ms[v] < best * MARGIN:
+                winner, best = v, ms[v]
+        if base is None and winner == default:
+            print(f"  {flag}: default failed and no challenger won — skipping",
+                  flush=True)
+            continue
+        decisions[flag] = int(winner)
+        tuned.write({flag: int(winner)})
         print(f"  -> {flag} = {winner}", flush=True)
     print("tuned.json:", json.dumps(decisions), flush=True)
 

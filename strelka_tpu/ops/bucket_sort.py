@@ -143,6 +143,8 @@ def bucket_sort_perm(
         # one-hot reference (_pos_reference) exists for kernel equality
         # tests at small N, not as a production path.
         return jnp.argsort(bucket).astype(jnp.int32)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # pallas_call has no CPU lowering outside interpret
     n_pad = _round_up(max(n, block), block)
     nb = n_pad // block
     # padding lanes get a dedicated bucket AFTER all real ones; they also sit

@@ -167,43 +167,47 @@ def _gather_ray_rows(perm, origins, directions, tmin, tmax, exclude):
     return o, d, g(rows[6]), g(rows[7]), rows[8]
 
 
-def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
+def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
+                       tile=None):
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_closest,
         pallas_intersect_closest_mxu,
     )
 
     tb, sp = scene.kernel_tblk, scene.kernel_super
+    tile = SUPER_PATH_TILE if tile is None else tile
     if use_mxu:
         return pallas_intersect_closest_mxu(
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
-            tile=SUPER_PATH_TILE, tblk=tb, super_=sp, local=scene.tris_local,
+            tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
         )
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
         ray_mask, exclude=exclude, starts=starts,
-        tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        tile=tile, tblk=tb, super_=sp,
     )
 
 
-def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts):
+def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
+                   tile=None):
     from strelka_tpu.ops.pallas_intersect import (
         pallas_intersect_any,
         pallas_intersect_any_mxu,
     )
 
     tb, sp = scene.kernel_tblk, scene.kernel_super
+    tile = SUPER_PATH_TILE if tile is None else tile
     if use_mxu:
         return pallas_intersect_any_mxu(
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
-            tile=SUPER_PATH_TILE, tblk=tb, super_=sp, local=scene.tris_local,
+            tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
         )
     return pallas_intersect_any(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
         ray_mask, exclude=exclude, starts=starts,
-        tile=SUPER_PATH_TILE, tblk=tb, super_=sp,
+        tile=tile, tblk=tb, super_=sp,
     )
 
 
@@ -217,10 +221,11 @@ _PHASE1_FUSED = _tuned.get_bool("phase1_fused", True)
 
 
 def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
-                        order_k, sbounds, d2, r2t):
+                        order_k, sbounds, d2, r2t, tile=None):
     """Phase-1 closest sweep over each tile's K scheduled superblocks.
     Returns (t, prim, open): the fused kernels compute the residual open
     test in the same pass; the rectangular fallback runs pallas_open_w."""
+    tile = SUPER_PATH_TILE if tile is None else tile
     if _PHASE1_FUSED:
         if use_mxu:
             from strelka_tpu.ops.pallas_intersect import (
@@ -230,29 +235,30 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
             return pallas_intersect_closest_fusedk_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
-                exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+                exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
         return pallas_intersect_closest_fusedk(
             scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
-            ray_mask, exclude=exclude, tile=SUPER_PATH_TILE,
+            ray_mask, exclude=exclude, tile=tile,
             tblk=scene.kernel_tblk, super_=scene.kernel_super,
         )
     from strelka_tpu.ops.pallas_intersect import pallas_open_w
 
     t1, prim1 = _run_super_closest(
-        scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k
+        scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k, tile=tile
     )
     bound = jnp.minimum(t1, tmax)
-    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, SUPER_PATH_TILE)
+    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, tile)
     return t1, prim1, open_
 
 
 def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
-                    order_k, sbounds, d2, r2t):
+                    order_k, sbounds, d2, r2t, tile=None):
     """Phase-1 any-hit sweep; returns (occ, open) (see _run_phase1_closest)."""
+    tile = SUPER_PATH_TILE if tile is None else tile
     if _PHASE1_FUSED:
         if use_mxu:
             from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk_mxu
@@ -260,21 +266,22 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
             return pallas_intersect_any_fusedk_mxu(
                 scene.tris_feats, scene.tris_mask, scene.tri_bounds, order_k,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
-                exclude=exclude, tile=SUPER_PATH_TILE, tblk=scene.kernel_tblk,
+                exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
 
         return pallas_intersect_any_fusedk(
             scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
-            ray_mask, exclude=exclude, tile=SUPER_PATH_TILE,
+            ray_mask, exclude=exclude, tile=tile,
             tblk=scene.kernel_tblk, super_=scene.kernel_super,
         )
     from strelka_tpu.ops.pallas_intersect import pallas_open_w
 
-    occ1 = _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, order_k)
+    occ1 = _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
+                          order_k, tile=tile)
     bound = jnp.where(occ1, 0.0, tmax)
-    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, SUPER_PATH_TILE)
+    open_, _, _ = pallas_open_w(o, d, tmin, bound, sbounds, d2, r2t, tile)
     return occ1, open_
 
 
@@ -307,6 +314,41 @@ def _wl_use_mxu(scene, use_mxu: bool) -> bool:
     return use_mxu
 
 
+def _p2_tile() -> int:
+    """Phase-2 work-list tile size. sched_sim.py: open bounce lanes are
+    incoherent, so smaller tiles shrink each tile's W union faster than the
+    extra pair bookkeeping costs (1433 -> 1014 units at 256 on box_field)."""
+    return _tuned.get_int("p2_tile", SUPER_PATH_TILE)
+
+
+def _p1_tile() -> int:
+    """Phase-1 two-pass tile size: smaller tiles carry tighter K-balls
+    (open 0.34 -> 0.19 at 512 on box_field, sched_sim.py) at ~flat phase-1
+    flops. Below 512 the SMEM order table ([n_tiles, K] lane-pads K to 128)
+    overflows at 0.5M-ray launches — the tuner treats that crash as a loss."""
+    return _tuned.get_int("p1_tile", SUPER_PATH_TILE)
+
+
+def _open_partition(open_, directions):
+    """Open-first stable partition; with tuned p2_octant the open segment is
+    additionally grouped by direction octant (sched_sim.py: octant-pure
+    phase-2 tiles shrink the W union another ~10%). Returns (perm, pos)."""
+    if _tuned.get_bool("p2_octant", False):
+        from strelka_tpu.ops.bucket_sort import bucket_sort_perm
+
+        octant = (
+            (directions.x > 0).astype(jnp.int32)
+            | ((directions.y > 0).astype(jnp.int32) << 1)
+            | ((directions.z > 0).astype(jnp.int32) << 2)
+        )
+        key = jnp.where(open_, octant, 8)
+        perm = bucket_sort_perm(key, 9, use_pallas=True)
+        n = open_.shape[0]
+        pos = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+        return perm, pos
+    return _partition_perm(open_)
+
+
 def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open_):
     """Shared phase-2 setup: partition open rays to the front, permute the
     wavefront, and build the (tile, superblock) work list."""
@@ -316,8 +358,8 @@ def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open
         tile_box_d2,
     )
 
-    tile = SUPER_PATH_TILE
-    perm, pos = _partition_perm(open_)
+    tile = _p2_tile()
+    perm, pos = _open_partition(open_, directions)
     o2, d2v, tmin2, tmax2p, excl2 = _gather_ray_rows(
         perm, origins, directions, tmin, tmax2, exclude
     )
@@ -405,7 +447,7 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         pallas_intersect_closest_wl_mxu,
     )
 
-    tile = SUPER_PATH_TILE
+    tile = _p2_tile()
     bound = jnp.minimum(t1, tmax)
     tmax2 = jnp.where(open_, bound, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
@@ -434,7 +476,8 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
     def rect_path(_):
         starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
         return _run_super_closest(
-            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2
+            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
+            tile=tile,
         )
 
     t2p, prim2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
@@ -453,12 +496,12 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
         tile_sweep_order_k,
     )
 
-    tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    tile = _p1_tile()
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
     t1, prim1, open_ = _run_phase1_closest(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        order_k, sbounds, d2, r2t,
+        order_k, sbounds, d2, r2t, tile=tile,
     )
     return _closest_finish(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
@@ -624,12 +667,12 @@ def _any_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, excl
         tile_sweep_order_k,
     )
 
-    tile = SUPER_PATH_TILE
     sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+    tile = _p1_tile()
     order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, RESIDUAL_K)
     occ1, open_ = _run_phase1_any(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        order_k, sbounds, d2, r2t,
+        order_k, sbounds, d2, r2t, tile=tile,
     )
     return _any_finish(
         scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
@@ -646,7 +689,7 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         pallas_intersect_any_wl_mxu,
     )
 
-    tile = SUPER_PATH_TILE
+    tile = _p2_tile()
     tmax2 = jnp.where(open_, tmax, 0.0)
     pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited = _phase2_prep(
         scene, origins, directions, tmin, tmax2, exclude, sbounds, open_
@@ -674,7 +717,8 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
     def rect_path(_):
         starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
         return _run_super_any(
-            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2
+            scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
+            tile=tile,
         )
 
     occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)

@@ -40,6 +40,15 @@ def get_bool(name: str, default: bool) -> bool:
     return bool(v)
 
 
+def get_int(name: str, default: int) -> int:
+    """Same resolution order as get_bool, for integer-choice knobs."""
+    env = os.environ.get("STRELKA_" + name.upper())
+    if env is not None and env != "":
+        return int(env)
+    v = _load().get(name, default)
+    return int(v)
+
+
 def write(updates: dict) -> None:
     data = _load()
     data.update(updates)

@@ -63,3 +63,29 @@ def test_fallback_is_stable_argsort():
     key = rng.integers(0, 64, 3000).astype(np.int32)
     perm = bucket_sort_perm(jnp.asarray(key), 64, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(perm), np.argsort(key, kind="stable"))
+
+
+def test_open_partition_octant_groups():
+    """_open_partition with p2_octant: open lanes first grouped by direction
+    octant (stable within groups), closed lanes at the tail."""
+    import os
+    from strelka_tpu.ops.intersect import _open_partition
+    from strelka_tpu.ops.vec import Vec3
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    open_ = jnp.asarray(rng.random(n) < 0.3)
+    d = rng.standard_normal((3, n)).astype(np.float32)
+    dv = Vec3(jnp.asarray(d[0]), jnp.asarray(d[1]), jnp.asarray(d[2]))
+    os.environ["STRELKA_P2_OCTANT"] = "1"
+    try:
+        perm, pos = _open_partition(open_, dv)
+    finally:
+        del os.environ["STRELKA_P2_OCTANT"]
+    perm_np, pos_np = np.asarray(perm), np.asarray(pos)
+    # pos is the inverse of perm
+    np.testing.assert_array_equal(perm_np[pos_np], np.arange(n))
+    octant = (d[0] > 0) | ((d[1] > 0) << 1) | ((d[2] > 0) << 2)
+    key = np.where(np.asarray(open_), octant, 8)
+    expect = np.argsort(key, kind="stable")
+    np.testing.assert_array_equal(perm_np, expect)
