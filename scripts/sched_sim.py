@@ -243,3 +243,97 @@ for t1 in (1024, 512, 256):
         w2x = union_pass(ordx, ox, bx, 256)
         print(f"P5 t1={t1:<4d} K={k:<2d}      : phase1={w1x:.0f} phase2={w2x:.0f} "
               f"total={w1x + w2x:.0f} open={ox[okn].mean():.3f}")
+
+# P6: demand-vote ball — each lane votes for its M nearest along-ray blocks
+# (by slab entry), tile sweeps the K most-voted. vs distance ball at same K.
+def ball_pass_vote(perm_order, alive_mask, bound, tile, M):
+    nt = -(-N // tile)
+    work = 0
+    bound = bound.copy()
+    openm = np.zeros(N, bool)
+    for ti in range(nt):
+        lanes = perm_order[ti * tile : (ti + 1) * tile]
+        lv = alive_mask[lanes]
+        if not lv.any():
+            continue
+        tn_l = np.where(passes[lanes] & lv[:, None], tn[lanes], np.inf)
+        # each lane's M smallest entries vote
+        part = np.argpartition(tn_l, min(M, nsb - 1), axis=1)[:, :M]
+        votes = np.zeros(nsb, np.int64)
+        valid_vote = np.take_along_axis(np.isfinite(tn_l), part, axis=1)
+        np.add.at(votes, part[valid_vote], 1)
+        swept = np.zeros(nsb, bool)
+        swept[np.argsort(-votes)[:K]] = True
+        work += min(K, nsb)
+        hs = SBH[lanes]
+        found = (hs >= 0) & swept[np.clip(hs, 0, nsb - 1)] & lv
+        bound[lanes[found]] = np.minimum(bound[lanes[found]], T[lanes[found]])
+        om = ((~swept[None, :]) & passes[lanes]
+              & (tn[lanes] < bound[lanes][:, None])).any(1)
+        openm[lanes] = om & lv
+    return work * (tile / 1024.0), bound, openm
+
+for t1 in (1024, 512):
+    for m in (1, 2, 4):
+        K = 16
+        w1v, bv, ov = ball_pass_vote(PERM, alive, inf_bound, t1, m)
+        ordv = compact(ov, PERM, octant_sub=True)
+        w2v = union_pass(ordv, ov, bv, 256)
+        print(f"P6 vote t1={t1:<4d} M={m} : phase1={w1v:.0f} phase2={w2v:.0f} "
+              f"total={w1v + w2v:.0f} open={ov[okn].mean():.3f}")
+
+# P7: iterated shells with per-lane swept-set tracking — shell s runs the
+# K-ball on the re-compacted open lanes only; lanes close as the union of
+# everything their tiles ever swept covers their pre-hit corridor.
+def shells(t1, K_, S, t2):
+    swept_lane = np.zeros((N, nsb), bool)
+    bound = inf_bound.copy()
+    order_now = PERM
+    open_now = okn.copy()
+    total = 0.0
+    for s in range(S):
+        nt = -(-N // t1)
+        work = 0
+        for ti in range(nt):
+            lanes = order_now[ti * t1 : (ti + 1) * t1]
+            lv = open_now[lanes]
+            if not lv.any():
+                continue
+            mo = O[lanes][lv].mean(axis=0)
+            d2 = np.square(np.maximum(sb_lo - mo, 0) + np.minimum(sb_hi - mo, 0)).sum(1)
+            d2 = np.where(sb_valid, d2, 1e30)
+            # next-K: nearest K blocks NOT yet swept by most lanes — use the
+            # tile's majority swept set (lanes re-tiled so sets align)
+            maj = swept_lane[lanes][lv].mean(0) > 0.5
+            d2s = np.where(maj, 1e30, d2)
+            ko = np.argsort(d2s)[: min(K_, nsb)]
+            work += min(K_, nsb)
+            swept_lane[lanes[:, None], ko[None, :]] |= True
+            hs = SBH[lanes]
+            found = (hs >= 0) & np.isin(hs, ko) & lv
+            bound[lanes[found]] = np.minimum(bound[lanes[found]], T[lanes[found]])
+            om = ((~swept_lane[lanes]) & passes[lanes]
+                  & (tn[lanes] < bound[lanes][:, None])).any(1)
+            open_now[lanes] = om & lv
+        total += work * (t1 / 1024.0)
+        print(f"  P7 shell {s}: work={work * (t1 / 1024.0):.0f} "
+              f"open={open_now[okn].mean():.3f}")
+        order_now = compact(open_now, order_now, octant_sub=True)
+    # final union on remaining open
+    nt2 = -(-N // t2)
+    w2 = 0
+    for ti in range(nt2):
+        lanes = order_now[ti * t2 : (ti + 1) * t2]
+        lv = open_now[lanes]
+        if not lv.any():
+            continue
+        W = ((~swept_lane[lanes]) & passes[lanes]
+             & (tn[lanes] < bound[lanes][:, None]) & lv[:, None]).any(0)
+        w2 += W.sum()
+    w2 *= t2 / 1024.0
+    print(f"  P7 t1={t1} K={K_} S={S}: shells={total:.0f} union={w2:.0f} "
+          f"total={total + w2:.0f} (+{S} sorts)")
+
+shells(512, 16, 2, 256)
+shells(512, 16, 3, 256)
+shells(512, 8, 3, 256)
