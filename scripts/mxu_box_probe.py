@@ -1,10 +1,13 @@
 """A/B: VPU vs MXU intersector on box_field e2e (bounce sweeps are
 MT-flop-bound per NOTES #24 -> MXU's raw matmul throughput should win there
 even though VPU wins camera-coherent culled sweeps)."""
-import sys, time
+import os, sys, time
 import numpy as np
 sys.path.insert(0, ".")
 import jax, jax.numpy as jnp
+
+_flags = {k: v for k, v in os.environ.items() if k.startswith("STRELKA_")}
+print(f"env: {_flags}", flush=True)
 from strelka_tpu.ops import integrator as I
 from strelka_tpu.render.device_scene import build_device_scene
 from strelka_tpu.scene.testscenes import box_field
