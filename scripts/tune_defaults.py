@@ -29,6 +29,9 @@ FLAGS = [
     ("hit_predict", "box:32", False),
     ("flat_compact", "cornell", False),
     ("p2_octant", "box:32", False),
+    # flips big scenes to the MXU local-feats intersector; the mean-image
+    # guard below rejects it if the numerics drift (oracle also checks)
+    ("mxu_big", "box:32", False),
 ]
 # integer-choice knobs: (name, scene, default, alternatives). sched_sim.py
 # backs the candidates: phase-2 tile 256 cuts the open-union work ~29%,
@@ -91,7 +94,8 @@ def probe(scene_name: str) -> None:
         times.append(time.perf_counter() - t0)
     img = np.asarray(image)
     assert np.isfinite(img).all(), "non-finite image in tuning probe"
-    print(f"MS {float(np.mean(times[1:])) * 1e3:.2f}", flush=True)
+    print(f"MS {float(np.mean(times[1:])) * 1e3:.2f} MEAN {float(img.mean()):.6f}",
+          flush=True)
 
 
 def run_variant(flag: str, value, scene: str):
@@ -109,11 +113,13 @@ def run_variant(flag: str, value, scene: str):
         return None
     for line in out.stdout.splitlines():
         if line.startswith("MS "):
-            ms = float(line.split()[1])
-            print(f"  {flag}={int(value)}: {ms:.1f} ms", flush=True)
-            return ms
+            parts = line.split()
+            ms = float(parts[1])
+            mean = float(parts[3]) if len(parts) > 3 else None
+            print(f"  {flag}={value}: {ms:.1f} ms mean={mean}", flush=True)
+            return ms, mean
     tail = (out.stdout + out.stderr).strip().splitlines()[-3:]
-    print(f"  {flag}={int(value)}: FAILED rc={out.returncode} {' | '.join(tail)}", flush=True)
+    print(f"  {flag}={value}: FAILED rc={out.returncode} {' | '.join(tail)}", flush=True)
     return None
 
 
@@ -123,8 +129,8 @@ def main() -> None:
     decisions = {}
     for flag, scene, default in FLAGS:
         print(f"tuning {flag} on {scene} (default {default})", flush=True)
-        ms = {v: run_variant(flag, v, scene) for v in (default, not default)}
-        base, chall = ms[default], ms[not default]
+        res = {v: run_variant(flag, v, scene) for v in (default, not default)}
+        base, chall = res[default], res[not default]
         if base is None and chall is None:
             print(f"  {flag}: both variants failed — leaving default", flush=True)
             continue
@@ -133,19 +139,37 @@ def main() -> None:
         elif chall is None:
             winner = default
         else:
-            winner = (not default) if chall < base * MARGIN else default
+            same_image = (
+                base[1] is None or chall[1] is None
+                or abs(chall[1] - base[1]) <= 0.02 * max(abs(base[1]), 1e-6)
+            )
+            winner = (
+                (not default)
+                if (chall[0] < base[0] * MARGIN and same_image)
+                else default
+            )
+            if not same_image:
+                print(f"  {flag}: challenger image mean drifted "
+                      f"({base[1]:.6f} -> {chall[1]:.6f}) — rejected", flush=True)
         decisions[flag] = bool(winner)
         tuned.write({flag: bool(winner)})  # later flags tune WITH this winner
         print(f"  -> {flag} = {winner}", flush=True)
     for flag, scene, default, alts in CHOICE_FLAGS:
         print(f"tuning {flag} on {scene} (default {default})", flush=True)
-        ms = {v: run_variant(flag, v, scene) for v in [default] + alts}
-        base = ms[default]
+        res = {v: run_variant(flag, v, scene) for v in [default] + alts}
+        base = res[default]
         winner = default
-        best = base if base is not None else float("inf")
+        best = base[0] if base is not None else float("inf")
+        bmean = base[1] if base is not None else None
         for v in alts:
-            if ms[v] is not None and ms[v] < best * MARGIN:
-                winner, best = v, ms[v]
+            if res[v] is None:
+                continue
+            same_image = (
+                bmean is None or res[v][1] is None
+                or abs(res[v][1] - bmean) <= 0.02 * max(abs(bmean), 1e-6)
+            )
+            if res[v][0] < best * MARGIN and same_image:
+                winner, best = v, res[v][0]
         if base is None and winner == default:
             print(f"  {flag}: default failed and no challenger won — skipping",
                   flush=True)

@@ -515,7 +515,16 @@ def build_device_scene(
             # MXU matmul MT wins on small scenes (dense, culling moot); the
             # VPU form wins on big culled scenes (smaller per-pass fixed cost
             # + 5x less triangle DMA). Crossover measured on v5e (round 2).
-            intersector = "mxu" if num_tri <= 65536 else "vpu"
+            # mxu_big (tuned/env): superblock-LOCAL feature anchoring made
+            # bf16x3 exact at any world scale (round 3) — once the f64
+            # oracle A/B validates it on hardware, the tuner flips big
+            # scenes to the MXU's ~50x matmul flop ceiling.
+            from strelka_tpu import tuned as _tuned
+
+            if num_tri > 65536 and _tuned.get_bool("mxu_big", False):
+                intersector = "mxu"
+            else:
+                intersector = "mxu" if num_tri <= 65536 else "vpu"
     log.info(
         "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,
