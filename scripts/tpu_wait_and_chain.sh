@@ -9,6 +9,7 @@ PROBE_PID_F=/tmp/tpu_probe.pid
 CHAIN_LOG=/tmp/r3_ab6.log
 
 start_probe() {
+  # "> log" truncates: no stale 'matmul ok' from an earlier run can gate
   nohup python -u -c "
 import time
 t0=time.time()
@@ -22,6 +23,13 @@ print('matmul ok', float(np.asarray(x)[0,0]), time.time()-t0, flush=True)
 " > "$PROBE_LOG" 2>&1 &
   echo $! > "$PROBE_PID_F"
 }
+
+# startup: adopt a LIVE probe (its log is current); otherwise start fresh so
+# the gate below never reads a previous run's log
+pid=$(cat "$PROBE_PID_F" 2>/dev/null)
+if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
+  start_probe
+fi
 
 n=0
 while true; do

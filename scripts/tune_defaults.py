@@ -28,7 +28,6 @@ FLAGS = [
     ("shadow_single", "box:32", False),
     ("hit_predict", "box:32", False),
     ("flat_compact", "cornell", False),
-    ("p2_octant", "box:32", False),
     # flips big scenes to the MXU local-feats intersector; the mean-image
     # guard below rejects it if the numerics drift (oracle also checks)
     ("mxu_big", "box:32", False),
@@ -39,6 +38,11 @@ FLAGS = [
 CHOICE_FLAGS = [
     ("p2_tile", "box:32", 1024, [256, 512]),
     ("p1_tile", "box:32", 1024, [512]),
+]
+# re-tested AFTER the choice flags: octant sub-grouping's win materializes
+# at p2 tile 256 (NOTES #29) and would be locked out if only tried at 1024
+POST_FLAGS = [
+    ("p2_octant", "box:32", False),
 ]
 MARGIN = 0.98  # challenger must be >=2% faster than the incumbent default
 
@@ -123,17 +127,16 @@ def run_variant(flag: str, value, scene: str):
     return None
 
 
-def main() -> None:
-    from strelka_tpu import tuned
-
-    decisions = {}
-    for flag, scene, default in FLAGS:
+def tune_bool(flag, scene, default, decisions, tuned):
         print(f"tuning {flag} on {scene} (default {default})", flush=True)
         res = {v: run_variant(flag, v, scene) for v in (default, not default)}
         base, chall = res[default], res[not default]
+        if base is None and chall is not None:
+            print(f"  {flag}: baseline failed — retrying once", flush=True)
+            base = run_variant(flag, default, scene)
         if base is None and chall is None:
             print(f"  {flag}: both variants failed — leaving default", flush=True)
-            continue
+            return
         if base is None:
             winner = not default
         elif chall is None:
@@ -154,6 +157,14 @@ def main() -> None:
         decisions[flag] = bool(winner)
         tuned.write({flag: bool(winner)})  # later flags tune WITH this winner
         print(f"  -> {flag} = {winner}", flush=True)
+
+
+def main() -> None:
+    from strelka_tpu import tuned
+
+    decisions = {}
+    for flag, scene, default in FLAGS:
+        tune_bool(flag, scene, default, decisions, tuned)
     for flag, scene, default, alts in CHOICE_FLAGS:
         print(f"tuning {flag} on {scene} (default {default})", flush=True)
         res = {v: run_variant(flag, v, scene) for v in [default] + alts}
@@ -177,6 +188,8 @@ def main() -> None:
         decisions[flag] = int(winner)
         tuned.write({flag: int(winner)})
         print(f"  -> {flag} = {winner}", flush=True)
+    for flag, scene, default in POST_FLAGS:
+        tune_bool(flag, scene, default, decisions, tuned)
     print("tuned.json:", json.dumps(decisions), flush=True)
 
 

@@ -145,6 +145,8 @@ def bucket_sort_perm(
         return jnp.argsort(bucket).astype(jnp.int32)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # pallas_call has no CPU lowering outside interpret
+    if block % chunk:
+        raise ValueError(f"block ({block}) must be a multiple of chunk ({chunk})")
     n_pad = _round_up(max(n, block), block)
     nb = n_pad // block
     # padding lanes get a dedicated bucket AFTER all real ones; they also sit

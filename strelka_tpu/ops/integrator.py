@@ -384,11 +384,7 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
     mx = _spread3(q(position.x, lo[0], hi[0]))
     my = _spread3(q(position.y, lo[1], hi[1]))
     mz = _spread3(q(position.z, lo[2], hi[2]))
-    octant = (
-        (direction.x > 0).astype(jnp.uint32)
-        | ((direction.y > 0).astype(jnp.uint32) << 1)
-        | ((direction.z > 0).astype(jnp.uint32) << 2)
-    )
+    octant = V.octant(direction).astype(jnp.uint32)
     morton = mx | (my << 1) | (mz << 2)  # 24 bits (8/axis)
     if _os.environ.get("STRELKA_KEY_OCTANT_MAJOR") == "1":
         # direction-octant-major: tiles become direction-pure, so blocks

@@ -336,12 +336,7 @@ def _open_partition(open_, directions):
     if _tuned.get_bool("p2_octant", False):
         from strelka_tpu.ops.bucket_sort import bucket_sort_perm
 
-        octant = (
-            (directions.x > 0).astype(jnp.int32)
-            | ((directions.y > 0).astype(jnp.int32) << 1)
-            | ((directions.z > 0).astype(jnp.int32) << 2)
-        )
-        key = jnp.where(open_, octant, 8)
+        key = jnp.where(open_, V.octant(directions), 8)
         perm = bucket_sort_perm(key, 9, use_pallas=True)
         n = open_.shape[0]
         pos = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))

@@ -163,6 +163,7 @@ def rounds_traverse(
         jnp.full(n, -1.0, jnp.float32),          # thresh (entries are >= 0)
         jnp.full(n, -1, jnp.int32),              # last block id at thresh
         jnp.arange(n, dtype=jnp.int32),          # original lane index
+        jnp.int32(0),                            # stalled (wl overflow latch)
     )
 
     lane_tile = (jnp.arange(n, dtype=jnp.int32) // tile).astype(jnp.int32)
@@ -173,7 +174,13 @@ def rounds_traverse(
         return jnp.minimum(best_t, tmax_)
 
     def round_body(st, _):
-        (ox, oy, oz, dx, dy, dz, tn_, tx_, ex_, bt, pr, th, la, og) = st
+        # a round whose demand overflowed the work-list cap would recompute
+        # the IDENTICAL demand forever — latch `stalled` and short-circuit
+        # the remaining rounds (the residual finish handles everything)
+        return jax.lax.cond(st[-1] == 0, _round_live, lambda s: s, st), None
+
+    def _round_live(st):
+        (ox, oy, oz, dx, dy, dz, tn_, tx_, ex_, bt, pr, th, la, og, _stall) = st
         o = Vec3(ox, oy, oz)
         d = Vec3(dx, dy, dz)
         bound = bound_of(bt, tx_, pr)
@@ -228,10 +235,10 @@ def rounds_traverse(
         th3 = jnp.where(adv, tnx2, th2)
         la3 = jnp.where(adv, as2, la2)
         return (ox2, oy2, oz2, dx2, dy2, dz2, tn2, tx2, ex2, bt3, pr3,
-                th3, la3, og2), None
+                th3, la3, og2, jnp.where(fits, 0, 1).astype(jnp.int32))
 
     state, _ = jax.lax.scan(round_body, state, None, length=n_rounds)
-    (ox, oy, oz, dx, dy, dz, tn_, tx_, ex_, bt, pr, th, la, og) = state
+    (ox, oy, oz, dx, dy, dz, tn_, tx_, ex_, bt, pr, th, la, og, _stall) = state
     bound = bound_of(bt, tx_, pr)
     tn_left, _ = ray_next_block(
         Vec3(ox, oy, oz), Vec3(dx, dy, dz), tn_, bound, sbounds, th, la

@@ -176,3 +176,14 @@ def matvec(m, v: Vec3, w=None) -> Vec3:
         for i in range(3)
     ]
     return Vec3(*out)
+
+
+def octant(d: Vec3) -> jnp.ndarray:
+    """Direction octant id [0, 8): bit c set iff component c is positive.
+    The ONE encoding shared by the wavefront sort key and the phase-2
+    octant sub-grouping — keep them in lockstep."""
+    return (
+        (d.x > 0).astype(jnp.int32)
+        | ((d.y > 0).astype(jnp.int32) << 1)
+        | ((d.z > 0).astype(jnp.int32) << 2)
+    )

@@ -521,10 +521,11 @@ def build_device_scene(
             # scenes to the MXU's ~50x matmul flop ceiling.
             from strelka_tpu import tuned as _tuned
 
-            if num_tri > 65536 and _tuned.get_bool("mxu_big", False):
-                intersector = "mxu"
-            else:
-                intersector = "mxu" if num_tri <= 65536 else "vpu"
+            intersector = (
+                "mxu"
+                if num_tri <= 65536 or _tuned.get_bool("mxu_big", False)
+                else "vpu"
+            )
     log.info(
         "Device scene: {} triangles ({} padded), {} lights, {} materials{}",
         num_tri,
