@@ -15,7 +15,7 @@ Policies:
   P4 ball-prune  : phase-1 skips ball pairs where NO lane in the tile passes
                    the slab test (sound: such pairs can't close/open anything)
 
-Usage: python scripts/sched_sim.py [grid] [res]
+Usage: python scripts/sched_sim.py [grid-int | bench scene name] [res]
 """
 import sys
 
@@ -39,14 +39,19 @@ from strelka_tpu.ops.vec import Vec3
 from strelka_tpu.render.device_scene import RAY_MASK_PRIMARY, build_device_scene
 from strelka_tpu.scene.testscenes import box_field
 
-grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+SCENE = sys.argv[1] if len(sys.argv) > 1 else "48"  # grid int OR bench scene name
 RES = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 TBLK, SUPER = 256, 8
 SB_SIZE = TBLK * SUPER
 TILE = 1024
 K = 16
 
-sh = box_field(grid=grid)
+if SCENE.isdigit():
+    sh = box_field(grid=int(SCENE))
+else:
+    import bench
+
+    sh = bench.build_host_scene(SCENE)
 scene = build_device_scene(sh)
 cam = sh.get_camera(0)
 cam.update_aspect_ratio(1.0)
