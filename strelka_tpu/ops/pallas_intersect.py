@@ -1526,9 +1526,11 @@ def tile_sweep_order_k(origins, sbounds, tile: int, k: int):
     d2 = tile_box_d2(origins, sbounds, tile)
     nsb = d2.shape[1]
     kk = min(k, nsb)
-    order = jnp.argsort(d2, axis=1).astype(jnp.int32)[:, :kk]
-    d2s = jnp.sort(d2, axis=1)
-    return order, d2s[:, kk - 1], d2
+    # top_k of -d2 = the K smallest, ties broken by lower index — the same
+    # selection a stable ascending argsort makes, at O(nsb log K) instead of
+    # a full [n_tiles, nsb] sort pair (two of these run per sweep prep)
+    neg_vals, order = jax.lax.top_k(-d2, kk)
+    return order.astype(jnp.int32), -neg_vals[:, kk - 1], d2
 
 
 def residual_open(

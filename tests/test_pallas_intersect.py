@@ -817,3 +817,28 @@ def test_local_feats_flat_kernels():
         tile=256, tblk=128, interpret=True, local=True,
     )
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf.prim) >= 0)
+
+
+def test_tile_sweep_order_topk_matches_argsort():
+    """tile_sweep_order_k's lax.top_k selection == stable-argsort first-K,
+    including exact distance ties (several blocks containing the origin all
+    quantize to d2=0) and the K-th-smallest threshold."""
+    from strelka_tpu.ops.pallas_intersect import tile_box_d2, tile_sweep_order_k
+    from strelka_tpu.ops.vec import from_rows
+
+    rng = np.random.default_rng(17)
+    n, nsb, tile, k = 1024, 40, 256, 7
+    o = (rng.random((n, 3), np.float32) - 0.5) * 10.0
+    lo = (rng.random((nsb, 3), np.float32) - 0.5) * 12.0
+    hi = lo + rng.random((nsb, 3), np.float32) * 6.0  # several contain origins
+    sbounds = jnp.asarray(
+        np.concatenate([lo.T, hi.T, np.zeros((2, nsb), np.float32)], axis=0)
+    )
+    ov = from_rows(jnp.asarray(o))
+    order, r2t, d2 = tile_sweep_order_k(ov, sbounds, tile, k)
+    d2_np = np.asarray(tile_box_d2(ov, sbounds, tile))
+    expect_order = np.argsort(d2_np, axis=1, kind="stable")[:, :k]
+    expect_r2t = np.sort(d2_np, axis=1)[:, k - 1]
+    np.testing.assert_array_equal(np.asarray(order), expect_order)
+    np.testing.assert_array_equal(np.asarray(r2t), expect_r2t)
+    assert (d2_np == 0).any(), "test must include containing-block ties"
