@@ -1046,16 +1046,33 @@ def build_worklist(W, d2, capacity: int):
     flags: bit0 = first entry of its tile run, bit1 = valid. Pad entries
     repeat the last valid tile (no spurious output-block switches).
     Returns (wl, count, visited_tiles [n_tiles] bool). If count > capacity
-    the list is TRUNCATED — callers must check and fall back."""
+    the list is TRUNCATED — callers must check and fall back.
+
+    Selection rides lax.top_k at the per-row capacity (ceil(capacity /
+    n_tiles)) instead of a full [n_tiles, nsb] argsort — W rows average
+    far under nsb entries. A row DENSER than the per-row cap would be
+    silently truncated (missing blocks = wrong hits), so such rows force
+    the reported count past capacity and the caller's rectangular
+    fallback takes over."""
     n_tiles, nsb = W.shape
     capacity = min(capacity, n_tiles * nsb)
-    order = jnp.argsort(d2, axis=1).astype(jnp.int32)
+    kr = min(-(-capacity // n_tiles), nsb)
+    # W entries first (near-to-far), non-entries pushed to +inf
+    key = jnp.where(W, d2, jnp.inf)
+    _, order = jax.lax.top_k(-key, kr)
+    order = order.astype(jnp.int32)
     Ws = jnp.take_along_axis(W, order, axis=1)
     flat = Ws.reshape(-1)
-    perm, count = _partition_perm_flat(flat)
+    perm, kept = _partition_perm_flat(flat)
+    row_counts = W.sum(axis=1)
+    count = row_counts.sum()
+    # per-row overflow: entries beyond kr were dropped from `flat`, so the
+    # in-capacity list would be INCOMPLETE — report count > capacity to
+    # route the caller to its fallback (kept == count when no row overflows)
+    count = jnp.where(row_counts.max() > kr, jnp.int32(capacity + 1), count)
     sel = perm[:capacity]
-    r = sel // nsb
-    j = sel % nsb
+    r = sel // kr
+    j = sel % kr
     sb = order[r, j]
     idxc = jnp.arange(capacity, dtype=jnp.int32)
     valid = idxc < count

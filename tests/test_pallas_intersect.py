@@ -842,3 +842,29 @@ def test_tile_sweep_order_topk_matches_argsort():
     np.testing.assert_array_equal(np.asarray(order), expect_order)
     np.testing.assert_array_equal(np.asarray(r2t), expect_r2t)
     assert (d2_np == 0).any(), "test must include containing-block ties"
+
+
+def test_build_worklist_row_overflow_forces_fallback():
+    """A W row denser than the per-row top_k cap must report count >
+    capacity (silent truncation would drop blocks = wrong hits); sparse
+    rows keep the exact count and near-to-far in-row order."""
+    from strelka_tpu.ops.pallas_intersect import build_worklist
+
+    n_tiles, nsb = 4, 12
+    W = np.zeros((n_tiles, nsb), bool)
+    W[0, :3] = True
+    W[2, 1:4] = True
+    d2 = np.tile(np.arange(nsb, 0, -1, dtype=np.float32), (n_tiles, 1))
+    wl, count, visited = build_worklist(
+        jnp.asarray(W), jnp.asarray(d2), capacity=8  # kr = 2 < row count 3
+    )
+    assert int(count) > 8
+    wl2, count2, visited2 = build_worklist(
+        jnp.asarray(W), jnp.asarray(d2), capacity=16  # kr = 4 >= all rows
+    )
+    assert int(count2) == 6
+    wl2 = np.asarray(wl2)
+    # grouped by tile, near-to-far (d2 decreasing in block id here)
+    np.testing.assert_array_equal(wl2[0, :6], [0, 0, 0, 2, 2, 2])
+    np.testing.assert_array_equal(wl2[1, :6], [2, 1, 0, 3, 2, 1])
+    np.testing.assert_array_equal(np.asarray(visited2), [True, False, True, False])
