@@ -254,6 +254,9 @@ def main() -> None:
                 "config": head.get("config", ""),
                 "ms_per_launch": head.get("ms_per_launch", -1.0),
                 "ssim_vs_cpu_golden": ssim_score,
+                # which self-tuned scheduling defaults this run measured with
+                # (scripts/tune_defaults.py; empty = baked defaults)
+                "tuned": __import__("strelka_tpu.tuned", fromlist=["_load"])._load(),
                 "scenes": {
                     k: dict(
                         {kk: v[kk] for kk in ("mrays_per_sec", "ms_per_launch", "tris") if kk in v},
