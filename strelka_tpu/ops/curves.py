@@ -992,7 +992,7 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
                    tile: int = 1024, tblk: int = CONE_TBLK,
                    super_: int = CONE_SUPER, k: int | None = None):
     from strelka_tpu.ops import vec as V
-    from strelka_tpu.ops.intersect import _gather_ray_rows, _partition_perm
+    from strelka_tpu.ops.intersect import _gather_ray_rows
     from strelka_tpu.ops.pallas_intersect import (
         build_worklist,
         pallas_open_w,
@@ -1018,30 +1018,35 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
         t1, cone1, open_ = out1
         bound = jnp.minimum(t1, tmax)
     tmax2 = jnp.where(open_, jnp.where(any_hit, tmax, bound), 0.0)
-    perm, pos = _partition_perm(open_)
+    # phase-2 shares the triangle path's tuned tile/partition knobs: the
+    # compacted open remainder is incoherent on hair too (p2_tile/p2_octant)
+    from strelka_tpu.ops.intersect import _open_partition, _p2_tile
+
+    tile2 = min(_p2_tile(), tile)
+    perm, pos = _open_partition(open_, dir_v)
     o2, d2v, tmin2, tmax2p, _ = _gather_ray_rows(
         perm, org_v, dir_v, tmin, tmax2, None
     )
-    d2m = tile_box_d2(o2, sbounds, tile)
+    d2m = tile_box_d2(o2, sbounds, tile2)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
-    _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
-    cap = (-(-n // tile)) * min(_CONE_WL_CAP, nsb)
+    _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile2)
+    cap = (-(-n // tile2)) * min(_CONE_WL_CAP, nsb)
     wl, count, visited = build_worklist(W2, d2m, cap)
 
     def wl_path(_):
         return pallas_intersect_cones_wl(
             scene.cones_packed, scene.cone_bounds, wl, o2, d2v,
-            tmin2, tmax2p, tile=tile, tblk=tblk, super_=super_, any_hit=any_hit,
+            tmin2, tmax2p, tile=tile2, tblk=tblk, super_=super_, any_hit=any_hit,
         )
 
     def rect_path(_):
         starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
         return pallas_intersect_cones(
             scene.cones_packed, scene.cone_bounds, o2, d2v, tmin2, tmax2p,
-            any_hit=any_hit, starts=starts2, tile=tile, tblk=tblk, super_=super_,
+            any_hit=any_hit, starts=starts2, tile=tile2, tblk=tblk, super_=super_,
         )
 
-    vis_ray = jnp.repeat(visited, tile)[:n]
+    vis_ray = jnp.repeat(visited, tile2)[:n]
     if any_hit:
         occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
         # wl garbage on unvisited tiles only matters for the wl path; the
