@@ -110,3 +110,59 @@ def test_any_twopass_matches_bruteforce(interp, monkeypatch, knobs):
         scene, ov, dv, tmin, tmax, RAY_MASK_PRIMARY, active=tmax > 0
     )
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(bf))
+
+
+class _SceneMxu(_Scene):
+    def __init__(self, v0, e1, e2, mask, tblk, super_):
+        super().__init__(v0, e1, e2, mask, tblk, super_)
+        self.tris_feats, self.tris_mask = PI.pack_tris_mxu_local(
+            v0, e1, e2, mask, tblk=tblk, super_=super_,
+            bounds=np.asarray(self.tri_bounds),
+        )
+        self.tris_local = True
+
+
+_PATCH_MXU = [
+    "pallas_intersect_closest_fusedk_mxu",
+    "pallas_intersect_any_fusedk_mxu",
+    "pallas_intersect_closest_wl_mxu",
+    "pallas_intersect_any_wl_mxu",
+    "pallas_intersect_closest_mxu",
+    "pallas_intersect_any_mxu",
+    "pallas_open_w",
+]
+
+
+def test_mxu_local_twopass_matches_bruteforce(monkeypatch):
+    """The mxu_big configuration end-to-end: fused-K MXU phase 1 with
+    superblock-LOCAL feature anchoring + MXU work-list phase 2 at the tuned
+    tiles (interpret mode is f32-exact, so brute-force equality holds)."""
+    for name in _PATCH_MXU:
+        fn = getattr(PI, name)
+        monkeypatch.setattr(PI, name, functools.partial(fn, interpret=True))
+    monkeypatch.setenv("STRELKA_P1_TILE", "512")
+    monkeypatch.setenv("STRELKA_P2_TILE", "256")
+    monkeypatch.setenv("STRELKA_P2_OCTANT", "1")
+    rng = np.random.default_rng(61)
+    n_tri, n_ray = 8192, 512
+    base = (rng.random((n_tri, 3), np.float32) - 0.5) * 20.0
+    e1 = rng.random((n_tri, 3), np.float32) * 0.8
+    e2 = rng.random((n_tri, 3), np.float32) * 0.8
+    mask = np.full(n_tri, 0xFF, np.int32)
+    o = (rng.random((n_ray, 3), np.float32) - 0.5) * 24.0
+    d = rng.random((n_ray, 3), np.float32) - 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.zeros(n_ray, jnp.float32)
+    tmax = jnp.full(n_ray, 1e16, jnp.float32)
+    scene = _SceneMxu(base, e1, e2, mask, tblk=128, super_=2)
+    ov, dv = from_rows(jnp.asarray(o)), from_rows(jnp.asarray(d))
+    t, prim = _closest_twopass(
+        scene, True, ov, dv, tmin, tmax, RAY_MASK_PRIMARY, None
+    )
+    bf = intersect_closest_bruteforce(
+        scene, ov, dv, tmin, tmax, RAY_MASK_PRIMARY
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(bf.prim))
+    occ = _any_twopass(scene, True, ov, dv, tmin, tmax, RAY_MASK_PRIMARY, None)
+    bfo = intersect_any_bruteforce(scene, ov, dv, tmin, tmax, RAY_MASK_PRIMARY)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(bfo))
