@@ -8,6 +8,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+import os as _os_env
+print("env:", {k: v for k, v in _os_env.environ.items() if k.startswith("STRELKA_")}, flush=True)
 
 
 def run(name, width=384, height=384, spp=2, depth=4, iters=3):

@@ -3,6 +3,8 @@ import sys, time
 import numpy as np
 
 sys.path.insert(0, ".")
+import os as _os_env
+print("env:", {k: v for k, v in _os_env.environ.items() if k.startswith("STRELKA_")}, flush=True)
 
 def build(scene_name, width, height, spp, depth, intersector="mxu"):
     import jax.numpy as jnp

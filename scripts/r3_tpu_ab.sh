@@ -64,9 +64,11 @@ echo "PREDICT KITCHEN AB DONE"
 timeout 1800 python -u scripts/perf_probe.py cornell || true
 STRELKA_FLAT_COMPACT=1 timeout 1800 python -u scripts/perf_probe.py cornell || true
 echo "FLAT_COMPACT AB DONE"
-# 5d. einar-scale hair: cone two-pass A/B (hair_long 100k segments)
+# 5d. einar-scale hair: cone two-pass A/B (hair_long 100k segments) + K scan
 timeout 3000 python -u scripts/hair_probe.py || true
 STRELKA_CONE_NO_TWOPASS=1 timeout 3000 python -u scripts/hair_probe.py || true
+STRELKA_CONE_K=8 timeout 1800 python -u scripts/hair_probe.py || true
+STRELKA_CONE_K=24 timeout 1800 python -u scripts/hair_probe.py || true
 echo "HAIR TWOPASS AB DONE"
 # 6. refresh showcase renders (kitchen added) with the current kernels
 timeout 3000 python -u scripts/render_showcase.py || true
