@@ -342,3 +342,20 @@ def shells(t1, K_, S, t2):
 shells(512, 16, 2, 256)
 shells(512, 16, 3, 256)
 shells(512, 8, 3, 256)
+
+# P8: open partition grouped by each lane's NEAREST-UNSWEPT block id (the
+# known next demand — "pred-major without prediction") vs octant grouping.
+def compact_by_block(open_mask, base_order, bound):
+    # per-lane nearest candidate block after the ball (tn < bound, unswept
+    # approximated by tn-ordering: just take argmin of candidate tn)
+    tn_c = np.where(passes & (tn < bound[:, None]), tn, np.inf)
+    blk0 = np.argmin(tn_c, axis=1)
+    key = np.where(open_mask[base_order], blk0[base_order], nsb + 1)
+    return base_order[np.argsort(key, kind="stable")]
+
+K = 16
+w1b, bb, ob = ball_pass(PERM, alive, inf_bound, 512, prune=False)
+for t2 in (1024, 512, 256):
+    ordb = compact_by_block(ob, PERM, bb)
+    w2b = union_pass(ordb, ob, bb, t2)
+    print(f"P8 blk-major t={t2:<4d}  : phase1={w1b:.0f} phase2={w2b:.0f} total={w1b + w2b:.0f}")

@@ -111,6 +111,8 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=0, help="exit after N frames (0 = run until closed)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--png-stream", default="", help="headless: write latest frame here every frame")
+    parser.add_argument("--web", type=int, default=None, metavar="PORT",
+                        help="serve an interactive browser viewer + settings panel on this port (0 = auto)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -132,7 +134,8 @@ def main(argv=None) -> int:
     ctx.render = render
 
     display = DisplayFactory.create_display(
-        png_path=args.png_stream or "/tmp/strelka_view.png", png_every_n=4
+        web_port=args.web,
+        png_path=args.png_stream or "/tmp/strelka_view.png", png_every_n=4,
     )
     display.init(args.width, args.height, ctx)
     from strelka_tpu.display.display import SettingsBinding

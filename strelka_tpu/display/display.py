@@ -163,7 +163,15 @@ class DisplayFactory:
     """DisplayFactory::createDisplay (display/DisplayFactory.cpp:9)."""
 
     @staticmethod
-    def create_display(headless: Optional[bool] = None, **kwargs) -> Display:
+    def create_display(
+        headless: Optional[bool] = None, web_port: Optional[int] = None, **kwargs
+    ) -> Display:
+        if web_port is None and os.environ.get("STRELKA_WEB_PORT"):
+            web_port = int(os.environ["STRELKA_WEB_PORT"])
+        if web_port is not None:
+            from strelka_tpu.display.web import WebDisplay
+
+            return WebDisplay(port=web_port)
         if headless is None:
             headless = os.environ.get("DISPLAY") is None
         if headless:

@@ -165,3 +165,53 @@ def test_panel_controller_hotkeys():
 
     CompositeHandler(Probe(), Probe()).key_press("w", "press")
     assert hits == ["w", "w"]
+
+
+def test_web_display_endpoints():
+    """WebDisplay (the headless ImGui/GLFW stand-in): frame served as PNG,
+    knobs listed, live knob mutation writes through to settings, camera keys
+    reach the InputHandler, /quit closes the window."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from strelka_tpu.display.web import WebDisplay
+    from strelka_tpu.render.buffer import ImageBuffer
+    from strelka_tpu.settings import SharedContext, make_default_settings
+
+    ctx = SharedContext(make_default_settings(16, 16))
+    disp = WebDisplay(port=0)  # auto-assign
+    keys = []
+
+    class _H:
+        def key_press(self, key, action):
+            keys.append(key)
+
+    try:
+        disp.init(16, 16, ctx)
+        disp.set_input_handler(_H())
+        frame = np.zeros((16, 16, 4), np.float32)
+        frame[..., 0] = 1.0
+        disp.draw_frame(ImageBuffer(frame))
+        base = f"http://127.0.0.1:{disp.port}"
+        png = urllib.request.urlopen(f"{base}/frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        rows = json.loads(urllib.request.urlopen(f"{base}/knobs", timeout=10).read())
+        assert any(key == "render/pt/depth" for _, key, *_ in rows)
+        req = urllib.request.Request(
+            f"{base}/set", data=json.dumps({"key": "render/pt/depth", "value": 7}).encode(),
+            method="POST")
+        urllib.request.urlopen(req, timeout=10)
+        assert ctx.settings.get("render/pt/depth") == 7
+        req = urllib.request.Request(
+            f"{base}/key", data=json.dumps({"key": "w"}).encode(), method="POST")
+        urllib.request.urlopen(req, timeout=10)
+        assert keys == ["w"]
+        req = urllib.request.Request(f"{base}/quit", data=b"{}", method="POST")
+        urllib.request.urlopen(req, timeout=10)
+        assert disp.window_should_close()
+        page = urllib.request.urlopen(f"{base}/", timeout=10).read()
+        assert b"debug panel" in page
+    finally:
+        disp.destroy()
