@@ -500,7 +500,7 @@ def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
         best_t = rays[7, :]
         best_c = jnp.full((tile,), -1, jnp.int32)
         for kk in range(k_fused):
-            sb = starts_ref[r, kk]
+            sb = starts_ref[kk, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 t, valid = _cone_block(
@@ -537,7 +537,7 @@ def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
     def _live():
         occ = jnp.zeros((tile,), jnp.bool_)
         for kk in range(k_fused):
-            sb = starts_ref[r, kk]
+            sb = starts_ref[kk, r]
             for j in range(super_):
                 _, valid = _cone_block(
                     rays, cones_refs[kk][:, j * tblk : (j + 1) * tblk]
@@ -588,12 +588,14 @@ def pallas_intersect_cones_fusedk(
         in_specs.append(
             pl.BlockSpec(
                 (12, step),
-                (lambda kk: lambda r, starts: (0, starts[r, kk]))(kk),
+                (lambda kk: lambda r, starts: (0, starts[kk, r]))(kk),
                 memory_space=pltpu.VMEM,
             )
         )
     operands = (
-        order_k.astype(jnp.int32), rays, sbounds, d2r, r2t.reshape(-1, 1, 1),
+        # [K, n_tiles]: SMEM pads the MINOR dim to 128, so the transposed
+        # order table is K/128ths the footprint of [n_tiles, K]
+        order_k.astype(jnp.int32).T, rays, sbounds, d2r, r2t.reshape(-1, 1, 1),
         *([cones_packed] * k_fused),
     )
     if any_hit:

@@ -265,7 +265,7 @@ def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
         best_t = rays[7, :]
         best_p = jnp.full((tile,), -1, jnp.int32)
         for kk in range(k_fused):
-            sb = starts_ref[r, kk]
+            sb = starts_ref[kk, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 t, valid = _mt_block(
@@ -302,7 +302,7 @@ def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
         excl = excl_ref[0, :][None, :]
         occ = jnp.zeros((tile,), jnp.bool_)
         for kk in range(k_fused):
-            sb = starts_ref[r, kk]
+            sb = starts_ref[kk, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 _, valid = _mt_block(
@@ -345,7 +345,7 @@ def _closest_kernel_fusedk_mxu(
         best_t = t_ref[0, :]
         best_p = prim_ref[0, :]
         for i in range(chunk):
-            sb = starts_ref[r, kc * chunk + i]
+            sb = starts_ref[kc * chunk + i, r]
             # local anchoring is per-SUPERBLOCK: recompute ray features
             # against each block's first-sub-block AABB center
             rt = (
@@ -397,7 +397,7 @@ def _any_kernel_fusedk_mxu(
         excl = excl_ref[0, :][None, :]
         occ = occ_ref[0, :]
         for i in range(chunk):
-            sb = starts_ref[r, kc * chunk + i]
+            sb = starts_ref[kc * chunk + i, r]
             rt = (
                 _ray_features_local(rays, bounds_ref, sb * super_)
                 if local
@@ -434,7 +434,7 @@ def _fusedk_mxu_specs(tile, step, chunk, nsb_pad):
         specs.append(
             pl.BlockSpec(
                 (4, step, _FDIM),
-                (lambda i: lambda r, kc, b, starts: (0, starts[r, kc * chunk + i], 0))(i),
+                (lambda i: lambda r, kc, b, starts: (0, starts[kc * chunk + i, r], 0))(i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -442,7 +442,7 @@ def _fusedk_mxu_specs(tile, step, chunk, nsb_pad):
         specs.append(
             pl.BlockSpec(
                 (1, step),
-                (lambda i: lambda r, kc, b, starts: (0, starts[r, kc * chunk + i]))(i),
+                (lambda i: lambda r, kc, b, starts: (0, starts[kc * chunk + i, r]))(i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -494,6 +494,7 @@ def pallas_intersect_closest_fusedk_mxu(
     step = tblk * super_
     order_k = _pad_order_chunk(order_k, chunk)
     n_steps = order_k.shape[1] // chunk
+    order_kt = order_k.T  # [K, n_tiles]: SMEM pads the MINOR dim to 128
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -531,7 +532,7 @@ def pallas_intersect_closest_fusedk_mxu(
         ),
         interpret=interpret,
     )(
-        bounds, order_k, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
+        bounds, order_kt, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
         *([feats] * chunk), *([mask] * chunk),
     )
     t = t_out[0, :n]
@@ -570,6 +571,7 @@ def pallas_intersect_any_fusedk_mxu(
     step = tblk * super_
     order_k = _pad_order_chunk(order_k, chunk)
     n_steps = order_k.shape[1] // chunk
+    order_kt = order_k.T  # [K, n_tiles]: SMEM pads the MINOR dim to 128
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -605,7 +607,7 @@ def pallas_intersect_any_fusedk_mxu(
         ),
         interpret=interpret,
     )(
-        bounds, order_k, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
+        bounds, order_kt, rays, excl, sbounds, d2r, r2t.reshape(-1, 1, 1),
         *([feats] * chunk), *([mask] * chunk),
     )
     return occ[0, :n], open_out[0, :n] != 0
@@ -643,7 +645,7 @@ def _fusedk_specs(tile, step, k_fused, nsb_pad):
         specs.append(
             pl.BlockSpec(
                 (12, step),
-                (lambda kk: lambda r, starts: (0, starts[r, kk]))(kk),
+                (lambda kk: lambda r, starts: (0, starts[kk, r]))(kk),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -676,6 +678,7 @@ def pallas_intersect_closest_fusedk(
     the rectangular sweep, open bit-compatible with pallas_open_w."""
     step = tblk * super_
     k_fused = int(order_k.shape[1])
+    order_kt = order_k.astype(jnp.int32).T  # [K, n_tiles] (SMEM minor-pad)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -713,7 +716,7 @@ def pallas_intersect_closest_fusedk(
         ),
         interpret=interpret,
     )(
-        order_k.astype(jnp.int32), rays, excl, sbounds, d2r,
+        order_kt, rays, excl, sbounds, d2r,
         r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
     )
     t = t_out[0, :n]
@@ -745,6 +748,7 @@ def pallas_intersect_any_fusedk(
     residual open test fused -> (occ [N], open [N])."""
     step = tblk * super_
     k_fused = int(order_k.shape[1])
+    order_kt = order_k.astype(jnp.int32).T  # [K, n_tiles] (SMEM minor-pad)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -780,7 +784,7 @@ def pallas_intersect_any_fusedk(
         ),
         interpret=interpret,
     )(
-        order_k.astype(jnp.int32), rays, excl, sbounds, d2r,
+        order_kt, rays, excl, sbounds, d2r,
         r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
     )
     return occ[0, :n], open_out[0, :n] != 0
