@@ -35,6 +35,7 @@ echo "RAY_ROUNDS AB DONE"
 STRELKA_P2_TILE=256 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_P2_TILE=256 STRELKA_P2_OCTANT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 STRELKA_P1_TILE=512 STRELKA_P2_TILE=256 STRELKA_P2_OCTANT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
+STRELKA_P1_TILE=256 STRELKA_P2_TILE=256 STRELKA_P2_OCTANT=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "P2_TILE AB DONE"
 # 2d. sort-once A/B (keep the bounce-1 order for later bounces)
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true

@@ -37,7 +37,7 @@ FLAGS = [
 # phase-1 tile 512 tightens the K-ball (open 0.34 -> 0.19).
 CHOICE_FLAGS = [
     ("p2_tile", "box:32", 1024, [256, 512]),
-    ("p1_tile", "box:32", 1024, [512]),
+    ("p1_tile", "box:32", 1024, [512, 256]),
 ]
 # re-tested AFTER the choice flags: octant sub-grouping's win materializes
 # at p2 tile 256 (NOTES #29) and would be locked out if only tried at 1024
