@@ -4,9 +4,18 @@
 set -x
 cd /root/repo
 python -u -c "import time,jax; t=time.time(); print('devices', jax.devices(), '%.1fs'%(time.time()-t))" || exit 1
-# 1. correctness: capture a bounce wavefront, arbitrate vs f64 oracle
-python -u scripts/capture_bounce.py 48 || exit 2
-python -u scripts/oracle_probe.py 48 4096 || exit 3
+# 1. correctness: capture a bounce wavefront, arbitrate vs f64 oracle.
+# NOT a chain-fatal gate (a transient failure must not burn the only
+# hardware window): an oracle failure pins mxu_big OFF in tuned.json so
+# the unvalidated intersector can never become a default, and the rest of
+# the chain (whose winners are image-mean-guarded) still runs.
+oracle_ok=1
+python -u scripts/capture_bounce.py 48 || oracle_ok=0
+[ "$oracle_ok" = 1 ] && { python -u scripts/oracle_probe.py 48 4096 || oracle_ok=0; }
+if [ "$oracle_ok" = 0 ]; then
+  python -c "import sys; sys.path.insert(0, '.'); from strelka_tpu import tuned; tuned.write({'mxu_big': False, 'mxu_big_pinned': True})"
+  echo "ORACLE FAILED — mxu_big pinned off, continuing"
+fi
 # 1b. auto-tune binary scheduling flags -> tuned.json (later processes,
 # including the driver's bench, default to the measured winners)
 timeout 7200 python -u scripts/tune_defaults.py || true

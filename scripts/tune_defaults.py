@@ -128,6 +128,10 @@ def run_variant(flag: str, value, scene: str):
 
 
 def tune_bool(flag, scene, default, decisions, tuned):
+        if tuned._load().get(flag + "_pinned"):
+            print(f"tuning {flag}: PINNED by a prior correctness gate — skipping",
+                  flush=True)
+            return
         print(f"tuning {flag} on {scene} (default {default})", flush=True)
         res = {v: run_variant(flag, v, scene) for v in (default, not default)}
         base, chall = res[default], res[not default]
