@@ -10,8 +10,8 @@ python -u -c "import time,jax; t=time.time(); print('devices', jax.devices(), '%
 # the unvalidated intersector can never become a default, and the rest of
 # the chain (whose winners are image-mean-guarded) still runs.
 oracle_ok=1
-python -u scripts/capture_bounce.py 48 || oracle_ok=0
-[ "$oracle_ok" = 1 ] && { python -u scripts/oracle_probe.py 48 4096 || oracle_ok=0; }
+timeout 7200 python -u scripts/capture_bounce.py 48 || oracle_ok=0
+[ "$oracle_ok" = 1 ] && { timeout 7200 python -u scripts/oracle_probe.py 48 4096 || oracle_ok=0; }
 if [ "$oracle_ok" = 0 ]; then
   python -c "import sys; sys.path.insert(0, '.'); from strelka_tpu import tuned; tuned.write({'mxu_big': False, 'mxu_big_pinned': True})"
   echo "ORACLE FAILED — mxu_big pinned off, continuing"
@@ -21,7 +21,7 @@ fi
 timeout 7200 python -u scripts/tune_defaults.py || true
 echo "TUNE DEFAULTS DONE"
 # 2. perf A/B: vpu baseline vs mxu-with-local-feats e2e
-python -u scripts/mxu_box_probe.py vpu mxu || echo 'MXU AB FAILED (continuing)'
+timeout 7200 python -u scripts/mxu_box_probe.py vpu mxu || echo 'MXU AB FAILED (continuing)'
 # 2b. fused-K phase 1 (default ON) vs rectangular phase 1
 STRELKA_PHASE1_FUSED=0 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "PHASE1_FUSED AB DONE"
@@ -50,15 +50,15 @@ echo "P2_TILE AB DONE"
 STRELKA_SORT_ONCE=1 timeout 1800 python -u scripts/mxu_box_probe.py vpu || true
 echo "SORT_ONCE AB DONE"
 # 3. wl sweeps on MXU with vpu phase-1 (mid hypothesis)
-STRELKA_WL_MXU=1 python -u scripts/mxu_box_probe.py vpu || echo 'WL_MXU FAILED (continuing)'
+STRELKA_WL_MXU=1 timeout 7200 python -u scripts/mxu_box_probe.py vpu || echo 'WL_MXU FAILED (continuing)'
 # 4. cornell sanity (should be unchanged ~100ms)
-python -u scripts/perf_probe.py cornell 2>/dev/null || python -u scripts/perf_probe.py || true
+timeout 3600 python -u scripts/perf_probe.py cornell 2>/dev/null || timeout 3600 python -u scripts/perf_probe.py || true
 echo "ALL DONE"
 # 4b. shade/epilogue breakdown (where cornell's non-sweep ms live)
 timeout 1800 python -u scripts/shade_profile.py || true
 echo "SHADE PROFILE DONE"
 # 5. shadow single-pass wl vs two-pass (direction-coherent grouped shadow tiles)
-STRELKA_SHADOW_SINGLE=1 python -u scripts/mxu_box_probe.py vpu mxu || true
+STRELKA_SHADOW_SINGLE=1 timeout 7200 python -u scripts/mxu_box_probe.py vpu mxu || true
 echo "SHADOW_SINGLE DONE"
 # 5b. temporal hit prediction A/B (per-ray block assignment vs K-nearest)
 timeout 3000 python -u scripts/predict_probe.py 48 6 || true
