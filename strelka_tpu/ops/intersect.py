@@ -218,6 +218,10 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
 from strelka_tpu import tuned as _tuned
 
 _PHASE1_FUSED = _tuned.get_bool("phase1_fused", True)
+# superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
+# MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
+# 2 borderline; the tuner may scan upward
+_P1_CHUNK = _tuned.get_int("p1_chunk", 1)
 
 
 def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
@@ -243,7 +247,7 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
         return pallas_intersect_closest_fusedk(
             scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
             ray_mask, exclude=exclude, tile=tile,
-            tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            tblk=scene.kernel_tblk, super_=scene.kernel_super, chunk=_P1_CHUNK,
         )
     from strelka_tpu.ops.pallas_intersect import pallas_open_w
 
@@ -274,7 +278,7 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
         return pallas_intersect_any_fusedk(
             scene.tris_packed, order_k, sbounds, d2, r2t, o, d, tmin, tmax,
             ray_mask, exclude=exclude, tile=tile,
-            tblk=scene.kernel_tblk, super_=scene.kernel_super,
+            tblk=scene.kernel_tblk, super_=scene.kernel_super, chunk=_P1_CHUNK,
         )
     from strelka_tpu.ops.pallas_intersect import pallas_open_w
 

@@ -248,28 +248,38 @@ def _fused_open_epilogue(rays, bound, sb_ref, d2_ref, r2_ref, *, nsb_pad, chunk=
 
 
 def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
-                           k_fused: int, nsb_pad: int):
+                           chunk: int, nsb_pad: int):
+    # CHUNK superblocks per grid step (grid dim 1 walks the K schedule):
+    # full-K register accumulation unrolled 128 MT blocks and blew the 16MB
+    # scoped-VMEM stack on hardware (93.7MB at K=16/tile=1024) — same
+    # chunked shape as the MXU variant, t/prim accumulated across steps.
     starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:6]
-    tris_refs = refs[6 : 6 + k_fused]
-    t_ref, prim_ref, open_ref = refs[6 + k_fused : 9 + k_fused]
+    tris_refs = refs[6 : 6 + chunk]
+    t_ref, prim_ref, open_ref = refs[6 + chunk : 9 + chunk]
     r = pl.program_id(0)
+    kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(kc == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
+
     rays = rays_ref[:, :]
     tile = rays.shape[1]
-    t_ref[0, :] = rays[7, :]
-    prim_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
-    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
         excl = excl_ref[0, :][None, :]
-        best_t = rays[7, :]
-        best_p = jnp.full((tile,), -1, jnp.int32)
-        for kk in range(k_fused):
-            sb = starts_ref[kk, r]
+        best_t = t_ref[0, :]
+        best_p = prim_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[kc * chunk + i, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 t, valid = _mt_block(
-                    rays, tris_refs[kk][:, j * tblk : (j + 1) * tblk], ray_mask,
+                    rays, tris_refs[i][:, j * tblk : (j + 1) * tblk], ray_mask,
                     tmax_row=best_t,
                 )
                 valid = valid & (_prim_ids(blk, tblk, tile) != excl)
@@ -281,41 +291,54 @@ def _closest_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
                 best_p = jnp.where(better, blk * tblk + blk_arg, best_p)
         t_ref[0, :] = best_t
         prim_ref[0, :] = best_p
-        open_ref[0, :] = _fused_open_epilogue(
-            rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
-        )
+
+        @pl.when(kc == last)
+        def _open():
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
 
 
 def _any_kernel_fusedk(*refs, ray_mask: int, tblk: int, super_: int,
-                       k_fused: int, nsb_pad: int):
+                       chunk: int, nsb_pad: int):
+    # chunked over the K schedule like _closest_kernel_fusedk (VMEM bound)
     starts_ref, rays_ref, excl_ref, sb_ref, d2_ref, r2_ref = refs[0:6]
-    tris_refs = refs[6 : 6 + k_fused]
-    occ_ref, open_ref = refs[6 + k_fused : 8 + k_fused]
+    tris_refs = refs[6 : 6 + chunk]
+    occ_ref, open_ref = refs[6 + chunk : 8 + chunk]
     r = pl.program_id(0)
+    kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(kc == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
+
     rays = rays_ref[:, :]
     tile = rays.shape[1]
-    occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
-    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
         excl = excl_ref[0, :][None, :]
-        occ = jnp.zeros((tile,), jnp.bool_)
-        for kk in range(k_fused):
-            sb = starts_ref[kk, r]
+        occ = occ_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[kc * chunk + i, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 _, valid = _mt_block(
-                    rays, tris_refs[kk][:, j * tblk : (j + 1) * tblk], ray_mask
+                    rays, tris_refs[i][:, j * tblk : (j + 1) * tblk], ray_mask
                 )
                 valid = valid & (_prim_ids(blk, tblk, tile) != excl)
                 occ = occ | jnp.any(valid, axis=0)
         occ_ref[0, :] = occ
-        # occluded lanes: bound 0 -> closed; unoccluded: full segment
-        bound = jnp.where(occ, 0.0, rays[7, :])
-        open_ref[0, :] = _fused_open_epilogue(
-            rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
-        )
+
+        @pl.when(kc == last)
+        def _open():
+            # occluded lanes: bound 0 -> closed; unoccluded: full segment
+            bound = jnp.where(occ, 0.0, rays[7, :])
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
 
 
 def _closest_kernel_fusedk_mxu(
@@ -633,19 +656,19 @@ def _pad_open_inputs(sbounds, d2, n_tiles):
     return sbounds, d2.reshape(n_tiles, 1, nsb_pad), nsb_pad
 
 
-def _fusedk_specs(tile, step, k_fused, nsb_pad):
+def _fusedk_specs(tile, step, chunk, nsb_pad):
     specs = [
-        pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, nsb_pad), lambda r, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nsb_pad), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nsb_pad), lambda r, kc, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsb_pad), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
     ]
-    for kk in range(k_fused):
+    for i in range(chunk):
         specs.append(
             pl.BlockSpec(
                 (12, step),
-                (lambda kk: lambda r, starts: (0, starts[kk, r]))(kk),
+                (lambda i: lambda r, kc, starts: (0, starts[kc * chunk + i, r]))(i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -653,7 +676,7 @@ def _fusedk_specs(tile, step, k_fused, nsb_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "chunk", "interpret")
 )
 def pallas_intersect_closest_fusedk(
     tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
@@ -670,15 +693,20 @@ def pallas_intersect_closest_fusedk(
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     super_: int = DEFAULT_SUPER,
+    chunk: int = 1,  # superblocks per grid step: full-K register fusion
+    # OOM'd the 16MB scoped-VMEM stack on hardware (~0.7MB/unrolled MT block)
     interpret: bool = False,
 ):
-    """Phase-1 closest sweep of each tile's K nearest superblocks, fused into
-    one grid step per tile, WITH the residual open test fused in the same
-    kernel -> (t [N], prim [N], open [N] bool); t/prim bit-compatible with
-    the rectangular sweep, open bit-compatible with pallas_open_w."""
+    """Phase-1 closest sweep of each tile's K nearest superblocks (CHUNK
+    superblocks per grid step, K walked by grid dim 1), WITH the residual
+    open test fused at the last step -> (t [N], prim [N], open [N] bool);
+    t/prim bit-compatible with the rectangular sweep, open bit-compatible
+    with pallas_open_w."""
     step = tblk * super_
+    order_k = _pad_order_chunk(order_k, chunk)
     k_fused = int(order_k.shape[1])
-    order_kt = order_k.astype(jnp.int32).T  # [K, n_tiles] (SMEM minor-pad)
+    n_steps = k_fused // chunk
+    order_kt = order_k.T  # [K, n_tiles] (SMEM minor-pad)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -686,16 +714,16 @@ def pallas_intersect_closest_fusedk(
     sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _closest_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        k_fused=k_fused, nsb_pad=nsb_pad,
+        chunk=chunk, nsb_pad=nsb_pad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=_fusedk_specs(tile, step, k_fused, nsb_pad),
+        grid=(n_tiles, n_steps),
+        in_specs=_fusedk_specs(tile, step, chunk, nsb_pad),
         out_specs=[
-            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
         ],
     )
     t_out, prim_out, open_out = pl.pallas_call(
@@ -707,7 +735,7 @@ def pallas_intersect_closest_fusedk(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * n_pad * k_fused * step,
@@ -717,7 +745,7 @@ def pallas_intersect_closest_fusedk(
         interpret=interpret,
     )(
         order_kt, rays, excl, sbounds, d2r,
-        r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
+        r2t.reshape(-1, 1, 1), *([tris_packed] * chunk),
     )
     t = t_out[0, :n]
     prim = prim_out[0, :n]
@@ -725,7 +753,7 @@ def pallas_intersect_closest_fusedk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "chunk", "interpret")
 )
 def pallas_intersect_any_fusedk(
     tris_packed: jnp.ndarray,
@@ -742,13 +770,17 @@ def pallas_intersect_any_fusedk(
     tile: int = DEFAULT_TILE,
     tblk: int = DEFAULT_TBLK,
     super_: int = DEFAULT_SUPER,
+    chunk: int = 1,  # see pallas_intersect_closest_fusedk (VMEM bound)
     interpret: bool = False,
 ):
-    """Phase-1 any-hit sweep of each tile's K nearest superblocks, with the
-    residual open test fused -> (occ [N], open [N])."""
+    """Phase-1 any-hit sweep of each tile's K nearest superblocks (CHUNK
+    superblocks per grid step), with the residual open test fused at the
+    last step -> (occ [N], open [N])."""
     step = tblk * super_
+    order_k = _pad_order_chunk(order_k, chunk)
     k_fused = int(order_k.shape[1])
-    order_kt = order_k.astype(jnp.int32).T  # [K, n_tiles] (SMEM minor-pad)
+    n_steps = k_fused // chunk
+    order_kt = order_k.T  # [K, n_tiles] (SMEM minor-pad)
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     n = tmin.shape[0]
     excl = _pack_exclude(exclude, n, n_pad)
@@ -756,15 +788,15 @@ def pallas_intersect_any_fusedk(
     sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     kernel = functools.partial(
         _any_kernel_fusedk, ray_mask=ray_mask, tblk=tblk, super_=super_,
-        k_fused=k_fused, nsb_pad=nsb_pad,
+        chunk=chunk, nsb_pad=nsb_pad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=_fusedk_specs(tile, step, k_fused, nsb_pad),
+        grid=(n_tiles, n_steps),
+        in_specs=_fusedk_specs(tile, step, chunk, nsb_pad),
         out_specs=[
-            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
         ],
     )
     occ, open_out = pl.pallas_call(
@@ -775,7 +807,7 @@ def pallas_intersect_any_fusedk(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * n_pad * k_fused * step,
@@ -785,7 +817,7 @@ def pallas_intersect_any_fusedk(
         interpret=interpret,
     )(
         order_kt, rays, excl, sbounds, d2r,
-        r2t.reshape(-1, 1, 1), *([tris_packed] * k_fused),
+        r2t.reshape(-1, 1, 1), *([tris_packed] * chunk),
     )
     return occ[0, :n], open_out[0, :n] != 0
 
