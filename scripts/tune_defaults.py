@@ -38,6 +38,10 @@ FLAGS = [
 CHOICE_FLAGS = [
     ("p2_tile", "box:32", 1024, [256, 512]),
     ("p1_tile", "box:32", 1024, [512, 256]),
+    # superblocks per fused-K grid step: 1 is the VMEM-safe default (full-K
+    # fusion OOM'd the scoped stack); 2/4 trade stack headroom for fewer
+    # grid steps and longer t_ref accumulation chains
+    ("p1_chunk", "box:32", 1, [2, 4]),
 ]
 # re-tested AFTER the choice flags: octant sub-grouping's win materializes
 # at p2 tile 256 (NOTES #29) and would be locked out if only tried at 1024

@@ -78,7 +78,7 @@ def _pos_kernel(keys_ref, base_ref, pos_ref, *, B: int, L: int, C: int):
     key = keys_ref[0, :]  # [L]
     ids = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
     onehot = (key[None, :] == ids).astype(jnp.bfloat16)  # [B, L]
-    base = base_ref[:, :]  # [B, 1] f32
+    base = base_ref[0, :][:, None]  # [B, 1] f32 (block is a flat [1, B] row)
     # strictly-lower-triangular [C, C]: T[l', l] = 1 iff l' < l
     r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
@@ -104,19 +104,22 @@ def _pos_kernel(keys_ref, base_ref, pos_ref, *, B: int, L: int, C: int):
 @functools.partial(jax.jit, static_argnames=("B", "L", "C", "interpret"))
 def _pos_pallas(bucket_pad, base, *, B: int, L: int, C: int, interpret: bool):
     nb = bucket_pad.shape[0] // L
-    keys2d = bucket_pad.reshape(nb, L)
-    base_t = base.astype(jnp.float32).T  # [B, nb]
+    # flat [1, nb*X] rows: TPU requires the SECOND-minor block dim divisible
+    # by 8 or equal to the array dim — (1, L) blocks over an [nb, L] array
+    # violate that (hardware lowering error; interpret mode never checked)
+    keys2d = bucket_pad.reshape(1, nb * L)
+    base_flat = base.astype(jnp.float32).reshape(1, nb * B)
     pos = pl.pallas_call(
         functools.partial(_pos_kernel, B=B, L=L, C=C),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, L), lambda b: (b, 0)),
-            pl.BlockSpec((B, 1), lambda b: (0, b)),
+            pl.BlockSpec((1, L), lambda b: (0, b)),
+            pl.BlockSpec((1, B), lambda b: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, L), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, L), jnp.float32),
+        out_specs=pl.BlockSpec((1, L), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((1, nb * L), jnp.float32),
         interpret=interpret,
-    )(keys2d, base_t)
+    )(keys2d, base_flat)
     return pos.reshape(-1).astype(jnp.int32)
 
 
