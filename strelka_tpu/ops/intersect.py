@@ -302,10 +302,16 @@ _WL_FULL_NSB = int(_os.environ.get("STRELKA_WL_FULL_NSB", "96"))
 # is compute-bound on live steps, where the MXU matmul MT test wins even on
 # big scenes whose rectangular-grid crossover picked the VPU.
 _WL_MXU = _os.environ.get("STRELKA_WL_MXU", "")
+# TOTAL work-list entry budget: wl rides the kernel's scalar-prefetch SMEM
+# as [4, C] i32, and SMEM is a fixed 1MB/core — so C must be bounded by a
+# CONSTANT, not per-tile. 46080 entries = 737KB, the proven tile-1024
+# working set (2048 tiles x 48 at p2_tile=256 was 1.57MB -> hardware OOM).
+_WL_ENTRY_BUDGET = int(_os.environ.get("STRELKA_WL_ENTRIES", "46080"))
 
 
-def _wl_cap_per_tile(nsb: int) -> int:
-    return nsb if nsb <= _WL_FULL_NSB else min(_WL_CAP, nsb)
+def _wl_cap_per_tile(nsb: int, n_tiles: int) -> int:
+    base = nsb if nsb <= _WL_FULL_NSB else min(_WL_CAP, nsb)
+    return max(1, min(base, _WL_ENTRY_BUDGET // max(n_tiles, 1)))
 
 
 def _wl_use_mxu(scene, use_mxu: bool) -> bool:
@@ -365,7 +371,8 @@ def _phase2_prep(scene, origins, directions, tmin, tmax2, exclude, sbounds, open
     d2m = tile_box_d2(o2, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
     _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile)
-    cap = (-(-tmin.shape[0] // tile)) * _wl_cap_per_tile(W2.shape[1])
+    n_tiles2 = -(-tmin.shape[0] // tile)
+    cap = n_tiles2 * _wl_cap_per_tile(W2.shape[1], n_tiles2)
     wl, count, visited = build_worklist(W2, d2m, cap)
     return pos, o2, d2v, tmin2, tmax2p, excl2, d2m, wl, count, cap, visited
 
@@ -386,7 +393,8 @@ def _wl_prep_single(scene, origins, directions, tmin, tmax):
     d2m = tile_box_d2(origins, sbounds, tile)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
     _, W, _ = pallas_open_w(origins, directions, tmin, tmax, sbounds, d2m, no_open, tile)
-    cap = (-(-n // tile)) * _wl_cap_per_tile(W.shape[1])
+    n_tiles1 = -(-n // tile)
+    cap = n_tiles1 * _wl_cap_per_tile(W.shape[1], n_tiles1)
     wl, count, visited = build_worklist(W, d2m, cap)
     return tile, n, d2m, wl, count, cap, visited
 
@@ -473,10 +481,17 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         return t2p, jnp.where(vis_ray, prim2p, -1)
 
     def rect_path(_):
-        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        # fallback sweeps at a tile floor of 1024: the rectangular kernels
+        # carry an UNtransposed [n_tiles, nsb] order table in SMEM (128-lane
+        # row padding), which at tile 256 is 2048x128x4B = 1MB on its own —
+        # both cond branches must compile even when this one is never taken
+        from strelka_tpu.ops.pallas_intersect import tile_box_d2
+        fb_tile = max(tile, 1024)
+        d2fb = d2m if fb_tile == tile else tile_box_d2(o2, sbounds, fb_tile)
+        starts2 = jnp.argsort(d2fb, axis=1).astype(jnp.int32)
         return _run_super_closest(
             scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
-            tile=tile,
+            tile=fb_tile,
         )
 
     t2p, prim2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
@@ -714,10 +729,14 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         return occ2p & vis_ray
 
     def rect_path(_):
-        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        # same SMEM-driven tile floor as the closest-path fallback above
+        from strelka_tpu.ops.pallas_intersect import tile_box_d2
+        fb_tile = max(tile, 1024)
+        d2fb = d2m if fb_tile == tile else tile_box_d2(o2, sbounds, fb_tile)
+        starts2 = jnp.argsort(d2fb, axis=1).astype(jnp.int32)
         return _run_super_any(
             scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
-            tile=tile,
+            tile=fb_tile,
         )
 
     occ2p = jax.lax.cond(count <= cap, wl_path, rect_path, None)
