@@ -218,9 +218,12 @@ def main() -> None:
         ("cornell", 512, 512, 4, 4, 16, True),
         ("box_field", 512, 512, 2, 4, 4, True),
         ("coffeetable", 512, 512, 2, 4, 8, True),
-        ("kitchen", 512, 512, 2, 4, 4, False),
+        # stats=True everywhere: the instrumented launch is a second full
+        # compile (~2 min for kitchen) but the alive-ray honesty metric
+        # matters MOST for the big scenes (VERDICT r3 weak #8).
+        ("kitchen", 512, 512, 2, 4, 4, True),
         ("hair_patch", 384, 384, 2, 4, 4, True),
-        ("hair_long", 384, 384, 2, 4, 2, False),
+        ("hair_long", 384, 384, 2, 4, 2, True),
     ]
     if quick:
         configs = [("cornell", 256, 256, 2, 4, 8, True)]
@@ -259,7 +262,18 @@ def main() -> None:
                 "tuned": __import__("strelka_tpu.tuned", fromlist=["_load"])._load(),
                 "scenes": {
                     k: dict(
-                        {kk: v[kk] for kk in ("mrays_per_sec", "ms_per_launch", "tris") if kk in v},
+                        {
+                            kk: v[kk]
+                            for kk in (
+                                "mrays_per_sec",
+                                "ms_per_launch",
+                                "tris",
+                                "curve_segments",
+                                "alive_ray_frac",
+                                "error",  # failed scenes must carry the reason
+                            )
+                            if kk in v
+                        },
                         **({"ssim": ssims[k]} if k in ssims else {}),
                     )
                     for k, v in results.items()

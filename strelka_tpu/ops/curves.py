@@ -100,6 +100,31 @@ def flatten_curves(curves) -> FlatCones:
     return FlatCones(a=a, b=b, ra=ra, rb=rb, seg_id=seg, u0=u0, u1=u1)
 
 
+def flatten_curves_np(curves_np: dict) -> FlatCones:
+    """Pure-numpy flatten (host/build time). Under the axon TPU tunnel every
+    eager jnp op is a remote round trip, so the jit path (flatten_curves)
+    took ~minutes at einar scale during scene build — numpy is <1 s."""
+    us = np.linspace(0.0, 1.0, CURVE_SUBDIV + 1, dtype=np.float32)
+    p = [np.asarray(curves_np[f"p{j}"], np.float32) for j in range(4)]
+    w = [np.asarray(curves_np[f"w{j}"], np.float32) for j in range(4)]
+    s = p[0].shape[0]
+    b = bspline_basis(us)  # 4 x [K+1]
+    pts = sum(b[j][:, None, None] * p[j][None] for j in range(4))  # [K+1, S, 3]
+    rads = sum(b[j][:, None] * w[j][None] for j in range(4))  # [K+1, S]
+    seg = np.broadcast_to(np.arange(s, dtype=np.int32)[None, :], (CURVE_SUBDIV, s))
+    u0 = np.broadcast_to(us[:-1, None], (CURVE_SUBDIV, s))
+    u1 = np.broadcast_to(us[1:, None], (CURVE_SUBDIV, s))
+    return FlatCones(
+        a=pts[:-1].reshape(-1, 3),
+        b=pts[1:].reshape(-1, 3),
+        ra=rads[:-1].reshape(-1),
+        rb=rads[1:].reshape(-1),
+        seg_id=seg.reshape(-1),
+        u0=u0.reshape(-1).astype(np.float32),
+        u1=u1.reshape(-1).astype(np.float32),
+    )
+
+
 def _ray_round_cone(o, d, a, b, ra, rb, tmin, tmax):
     """Closed-form ray vs sphere-swept line segment (round cone).
 
@@ -963,7 +988,10 @@ def _cones_sweep(scene, origins, directions, tmin, tmax, any_hit: bool):
     d2 = tile_box_d2(org_v, sbounds, tile)
     no_open = jnp.full(d2.shape[0], jnp.inf, jnp.float32)
     _, W, _ = pallas_open_w(org_v, dir_v, tmin, tmax, sbounds, d2, no_open, tile)
-    cap = (-(-n // tile)) * min(_CONE_WL_CAP, W.shape[1])
+    from strelka_tpu.ops.intersect import _wl_cap_per_tile
+
+    n_tiles = -(-n // tile)
+    cap = n_tiles * min(_CONE_WL_CAP, _wl_cap_per_tile(W.shape[1], n_tiles))
     wl, count, visited = build_worklist(W, d2, cap)
 
     def wl_path(_):
@@ -1032,7 +1060,14 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
     d2m = tile_box_d2(o2, sbounds, tile2)
     no_open = jnp.full(d2m.shape[0], jnp.inf, jnp.float32)
     _, W2, _ = pallas_open_w(o2, d2v, tmin2, tmax2p, sbounds, d2m, no_open, tile2)
-    cap = (-(-n // tile2)) * min(_CONE_WL_CAP, nsb)
+    # the [4, cap] wl and the fallback's [n_tiles, nsb] order table ride
+    # SMEM exactly like the triangle path — share its constant entry budget
+    # and rectangular tile floor (ADVICE r3 medium: tuning p2_tile small must
+    # not re-open the SMEM OOM class on scenes with curves)
+    from strelka_tpu.ops.intersect import _rect_fallback_order, _wl_cap_per_tile
+
+    n_tiles2 = -(-n // tile2)
+    cap = n_tiles2 * min(_CONE_WL_CAP, _wl_cap_per_tile(nsb, n_tiles2))
     wl, count, visited = build_worklist(W2, d2m, cap)
 
     def wl_path(_):
@@ -1042,10 +1077,10 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
         )
 
     def rect_path(_):
-        starts2 = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        fb_tile, starts2 = _rect_fallback_order(o2, sbounds, d2m, tile2)
         return pallas_intersect_cones(
             scene.cones_packed, scene.cone_bounds, o2, d2v, tmin2, tmax2p,
-            any_hit=any_hit, starts=starts2, tile=tile2, tblk=tblk, super_=super_,
+            any_hit=any_hit, starts=starts2, tile=fb_tile, tblk=tblk, super_=super_,
         )
 
     vis_ray = jnp.repeat(visited, tile2)[:n]

@@ -46,6 +46,8 @@ from strelka_tpu.render.device_scene import (
 
 import os as _os
 
+from strelka_tpu import tuned as _tuned
+
 # perf-bisection toggles (scripts/bisect_probe.py) — read once at import
 _NO_EMISSION = _os.environ.get("STRELKA_NO_EMISSION") == "1"
 _NO_CUTOUT = _os.environ.get("STRELKA_NO_CUTOUT") == "1"
@@ -831,12 +833,17 @@ def trace_paths(
             if collect_stats:
                 stat_shadow = stat_shadow + (nee_able & geom_ok).astype(jnp.float32).sum()
             shadow_tmax = jnp.where(nee_able & geom_ok, ls.dist_to_light, 0.0)
+            # default OFF since the r4 hardware A/B: grouping cost 208 ms on
+            # box_field 512^2 (2340 vs 2132 ms) — the per-light partition's
+            # two packed gathers outweigh the sparser W on measured scenes.
+            # STRELKA_NO_SHADOW_GROUP=0/1 still forces via tuned resolution.
+            no_group = _tuned.get_bool("no_shadow_group", True)
             group_shadow = (
                 on_pallas
                 and num_lights >= 2
                 and num_lights <= 8
                 and sort_rays  # same big-scene criterion as the wavefront sort
-                and _os.environ.get("STRELKA_NO_SHADOW_GROUP") != "1"
+                and not no_group
             )
             if group_shadow:
                 occluded = _shadow_grouped_any(

@@ -217,7 +217,11 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
 # phase-1 NEAR blocks almost always pass). VPU path only; A/B toggle.
 from strelka_tpu import tuned as _tuned
 
-_PHASE1_FUSED = _tuned.get_bool("phase1_fused", True)
+# default OFF since the r4 hardware A/B: the fused-K phase 1 LOST 558 ms on
+# box_field 512^2/2spp/4d (2548 vs 1991 ms, bit-identical image) — the K
+# scalar-prefetch-indexed inputs + register accumulation serialize worse than
+# the rectangular K-sweep's read->write round trips it was built to remove.
+_PHASE1_FUSED = _tuned.get_bool("phase1_fused", False)
 # superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
 # MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
 # 2 borderline; the tuner may scan upward
@@ -292,10 +296,15 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
 # work-list capacity per tile for the phase-2 sweep; overflow falls back to
 # the rectangular grid via lax.cond (rare: phase-2 lists measured ~18/tile)
 _WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
-# scenes with few superblocks take FULL capacity: overflow becomes impossible
+# scenes with few superblocks take FULL capacity so overflow cannot happen
 # (pad entries skip their body and re-DMA nothing), where a cap just below
 # nsb would bounce dense interior wavefronts to the rectangular grid every
-# sweep (kitchen: nsb=52 vs cap 48 -> permanent fallback, 2x launch time)
+# sweep (kitchen: nsb=52 vs cap 48 -> permanent fallback, 2x launch time).
+# CAVEAT: _WL_ENTRY_BUDGET overrides this guarantee — at n_tiles >
+# 46080/nsb the budget clamp pushes cap below nsb and the permanent-fallback
+# failure mode returns (suspected in fact #33's p2_tile=256 loss); the
+# build_worklist count-vs-cap is logged by scripts/wl_count_probe.py before
+# any small-tile retry.
 _WL_FULL_NSB = int(_os.environ.get("STRELKA_WL_FULL_NSB", "96"))
 # work-list sweeps on the MXU: "1" force, "0" never, unset -> follow the
 # scene's intersector choice. Once the work list skips dead pairs the sweep
@@ -312,6 +321,26 @@ _WL_ENTRY_BUDGET = int(_os.environ.get("STRELKA_WL_ENTRIES", "46080"))
 def _wl_cap_per_tile(nsb: int, n_tiles: int) -> int:
     base = nsb if nsb <= _WL_FULL_NSB else min(_WL_CAP, nsb)
     return max(1, min(base, _WL_ENTRY_BUDGET // max(n_tiles, 1)))
+
+
+# Rectangular-fallback tile floor: the rectangular kernels carry an
+# UNtransposed [n_tiles, nsb] order table in SMEM (rows lane-pad to 128), so
+# small work-list tiles must NOT shrink the fallback's tiling — at tile 256
+# the table alone is 2048x128x4B = 1MB and both lax.cond branches must
+# compile even when the fallback is never taken (hardware OOM, fact #32).
+_RECT_FB_TILE_FLOOR = 1024
+
+
+def _rect_fallback_order(o2, sbounds, d2m, tile):
+    """Tile size + near-to-far order table for a work-list cond's rectangular
+    fallback branch: floors the tile at _RECT_FB_TILE_FLOOR and recomputes the
+    tile-box distances when the floor changes the tiling."""
+    from strelka_tpu.ops.pallas_intersect import tile_box_d2
+
+    fb_tile = max(tile, _RECT_FB_TILE_FLOOR)
+    d2fb = d2m if fb_tile == tile else tile_box_d2(o2, sbounds, fb_tile)
+    starts = jnp.argsort(d2fb, axis=1).astype(jnp.int32)
+    return fb_tile, starts
 
 
 def _wl_use_mxu(scene, use_mxu: bool) -> bool:
@@ -396,7 +425,7 @@ def _wl_prep_single(scene, origins, directions, tmin, tmax):
     n_tiles1 = -(-n // tile)
     cap = n_tiles1 * _wl_cap_per_tile(W.shape[1], n_tiles1)
     wl, count, visited = build_worklist(W, d2m, cap)
-    return tile, n, d2m, wl, count, cap, visited
+    return tile, n, sbounds, d2m, wl, count, cap, visited
 
 
 def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
@@ -413,7 +442,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
         tile_box_d2,
     )
 
-    tile, n, d2m, wl, count, cap, visited = _wl_prep_single(
+    tile, n, sbounds, d2m, wl, count, cap, visited = _wl_prep_single(
         scene, origins, directions, tmin, tmax
     )
 
@@ -437,9 +466,12 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
         return jnp.where(prim >= 0, t, _BIG), prim
 
     def rect_path(_):
-        starts = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        # tile is env-overridable (STRELKA_SUPER_TILE): floor the fallback so
+        # a small-tile experiment can't SMEM-OOM this branch (ADVICE r3)
+        fb_tile, starts = _rect_fallback_order(origins, sbounds, d2m, tile)
         return _run_super_closest(
-            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts,
+            tile=fb_tile,
         )
 
     return jax.lax.cond(count <= cap, wl_path, rect_path, None)
@@ -481,14 +513,7 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         return t2p, jnp.where(vis_ray, prim2p, -1)
 
     def rect_path(_):
-        # fallback sweeps at a tile floor of 1024: the rectangular kernels
-        # carry an UNtransposed [n_tiles, nsb] order table in SMEM (128-lane
-        # row padding), which at tile 256 is 2048x128x4B = 1MB on its own —
-        # both cond branches must compile even when this one is never taken
-        from strelka_tpu.ops.pallas_intersect import tile_box_d2
-        fb_tile = max(tile, 1024)
-        d2fb = d2m if fb_tile == tile else tile_box_d2(o2, sbounds, fb_tile)
-        starts2 = jnp.argsort(d2fb, axis=1).astype(jnp.int32)
+        fb_tile, starts2 = _rect_fallback_order(o2, sbounds, d2m, tile)
         return _run_super_closest(
             scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
             tile=fb_tile,
@@ -644,7 +669,7 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
         tile_box_d2,
     )
 
-    tile, n, d2m, wl, count, cap, visited = _wl_prep_single(
+    tile, n, sbounds, d2m, wl, count, cap, visited = _wl_prep_single(
         scene, origins, directions, tmin, tmax
     )
 
@@ -667,9 +692,10 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
         return occ & vis_ray
 
     def rect_path(_):
-        starts = jnp.argsort(d2m, axis=1).astype(jnp.int32)
+        fb_tile, starts = _rect_fallback_order(origins, sbounds, d2m, tile)
         return _run_super_any(
-            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts
+            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude, starts,
+            tile=fb_tile,
         )
 
     return jax.lax.cond(count <= cap, wl_path, rect_path, None)
@@ -729,11 +755,7 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
         return occ2p & vis_ray
 
     def rect_path(_):
-        # same SMEM-driven tile floor as the closest-path fallback above
-        from strelka_tpu.ops.pallas_intersect import tile_box_d2
-        fb_tile = max(tile, 1024)
-        d2fb = d2m if fb_tile == tile else tile_box_d2(o2, sbounds, fb_tile)
-        starts2 = jnp.argsort(d2fb, axis=1).astype(jnp.int32)
+        fb_tile, starts2 = _rect_fallback_order(o2, sbounds, d2m, tile)
         return _run_super_any(
             scene, use_mxu, o2, d2v, tmin2, tmax2p, ray_mask, excl2, starts2,
             tile=fb_tile,

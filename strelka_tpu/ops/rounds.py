@@ -148,7 +148,11 @@ def rounds_traverse(
     n = tmin.shape[0]
     nsb = int(sbounds.shape[1])
     n_tiles = -(-n // tile)
-    cap = n_tiles * min(cap_per_tile, nsb)
+    # the [4, cap] wl rides scalar-prefetch SMEM: bound by the shared
+    # constant entry budget so small tiles / big launches can't OOM (ADVICE r3)
+    from strelka_tpu.ops.intersect import _wl_cap_per_tile
+
+    cap = n_tiles * min(cap_per_tile, _wl_cap_per_tile(nsb, n_tiles))
     excl = exclude if exclude is not None else jnp.full(n, -1, jnp.int32)
     anyhit = mode == "any"
 

@@ -470,14 +470,26 @@ def build_device_scene(
     else:
         world_lo, world_hi = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
 
-    cones_flat = _build_cones(curves)
+    # cones flatten/sort/pack in PURE numpy, one device upload at the end:
+    # under the axon tunnel every eager jnp op is a remote round trip, so the
+    # old jit-flatten + per-field transfers took ~8 min at einar scale (the
+    # r3 hair_long bench failure); numpy is <1 s for 800k cones.
+    cones_flat = None
     cones_packed = cone_bounds = None
-    if cones_flat is not None and use_pallas:
-        from strelka_tpu.ops.curves import FlatCones, morton_sort_cones, pack_cones
+    if curves_np is not None:
+        from strelka_tpu.ops.curves import (
+            FlatCones,
+            flatten_curves_np,
+            morton_sort_cones,
+            pack_cones,
+        )
 
-        perm_c = morton_sort_cones(cones_flat)
-        cones_flat = FlatCones(*[jnp.asarray(np.asarray(f)[perm_c]) for f in cones_flat])
-        cones_packed, cone_bounds = pack_cones(cones_flat)
+        cones_np = flatten_curves_np(curves_np)
+        if use_pallas:
+            perm_c = morton_sort_cones(cones_np)
+            cones_np = FlatCones(*[np.asarray(f)[perm_c] for f in cones_np])
+            cones_packed, cone_bounds = pack_cones(cones_np)
+        cones_flat = FlatCones(*[jnp.asarray(f) for f in cones_np])
 
     dl = build_device_lights(scene)
     light_table = jnp.concatenate(
@@ -597,9 +609,3 @@ def rejoin_attr_tables(scene: "DeviceScene") -> "DeviceScene":
     return dataclasses.replace(scene, attr_table=at)
 
 
-def _build_cones(curves: Optional[DeviceCurves]):
-    if curves is None:
-        return None
-    from strelka_tpu.ops.curves import flatten_curves
-
-    return jax.jit(flatten_curves)(curves)

@@ -431,14 +431,25 @@ def build_kitchen_stage(out_dir: str) -> str:
     return usdc
 
 
+#: texture files the stage references; ensure_kitchen re-generates the stage
+#: when ANY is missing (a cached .usdc alone is not enough — the r3 bench
+#: silently rendered textureless because only the usdc was checked).
+_KITCHEN_TEXTURES = ("checker.png", "wood.png", "wallpaper.png", "fabric.png")
+
+
 def ensure_kitchen(base_dir: str | None = None) -> str:
-    """Return the cached kitchen.usdc path, generating it on first use."""
+    """Return the cached kitchen.usdc path, generating it on first use.
+
+    Validity requires BOTH the .usdc and every referenced texture PNG."""
     if base_dir is None:
         base_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             "data", "gen", "kitchen",
         )
     usdc = os.path.join(base_dir, "kitchen.usdc")
-    if not os.path.exists(usdc):
+    complete = os.path.exists(usdc) and all(
+        os.path.exists(os.path.join(base_dir, "textures", t)) for t in _KITCHEN_TEXTURES
+    )
+    if not complete:
         usdc = build_kitchen_stage(base_dir)
     return usdc
