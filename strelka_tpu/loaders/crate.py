@@ -26,6 +26,7 @@ Unknown field values degrade to warnings, never errors.
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -34,7 +35,7 @@ import numpy as np
 
 from strelka_tpu import log
 from strelka_tpu.loaders.lz4 import fast_compress, fast_decompress
-from strelka_tpu.loaders.usda_parser import Attr, Prim
+from strelka_tpu.loaders.usda_parser import Attr, Prim, resolve_variants
 
 _MAGIC = b"PXR-USDC"
 _VERSION = (0, 8, 0)
@@ -104,6 +105,8 @@ SPEC_CONNECTION = 2
 SPEC_PRIM = 6
 SPEC_PSEUDO_ROOT = 7
 SPEC_RELATIONSHIP = 8
+SPEC_VARIANT = 10
+SPEC_VARIANT_SET = 11
 
 _SPECIFIERS = ["def", "over", "class"]
 
@@ -466,7 +469,14 @@ class CrateFile:
                     is_prop = ti < 0
                     token = self.tokens[abs(ti)]
                     base = parent if parent != "/" else ""
-                    paths[pi] = (base + "." + token) if is_prop else (base + "/" + token)
+                    if is_prop:
+                        paths[pi] = base + "." + token
+                    elif token.startswith("{"):
+                        # variant-selection component: appended WITHOUT a
+                        # separator (SdfPath "/Thing{set=sel}")
+                        paths[pi] = base + token
+                    else:
+                        paths[pi] = base + "/" + token
                     parent_path = paths[pi]
                 jump = int(jumps[this])
                 has_child = jump > 0 or jump == -1
@@ -569,11 +579,50 @@ class CrateFile:
         if vtype == T_TOKEN_LIST_OP:
             return self._unpack_token_list_op(payload)
         if vtype == T_DICTIONARY:
-            return {"__raw__": []}  # metadata dict: presence only
+            return self._unpack_dictionary(payload)
+        if vtype == T_VARIANT_SELECTION_MAP:
+            return self._unpack_variant_selection_map(payload)
         if vtype == T_TIME_SAMPLES:
             return self._unpack_time_samples(payload)
         log.debug("{}: unsupported crate value type {}", self.name, vtype)
         return None
+
+    def _unpack_dictionary(self, payload):
+        """Dictionary-typed metadata (customData etc.).
+
+        Layout: [u64 count] then per entry [u32 string-index key]
+        [i64 skip = bytes of the value block] [u64 ValueRep ...]. The skip
+        field makes unknown value encodings recoverable (pxr's recursive
+        offset serves the same purpose); with no pxr in this environment the
+        byte layout is pinned by the independent-encoder fixture
+        (tests/test_crate_fixture.py), not cross-validated against pxr."""
+        r = _Reader(self.data, payload)
+        n = r.u64()
+        if n > (len(self.data) - r.pos) // 20:  # each entry >= 20 bytes
+            raise ValueError(f"{self.name}: dictionary count {n} exceeds file size")
+        out = {}
+        for _ in range(n):
+            key = self.tokens[self.strings[r.u32()]]
+            skip = r.i64()
+            if skip < 8 or r.pos + skip > len(self.data):
+                raise ValueError(f"{self.name}: bad dictionary entry skip {skip}")
+            end = r.pos + skip
+            out[key] = self.unpack(r.u64())
+            r.pos = end
+        return out
+
+    def _unpack_variant_selection_map(self, payload):
+        """VariantSelectionMap: [u64 count] + per entry two u32 string
+        indices (variantSet name, selected variant name)."""
+        r = _Reader(self.data, payload)
+        n = r.u64()
+        if n > (len(self.data) - r.pos) // 8:
+            raise ValueError(f"{self.name}: variant map count {n} exceeds file size")
+        out = {}
+        for _ in range(n):
+            k = self.tokens[self.strings[r.u32()]]
+            out[k] = self.tokens[self.strings[r.u32()]]
+        return out
 
     def _unpack_time_samples(self, payload):
         """TimeSamples layout (crateFile.cpp _ReadTimeSamples, v0.8):
@@ -715,13 +764,18 @@ def _read_compressed_ints_static(r: _Reader, n: int, wide: bool = False) -> np.n
 # ---------------------------------------------------------------------------
 
 
+_VARIANT_COMPONENT = re.compile(r"^(.*)\{([^{}=]+)=([^{}]*)\}$")
+
+
 def crate_to_stage(cf: CrateFile) -> Prim:
     root = Prim(type="PseudoRoot", name="", path="/")
     prims: Dict[str, Prim] = {"/": root}
-    # pass 1: prim specs (ordered so parents precede children — enforce by
-    # path depth sort)
-    prim_specs = [s for s in cf.specs if s.spec_type == SPEC_PRIM]
-    prim_specs.sort(key=lambda s: cf.paths.get(s.path_index, "").count("/"))
+    # pass 1: prim + variant specs (ordered so parents precede children —
+    # enforce by component-depth sort; "{set=sel}" counts as a component)
+    prim_specs = [s for s in cf.specs if s.spec_type in (SPEC_PRIM, SPEC_VARIANT)]
+    prim_specs.sort(
+        key=lambda s: (lambda p: p.count("/") + p.count("{"))(cf.paths.get(s.path_index, ""))
+    )
     for s in prim_specs:
         path = cf.paths.get(s.path_index)
         if not path or path == "/":
@@ -740,6 +794,15 @@ def crate_to_stage(cf: CrateFile) -> Prim:
             val = cf.unpack(rep)
             if val is not None:
                 p.metadata[fname] = val
+        var = _VARIANT_COMPONENT.match(path)
+        if var is not None and s.spec_type == SPEC_VARIANT:
+            owner_path, set_name, sel = var.groups()
+            owner = prims.get(owner_path)
+            if owner is not None:
+                p.name = ""
+                owner.variant_sets.setdefault(set_name, {})[sel] = p
+                prims[path] = p
+            continue
         parent = path.rsplit("/", 1)[0] or "/"
         parent_prim = prims.get(parent)
         if parent_prim is None:
@@ -802,6 +865,7 @@ def crate_to_stage(cf: CrateFile) -> Prim:
             iv = cf.unpack(fields["interpolation"])
             if isinstance(iv, str):
                 prim.attrs[attr_name + ":__interp__"] = Attr(value=iv)
+    resolve_variants(root)
     return root
 
 
@@ -834,6 +898,8 @@ class _CrateWriter:
         # child.
         self.tokens: List[str] = [""]
         self._tok_idx: Dict[str, int] = {"": 0}
+        self.strings: List[int] = []  # STRINGS section: token indexes
+        self._str_idx: Dict[str, int] = {}
         self.fields: List[Tuple[int, int]] = []
         self._field_idx: Dict[Tuple[int, int], int] = {}
         self.fieldsets: List[int] = []
@@ -849,6 +915,14 @@ class _CrateWriter:
             i = len(self.tokens)
             self.tokens.append(s)
             self._tok_idx[s] = i
+        return i
+
+    def string(self, s: str) -> int:
+        i = self._str_idx.get(s)
+        if i is None:
+            i = len(self.strings)
+            self.strings.append(self.token(s))
+            self._str_idx[s] = i
         return i
 
     def field(self, name: str, rep: int) -> int:
@@ -966,6 +1040,52 @@ class _CrateWriter:
         self.body.write(np.asarray([self.path_index(p) for p in paths], "<u4").tobytes())
         return (T_PATH_LIST_OP << 48) | off
 
+    def rep_string(self, s: str) -> int:
+        return (T_STRING << 48) | _INLINED_BIT | self.string(s)
+
+    def rep_meta_value(self, v) -> Optional[int]:
+        """Best-effort ValueRep for a python metadata value (dictionaries)."""
+        if isinstance(v, bool):
+            return self.rep_bool(v)
+        if isinstance(v, int):
+            return self.rep_int(v)
+        if isinstance(v, float):
+            return self.rep_double(v)
+        if isinstance(v, str):
+            return self.rep_string(v)
+        if isinstance(v, dict):
+            return self.rep_dictionary(v)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            try:
+                return self.rep_array(T_DOUBLE, [float(x) for x in np.asarray(v).reshape(-1)])
+            except (TypeError, ValueError):
+                return None
+        return None
+
+    def rep_dictionary(self, d: dict) -> int:
+        """Mirror of CrateFile._unpack_dictionary's layout (values packed
+        out-of-line first; each entry's inline block is one 8-byte rep)."""
+        entries = []
+        for k, v in d.items():
+            rep = self.rep_meta_value(v)
+            if rep is not None:
+                entries.append((self.string(str(k)), rep))
+        off = self._offset()
+        self.body.u64(len(entries))
+        for si, rep in entries:
+            self.body.u32(si)
+            self.body.i64(8)
+            self.body.u64(rep)
+        return (T_DICTIONARY << 48) | off
+
+    def rep_variant_selection_map(self, d: dict) -> int:
+        off = self._offset()
+        self.body.u64(len(d))
+        for k, v in sorted(d.items()):
+            self.body.u32(self.string(str(k)))
+            self.body.u32(self.string(str(v)))
+        return (T_VARIANT_SELECTION_MAP << 48) | off
+
 
 def _value_rep(w: _CrateWriter, type_str: str, value) -> Optional[int]:
     """Map a usda-parser (type_str, value) pair to a crate ValueRep."""
@@ -1021,13 +1141,18 @@ def write_usdc(path: str, root: Prim) -> None:
     w.path_index("/")
     specs: List[_Spec] = []
 
-    # pseudo-root spec
+    # pseudo-root spec (carries stage metadata: defaultPrim etc.)
     top_names = [c.name for c in root.children]
     fs = [w.field("primChildren", w.rep_token_vector(top_names))]
+    for k, v in root.metadata.items():
+        if isinstance(v, str):
+            fs.append(w.field(k, w.rep_token(v)))
+        elif isinstance(v, dict):
+            fs.append(w.field(k, w.rep_dictionary(v)))
     specs.append(_Spec(w.path_index("/"), w.fieldset(fs), SPEC_PSEUDO_ROOT))
 
-    def visit(prim: Prim):
-        pi = w.path_index(prim.path)
+    def visit(prim: Prim, path: str, spec_type: int = SPEC_PRIM):
+        pi = w.path_index(path)
         fs = [
             w.field("specifier", w.rep_specifier(prim.specifier)),
         ]
@@ -1038,11 +1163,31 @@ def write_usdc(path: str, root: Prim) -> None:
         props = [n for n in prim.attrs if not n.endswith(":__interp__")]
         if props:
             fs.append(w.field("properties", w.rep_token_vector(props)))
-        specs.append(_Spec(pi, w.fieldset(fs), SPEC_PRIM))
+        sel_map = prim.metadata.get("variants") or prim.metadata.get("variantSelection")
+        if isinstance(sel_map, dict) and sel_map:
+            fs.append(w.field("variantSelection", w.rep_variant_selection_map(sel_map)))
+        if prim.variant_sets:
+            fs.append(
+                w.field("variantSetNames", w.rep_token_vector(sorted(prim.variant_sets)))
+            )
+        for k, v in prim.metadata.items():
+            if k in ("variants", "variantSelection", "variantSetNames"):
+                continue
+            if isinstance(v, dict):
+                fs.append(w.field(k, w.rep_dictionary(v)))
+        specs.append(_Spec(pi, w.fieldset(fs), spec_type))
+        for set_name, variants in sorted(prim.variant_sets.items()):
+            # the variantSet container spec ("/Thing{set=}") then one
+            # SPEC_VARIANT subtree per authored variant
+            specs.append(
+                _Spec(w.path_index(f"{path}{{{set_name}=}}"), w.fieldset([]), SPEC_VARIANT_SET)
+            )
+            for sel, content in sorted(variants.items()):
+                visit(content, f"{path}{{{set_name}={sel}}}", spec_type=SPEC_VARIANT)
         for name, attr in prim.attrs.items():
             if name.endswith(":__interp__"):
                 continue
-            apath = prim.path + "." + name
+            apath = path + "." + name
             api = w.path_index(apath)
             afs = []
             if attr.type_str == "rel" or attr.targets:
@@ -1069,21 +1214,26 @@ def write_usdc(path: str, root: Prim) -> None:
             if interp is not None and interp.value:
                 afs.append(w.field("interpolation", w.rep_token(str(interp.value))))
             specs.append(_Spec(api, w.fieldset(afs), SPEC_ATTRIBUTE))
+        # prims inside a variant are ordinary prim specs; only the variant
+        # root path ("/Thing{set=sel}") carries SPEC_VARIANT
         for c in prim.children:
-            visit(c)
+            visit(c, path + "/" + c.name)
 
     for c in root.children:
-        visit(c)
+        visit(c, "/" + c.name)
 
     # ---- encode the path tree (pathIndexes / elementTokenIndexes / jumps).
     # Build the path forest from all interned paths.
-    all_paths = sorted(w.paths, key=lambda p: (p.count("/"), p))
     children: Dict[str, List[str]] = {}
     for p in w.paths:
         if p == "/":
             continue
-        if "." in p:
+        last = p.rsplit("/", 1)[-1]
+        if "." in last:
             parent = p.rsplit(".", 1)[0]
+        elif last.endswith("}") and "{" in last:
+            # variant component "{set=sel}": parent is the owner prim path
+            parent = p[: p.rindex("{")]
         else:
             parent = p.rsplit("/", 1)[0] or "/"
         children.setdefault(parent, []).append(p)
@@ -1098,12 +1248,16 @@ def write_usdc(path: str, root: Prim) -> None:
         if path == "/":
             elem_tokens.append(0)
         else:
-            if "." in path.rsplit("/", 1)[-1]:
+            last = path.rsplit("/", 1)[-1]
+            if "." in last:
                 token = path.rsplit(".", 1)[-1]
                 elem_tokens.append(-w.token(token))
-            else:
-                token = path.rsplit("/", 1)[-1]
+            elif last.endswith("}") and "{" in last:
+                # variant component: the element token is the full "{set=sel}"
+                token = path[path.rindex("{"):]
                 elem_tokens.append(w.token(token))
+            else:
+                elem_tokens.append(w.token(last))
         kids = children.get(path, [])
         has_child = bool(kids)
         jumps.append(0)  # patched below
@@ -1148,7 +1302,9 @@ def write_usdc(path: str, root: Prim) -> None:
 
     # STRINGS (token indexes; we intern strings as tokens)
     start = begin("STRINGS")
-    out.u64(0)
+    out.u64(len(w.strings))
+    if w.strings:
+        out.write(np.asarray(w.strings, "<u4").tobytes())
     sections.append(("STRINGS", start, out.pos - start))
 
     # FIELDS

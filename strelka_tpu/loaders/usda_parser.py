@@ -42,6 +42,9 @@ class Prim:
     metadata: Dict[str, object] = field(default_factory=dict)
     attrs: Dict[str, Attr] = field(default_factory=dict)
     children: List["Prim"] = field(default_factory=list)
+    # authored variant content: {set name: {variant name: content Prim}};
+    # resolve_variants() grafts the selected variant and clears this
+    variant_sets: Dict[str, Dict[str, "Prim"]] = field(default_factory=dict)
 
     def find(self, path: str) -> Optional["Prim"]:
         """Find a descendant by absolute path ('/World/Geo/mesh')."""
@@ -62,6 +65,51 @@ class Prim:
         yield self
         for c in self.children:
             yield from c.walk()
+
+
+def _rewrite_subtree_paths(prim: "Prim", old: str, new: str) -> None:
+    if prim.path.startswith(old):
+        prim.path = new + prim.path[len(old):]
+    for a in prim.attrs.values():
+        if a.connect and a.connect.startswith(old):
+            a.connect = new + a.connect[len(old):]
+        if a.targets:
+            a.targets = [new + t[len(old):] if t.startswith(old) else t for t in a.targets]
+    for c in prim.children:
+        _rewrite_subtree_paths(c, old, new)
+
+
+def resolve_variants(prim: "Prim") -> None:
+    """Composite authored variants into the prim tree (LIVRPS 'V' step,
+    local-over-variant): for every variant set pick the selection from the
+    prim's `variants` / `variantSelection` metadata (first variant name in
+    sorted order when unselected), graft the chosen content's attrs/metadata
+    (weaker than local opinions) and children, then drop the raw sets.
+
+    The reference opens arbitrary stages through pxr which composes variants
+    natively (/root/reference/src/hdRunner/main.cpp:566-591)."""
+    sel_map = prim.metadata.get("variants") or prim.metadata.get("variantSelection") or {}
+    if not isinstance(sel_map, dict):
+        sel_map = {}
+    for set_name, variants in sorted(prim.variant_sets.items()):
+        if not variants:
+            continue
+        sel = sel_map.get(set_name)
+        if sel not in variants:
+            sel = sorted(variants)[0]
+        content = variants[sel]
+        resolve_variants(content)  # nested variant sets inside the selection
+        _rewrite_subtree_paths(content, f"{prim.path}{{{set_name}={sel}}}", prim.path)
+        if content.type and not prim.type:
+            prim.type = content.type
+        for k, a in content.attrs.items():
+            prim.attrs.setdefault(k, a)
+        for k, v in content.metadata.items():
+            prim.metadata.setdefault(k, v)
+        prim.children.extend(content.children)
+    prim.variant_sets = {}
+    for c in prim.children:
+        resolve_variants(c)
 
 
 class _Tokenizer:
@@ -150,20 +198,39 @@ def _parse_value(tz: _Tokenizer):
         tz.expect("]")
         return vals
     if t == "{":
-        # dictionary or timeSamples — consume balanced braces, return dict of raw
+        # dictionary: parse '[type] key = value' entries (variants blocks,
+        # customData); timeSamples-style '0: (...)' content falls back to a
+        # raw token capture
         tz.next()
-        depth = 1
-        content = []
-        while depth > 0 and not tz.at_end():
-            tok = tz.next()
-            if tok == "{":
-                depth += 1
-            elif tok == "}":
-                depth -= 1
-                if depth == 0:
-                    break
-            content.append(tok)
-        return {"__raw__": content}
+        out: Dict[str, object] = {}
+        while tz.peek() not in ("}", None):
+            if tz.peek(1) == "=" or (tz.peek(1) is not None and tz.peek(2) == "="):
+                if tz.peek(1) == "=":
+                    key = tz.next()
+                else:
+                    tz.next()  # type word (string/token/...)
+                    key = tz.next()
+                tz.expect("=")
+                out[key.strip('"')] = _parse_value(tz)
+                if tz.peek() == ";":
+                    tz.next()
+                continue
+            # unstructured content: capture the rest raw and stop
+            depth = 1
+            content = []
+            while depth > 0 and not tz.at_end():
+                tok = tz.next()
+                if tok == "{":
+                    depth += 1
+                elif tok == "}":
+                    depth -= 1
+                    if depth == 0:
+                        return {"__raw__": content}
+                content.append(tok)
+            return {"__raw__": content}
+        if tz.peek() == "}":
+            tz.next()
+        return out
     if t.startswith('"') or t.startswith("'"):
         tz.next()
         return t[1:-1]
@@ -326,6 +393,42 @@ def _parse_attr(tz: _Tokenizer, prim: Prim) -> None:
             prim.attrs[base + ":__interp__"] = Attr(value=meta["interpolation"])
 
 
+def _parse_variant_set(tz: _Tokenizer, prim: Prim) -> None:
+    """variantSet "name" = { "sel" { ...prim content... } ... } — content is
+    stored in prim.variant_sets for resolve_variants (LIVRPS 'V')."""
+    tz.next()  # 'variantSet'
+    name = tz.next().strip('"')
+    tz.expect("=")
+    tz.expect("{")
+    while tz.peek() != "}":
+        if tz.peek() is None:
+            raise SyntaxError("usda parse: unterminated variantSet block")
+        sel = tz.next().strip('"')
+        content = Prim(name="", path=f"{prim.path}{{{name}={sel}}}")
+        if tz.peek() == "(":
+            content.metadata = _parse_metadata_block(tz)
+        _parse_prim_body(tz, content)
+        prim.variant_sets.setdefault(name, {})[sel] = content
+    tz.expect("}")
+
+
+def _parse_prim_body(tz: _Tokenizer, prim: Prim) -> None:
+    tz.expect("{")
+    while tz.peek() != "}":
+        if tz.peek() is None:
+            raise SyntaxError("usda parse: unterminated prim body")
+        t = tz.peek()
+        if t in ("def", "over", "class"):
+            prim.children.append(_parse_prim(tz, prim.path))
+        elif t == "variantSet":
+            _parse_variant_set(tz, prim)
+        elif t == ";":
+            tz.next()
+        else:
+            _parse_attr(tz, prim)
+    tz.expect("}")
+
+
 def _parse_prim(tz: _Tokenizer, parent_path: str) -> Prim:
     specifier = tz.next()  # def/over/class
     type_or_name = tz.peek()
@@ -336,36 +439,13 @@ def _parse_prim(tz: _Tokenizer, parent_path: str) -> Prim:
     prim.path = parent_path.rstrip("/") + "/" + prim.name
     if tz.peek() == "(":
         prim.metadata = _parse_metadata_block(tz)
-    tz.expect("{")
-    while tz.peek() != "}":
-        if tz.peek() is None:
-            raise SyntaxError("usda parse: unterminated prim body")
-        t = tz.peek()
-        if t in ("def", "over", "class"):
-            prim.children.append(_parse_prim(tz, prim.path))
-        elif t == "variantSet" or t == "variants":
-            # skip variant blocks entirely
-            while tz.peek() != "{" and not tz.at_end():
-                tz.next()
-            depth = 0
-            while not tz.at_end():
-                tok = tz.next()
-                if tok == "{":
-                    depth += 1
-                elif tok == "}":
-                    depth -= 1
-                    if depth == 0:
-                        break
-        elif t == ";":
-            tz.next()
-        else:
-            _parse_attr(tz, prim)
-    tz.expect("}")
+    _parse_prim_body(tz, prim)
     return prim
 
 
 def parse_usda(text: str) -> Prim:
-    """Parse usda text to a pseudo-root Prim (children = top-level prims)."""
+    """Parse usda text to a pseudo-root Prim (children = top-level prims).
+    Variant sets are parsed and composed (default selections applied)."""
     if not text.lstrip().startswith("#usda"):
         raise ValueError("not a usda file (missing #usda header)")
     # strip the #usda line (tokenizer treats # as comment anyway)
@@ -380,4 +460,5 @@ def parse_usda(text: str) -> Prim:
             root.children.append(_parse_prim(tz, "/"))
         else:
             tz.next()
+    resolve_variants(root)
     return root

@@ -319,3 +319,88 @@ def test_crate_timesamples_roundtrip(tmp_path):
     g = back.find("/World/box").attrs["inputs:gain"]
     np.testing.assert_allclose(g.time_samples[0], [0.0, 10.0])
     np.testing.assert_allclose(g.time_samples[1], [0.5, 1.5])
+
+
+_VARIANT_STAGE = """#usda 1.0
+def Xform "Thing" (
+    variants = {
+        string look = "blue"
+    }
+    prepend variantSets = "look"
+)
+{
+    float localAttr = 1.0
+    variantSet "look" = {
+        "red" {
+            color3f primvars:displayColor = (1, 0, 0)
+            def Mesh "R" { int n = 1 }
+        }
+        "blue" {
+            color3f primvars:displayColor = (0, 0, 1)
+            def Mesh "B" { int n = 2 }
+            variantSet "size" = {
+                "big" { float s = 2.0 }
+                "small" { float s = 0.5 }
+            }
+        }
+    }
+}
+"""
+
+
+def test_usda_variant_resolution():
+    """usda variantSet blocks parse and the `variants` selection composes
+    (local-over-variant; nested sets resolve inside the selection; an
+    unselected nested set takes its first variant). Reference: pxr composes
+    variants natively behind UsdStage::Open (hdRunner/main.cpp:566-591)."""
+    root = parse_usda(_VARIANT_STAGE)
+    t = root.find("/Thing")
+    assert t.attrs["primvars:displayColor"].value == (0.0, 0.0, 1.0)
+    assert [c.name for c in t.children] == ["B"]
+    assert t.children[0].path == "/Thing/B"  # brace paths rewritten on graft
+    assert t.attrs["localAttr"].value == 1.0
+    assert t.attrs["s"].value == 2.0  # nested 'size' unselected -> 'big'
+    assert t.variant_sets == {}
+
+
+def test_crate_variant_and_dictionary_roundtrip(tmp_path):
+    """usdc: SPEC_VARIANT/SPEC_VARIANT_SET specs + variantSelection map +
+    dictionary metadata survive write->read, and reading composes the
+    selected variant."""
+    from strelka_tpu.loaders.usda_parser import Attr, Prim
+
+    thing = Prim(
+        type="Xform", name="Thing", path="/Thing",
+        metadata={
+            "variants": {"look": "blue"},
+            "customData": {
+                "author": "fixture", "version": 3,
+                "weights": [1.0, 2.0], "nested": {"flag": True},
+            },
+        },
+    )
+    red = Prim(path="/Thing{look=red}")
+    red.attrs["primvars:displayColor"] = Attr(type_str="color3f", value=(1.0, 0.0, 0.0))
+    red.children.append(Prim(type="Mesh", name="R", path="/Thing{look=red}/R"))
+    blue = Prim(path="/Thing{look=blue}")
+    blue.attrs["primvars:displayColor"] = Attr(type_str="color3f", value=(0.0, 0.0, 1.0))
+    mesh = Prim(type="Mesh", name="B", path="/Thing{look=blue}/B")
+    mesh.attrs["faceVertexCounts"] = Attr(type_str="int[]", value=[3])
+    blue.children.append(mesh)
+    thing.variant_sets["look"] = {"red": red, "blue": blue}
+    root = Prim(type="PseudoRoot", name="", path="/")
+    root.metadata["defaultPrim"] = "Thing"
+    root.children.append(thing)
+
+    path = str(tmp_path / "variants.usdc")
+    write_usdc(path, root)
+    back = read_usdc(path)
+    assert back.metadata.get("defaultPrim") == "Thing"
+    t = back.find("/Thing")
+    cd = t.metadata["customData"]
+    assert cd["author"] == "fixture" and cd["version"] == 3
+    assert cd["nested"]["flag"] is True
+    np.testing.assert_allclose(cd["weights"], [1.0, 2.0])
+    assert tuple(t.attrs["primvars:displayColor"].value) == (0.0, 0.0, 1.0)
+    assert [c.name for c in t.children] == ["B"]
+    assert t.children[0].attrs["faceVertexCounts"].value[0] == 3

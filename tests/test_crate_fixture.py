@@ -233,3 +233,149 @@ def test_crate_reader_byteflip_fuzz(tmp_path):
         except ValueError:
             pass
         blob[i] = orig
+
+
+STRING_T = 10
+DICT_T = 31
+VSMAP_T = 45
+SPEC_PRIM_T, SPEC_PSEUDO_T, SPEC_VARIANT_T, SPEC_VARIANT_SET_T = 6, 7, 10, 11
+
+
+def build_variant_fixture() -> bytes:
+    """Independent encoding of a variant-carrying stage with dictionary
+    metadata: /Root (variantSelection {look=blue}, customData {note, n})
+    with variantSet 'look' = red|blue; blue adds a Mesh child. Pins the
+    STRINGS section, the dictionary entry layout (u32 key-string-index,
+    i64 skip, u64 ValueRep), the VariantSelectionMap pair layout, and
+    "{set=sel}" path components appended without a separator."""
+    tokens = [
+        "", "Root", "Mesh", "B", "radius", "typeName", "specifier", "default",
+        "Xform", "float", "variantSelection", "customData",
+        "{look=red}", "{look=blue}", "{look=}",
+        "look", "blue", "note", "hi", "n",
+    ]
+    TOK = {t: i for i, t in enumerate(tokens)}
+    strings = [TOK["look"], TOK["blue"], TOK["note"], TOK["hi"], TOK["n"]]
+    STR = {tokens[t]: i for i, t in enumerate(strings)}
+
+    out = bytearray(b"\x00" * 88)
+    out[0:8] = b"PXR-USDC"
+    out[8:11] = bytes((0, 8, 0))
+
+    def rep(vtype, flags=0, payload=0):
+        return (vtype << 48) | flags | payload
+
+    # ---- payloads
+    vsmap_off = len(out)
+    out += struct.pack("<Q", 1) + struct.pack("<II", STR["look"], STR["blue"])
+    dict_off = len(out)
+    out += struct.pack("<Q", 2)
+    out += struct.pack("<IqQ", STR["note"], 8, rep(STRING_T, INLINED, STR["hi"]))
+    out += struct.pack("<IqQ", STR["n"], 8, rep(INT_T, INLINED, 7))
+
+    fields = [
+        (TOK["specifier"], rep(SPECIFIER_T, INLINED, 0)),            # f0
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["Xform"])),      # f1
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["Mesh"])),       # f2
+        (TOK["typeName"], rep(TOKEN_T, INLINED, TOK["float"])),      # f3
+        (TOK["variantSelection"], rep(VSMAP_T, 0, vsmap_off)),       # f4
+        (TOK["customData"], rep(DICT_T, 0, dict_off)),               # f5
+        (TOK["default"], rep(FLOAT_T, INLINED,
+                             struct.unpack("<I", struct.pack("<f", 1.0))[0])),  # f6
+        (TOK["default"], rep(FLOAT_T, INLINED,
+                             struct.unpack("<I", struct.pack("<f", 2.5))[0])),  # f7
+    ]
+    NEG1 = 0xFFFFFFFF
+    fieldsets = [
+        NEG1,                   # fs @0: pseudo-root / variantset (empty)
+        0, 1, 4, 5, NEG1,       # fs @1: /Root
+        0, NEG1,                # fs @6: variant scopes
+        3, 6, NEG1,             # fs @8: red .radius
+        3, 7, NEG1,             # fs @11: blue .radius
+        0, 2, NEG1,             # fs @14: /Root{look=blue}/B
+    ]
+
+    sections = {}
+    tok_blob = b"\x00".join(t.encode() for t in tokens)
+    comp = fast_compress(tok_blob)
+    sections["TOKENS"] = struct.pack("<QQQ", len(tokens), len(tok_blob), len(comp)) + comp
+    sections["STRINGS"] = struct.pack("<Q", len(strings)) + np.asarray(strings, "<u4").tobytes()
+    sections["FIELDS"] = (
+        struct.pack("<Q", len(fields))
+        + _comp_ints([f[0] for f in fields])
+        + (lambda blob: struct.pack("<Q", len(blob)) + blob)(
+            fast_compress(np.array([f[1] for f in fields], "<u8").tobytes())
+        )
+    )
+    sections["FIELDSETS"] = struct.pack("<Q", len(fieldsets)) + _comp_ints(fieldsets)
+
+    # DFS: / -> Root -> {look=red} -> .radius ; {look=blue} -> [.radius, B] ;
+    # {look=}
+    pidx = [0, 1, 2, 3, 4, 5, 6, 7]
+    etok = [
+        0, TOK["Root"], TOK["{look=red}"], -TOK["radius"],
+        TOK["{look=blue}"], -TOK["radius"], TOK["B"], TOK["{look=}"],
+    ]
+    jumps = [-1, -1, 2, -2, 3, 0, -2, -2]
+    sections["PATHS"] = (
+        struct.pack("<QQ", 8, 8)
+        + _comp_ints(pidx) + _comp_ints(etok) + _comp_ints(jumps)
+    )
+    sections["SPECS"] = (
+        struct.pack("<Q", 8)
+        + _comp_ints([0, 1, 2, 3, 4, 5, 6, 7])
+        + _comp_ints([0, 1, 6, 8, 6, 11, 14, 0])
+        + _comp_ints([
+            SPEC_PSEUDO_T, SPEC_PRIM_T, SPEC_VARIANT_T, 1,
+            SPEC_VARIANT_T, 1, SPEC_PRIM_T, SPEC_VARIANT_SET_T,
+        ])
+    )
+
+    order = ["TOKENS", "STRINGS", "FIELDS", "FIELDSETS", "PATHS", "SPECS"]
+    starts = {}
+    for name in order:
+        starts[name] = len(out)
+        out += sections[name]
+    toc_offset = len(out)
+    out += struct.pack("<q", len(order))
+    for name in order:
+        out += name.encode().ljust(16, b"\x00")
+        out += struct.pack("<qq", starts[name], len(sections[name]))
+    struct.pack_into("<q", out, 16, toc_offset)
+    return bytes(out)
+
+
+def test_hand_authored_variant_usdc_parses(tmp_path):
+    path = str(tmp_path / "variants.usdc")
+    with open(path, "wb") as f:
+        f.write(build_variant_fixture())
+    root = read_usdc(path)
+    (xform,) = root.children
+    assert xform.name == "Root" and xform.type == "Xform"
+    # the selected 'blue' variant composed: its radius + Mesh child grafted
+    assert xform.attrs["radius"].value == 2.5
+    assert [c.name for c in xform.children] == ["B"]
+    assert xform.children[0].type == "Mesh"
+    assert xform.children[0].path == "/Root/B"
+    # dictionary metadata decoded through the independent layout
+    assert xform.metadata["customData"] == {"note": "hi", "n": 7}
+    assert xform.variant_sets == {}
+
+
+def test_variant_fixture_byteflip_fuzz(tmp_path):
+    """The parse-or-ValueError contract holds for the dictionary / variant
+    decode paths too."""
+    blob = bytearray(build_variant_fixture())
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "vfuzz.usdc")
+    for _ in range(200):
+        i = int(rng.integers(0, len(blob)))
+        orig = blob[i]
+        blob[i] ^= int(rng.integers(1, 256))
+        with open(path, "wb") as f:
+            f.write(blob)
+        try:
+            read_usdc(path)
+        except ValueError:
+            pass
+        blob[i] = orig
