@@ -19,18 +19,16 @@ import sys
 sys.path.insert(0, ".")
 
 FLAGS = [
-    # (name, scene, baked-in default)
-    ("phase1_fused", "box:32", True),
-    ("bucket_sort", "box:32", False),
-    # ray_rounds* stay env-only: rounds_sim.py predicts the grouped-rounds
-    # scheduler loses ~1.9x on swept pairs (chain stage 2c'' confirms)
-    ("sort_once", "box:32", False),
-    ("shadow_single", "box:32", False),
-    ("hit_predict", "box:32", False),
+    # (name, scene, baked-in default). r4 hardware A/Bs settled and REMOVED
+    # hit_predict / sort_once / ray_rounds (all lost e2e, r4_stage2.log);
+    # phase1_fused and shadow grouping lost too and their defaults flipped.
+    ("phase1_fused", "box:48", False),
+    ("no_shadow_group", "box:48", True),
+    ("shadow_single", "box:48", False),
     ("flat_compact", "cornell", False),
     # flips big scenes to the MXU local-feats intersector; the mean-image
     # guard below rejects it if the numerics drift (oracle also checks)
-    ("mxu_big", "box:32", False),
+    ("mxu_big", "box:48", False),
 ]
 # integer-choice knobs: (name, scene, default, alternatives). sched_sim.py
 # backs the candidates: phase-2 tile 256 cuts the open-union work ~29%,
@@ -43,11 +41,7 @@ CHOICE_FLAGS = [
     # grid steps and longer t_ref accumulation chains
     ("p1_chunk", "box:32", 1, [2, 4]),
 ]
-# re-tested AFTER the choice flags: octant sub-grouping's win materializes
-# at p2 tile 256 (NOTES #29) and would be locked out if only tried at 1024
-POST_FLAGS = [
-    ("p2_octant", "box:32", False),
-]
+POST_FLAGS = []
 MARGIN = 0.98  # challenger must be >=2% faster than the incumbent default
 
 

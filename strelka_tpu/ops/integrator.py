@@ -87,21 +87,13 @@ class FrameState(NamedTuple):
     diffuse_counter: jnp.ndarray  # [H,W] i32 (uint16 in reference)
     specular: jnp.ndarray  # [3,H,W] f32
     specular_counter: jnp.ndarray  # [H,W] i32
-    # temporal hit-prediction table (ops/hitcache.py): [H] i32 superblock of
-    # the last closest hit per (position cell, direction octant) hash. Purely
-    # a scheduling cache — resetting it never changes images, only speed.
-    hit_cache: jnp.ndarray | None = None
 
 
-def make_frame_state(height: int, width: int, predict: bool | None = None) -> FrameState:
-    from strelka_tpu.ops import hitcache
-
+def make_frame_state(height: int, width: int) -> FrameState:
     # distinct buffers (donation requires unique buffers per argument)
     z3 = lambda: jnp.zeros((3, height, width), jnp.float32)
     zc = lambda: jnp.zeros((height, width), jnp.int32)
-    predict = hitcache.enabled() if predict is None else predict
-    cache = hitcache.make_cache() if predict else None
-    return FrameState(z3(), z3(), zc(), z3(), zc(), cache)
+    return FrameState(z3(), z3(), zc(), z3(), zc())
 
 
 def generate_camera_rays(params: LaunchParams, px, py, jx, jy, width, height):
@@ -431,16 +423,10 @@ def _shadow_grouped_any(scene, org, to_light, tmin, tmax, ray_mask, exclude, lig
 
 
 def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
-                    pred=None, compact_only=False):
+                    compact_only=False):
     """Reorder the whole wavefront by spatial key; DEAD lanes get the max key
     so they cluster into tail tiles that the intersector culls in one slab
-    test each — stream compaction without any queue machinery.
-
-    pred: [N] i32 predicted superblock per lane (-1 unknown). When given the
-    key becomes predicted-block-MAJOR (position Morton within a block), so
-    ray tiles turn block-pure and the predicted phase-1 work list stays a
-    few entries per tile (ops/hitcache.py). Unpredicted lanes form group 0,
-    spatially sorted as before."""
+    test each — stream compaction without any queue machinery."""
     n = alive.shape[0]
     if compact_only:
         # stable alive-first partition: no argsort, alive lanes keep their
@@ -450,29 +436,8 @@ def _sort_wavefront(scene, origin, direction, alive, state_f32, state_bits,
         perm, _ = _partition_perm_flat(alive)
         return _permute_packed(perm, state_f32, state_bits)
     key = _ray_sort_key(scene, origin, direction)
-    if pred is not None:
-        # (pred+1) in the top 14 bits, top 18 bits of the spatial key below
-        group = jnp.clip(pred + 1, 0, (1 << 14) - 2).astype(jnp.uint32)
-        key = (group << 18) | (key >> 9)
     key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
-    from strelka_tpu import tuned as _tuned
-
-    if (
-        pred is None
-        and getattr(scene, "use_pallas", False)
-        and _tuned.get_bool("bucket_sort", False)
-    ):
-        # Counting sort on the top 9 key bits (512 spatial groups + one dead
-        # group): the intersector only consumes the key's group structure,
-        # and stability inherits last bounce's coherence within each group.
-        # ~an order of magnitude cheaper than the full argsort per bounce
-        # (ops/bucket_sort.py).
-        from strelka_tpu.ops.bucket_sort import bucket_sort_perm
-
-        bucket = jnp.minimum(key >> 18, jnp.uint32(512)).astype(jnp.int32)
-        perm = bucket_sort_perm(bucket, 513, use_pallas=True)
-    else:
-        perm = jnp.argsort(key)
+    perm = jnp.argsort(key)
     return _permute_packed(perm, state_f32, state_bits)
 
 
@@ -523,7 +488,6 @@ def trace_paths(
     sort_rays: bool = False,
     cone_spread=None,
     collect_stats: bool = False,
-    hit_cache: jnp.ndarray | None = None,
 ):
     """One path per entry; returns (radiance Vec3, first_event [N]) — plus a
     stats dict (alive closest/shadow ray counts summed over bounces) when
@@ -565,23 +529,8 @@ def trace_paths(
     ray_id = None
     stat_closest = jnp.zeros((), jnp.float32)
     stat_shadow = jnp.zeros((), jnp.float32)
-    # temporal hit prediction (ops/hitcache.py): bounce wavefronts only (a
-    # camera wavefront shares one origin cell — nothing to predict, and it
-    # rides the single work-list schedule anyway), residual-path scenes only
-    from strelka_tpu.ops.hitcache import predict as _hc_predict
-    from strelka_tpu.ops.hitcache import ray_hash as _hc_hash
-    from strelka_tpu.ops.hitcache import update as _hc_update
-    from strelka_tpu import tuned as _tuned
-    from strelka_tpu.ops.intersect import _use_flat, _use_residual
+    from strelka_tpu.ops.intersect import _use_flat
 
-    use_pred = (
-        hit_cache is not None
-        and sort_rays
-        and bool(getattr(scene, "use_pallas", False))
-        and not _use_flat(scene)
-        and _use_residual(scene)
-    )
-    sb_size = scene.kernel_tblk * scene.kernel_super if use_pred else 1
     # flat-path scenes skip the Morton sort (no block culling to feed), but a
     # cheap stable DEAD-TO-TAIL partition (one cumsum+scatter, no argsort)
     # still clusters terminated lanes into whole tiles the small kernels'
@@ -593,20 +542,10 @@ def trace_paths(
         and _tuned.get_bool("flat_compact", False)
     )
     sort_rays = sort_rays or compact_rays
-    # A/B: argsort the wavefront only at bounce 1 and keep that order for
-    # later bounces (origins drift from their sorted cells but slowly; saves
-    # ~25 ms/bounce of argsort + permutes if tile coherence holds)
-    sort_once = _tuned.get_bool("sort_once", False)
     for depth in range(max_depth):
-        pred = None
-        if use_pred and depth >= 1:
-            pred = _hc_predict(
-                hit_cache, _hc_hash(scene, origin, direction, hit_cache.shape[0])
-            )
-        if sort_rays and depth >= 1 and not (sort_once and depth > 1):
+        if sort_rays and depth >= 1:
             if ray_id is None:
                 ray_id = jnp.arange(n, dtype=jnp.int32)
-            pred_col = [pred] if pred is not None else []
             f32s, bits = _sort_wavefront(
                 scene, origin, direction, alive,
                 [
@@ -616,9 +555,7 @@ def trace_paths(
                     throughput.x, throughput.y, throughput.z,
                     last_bsdf_pdf, t_total,
                 ],
-                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id]
-                + pred_col,
-                pred=pred,
+                [sample_idx, first_event, prev_prim, inside, specular_bounce, alive, ray_id],
                 compact_only=compact_rays,
             )
             origin = Vec3(*f32s[0:3])
@@ -629,8 +566,6 @@ def trace_paths(
             t_total = f32s[13]
             (sample_idx, first_event, prev_prim, inside, specular_bounce,
              alive, ray_id) = bits[:7]
-            if pred is not None:
-                pred = bits[7]
 
         # One batched draw of the 5 folded Sobol dimensions per bounce,
         # fused into a single Pallas kernel on TPU (bit-identical to the XLA
@@ -648,17 +583,8 @@ def trace_paths(
         hit = intersect_closest(
             scene, origin, direction, tmin_mat, tmax_big, RAY_MASK_PRIMARY,
             active=alive, exclude=prev_prim, shared_origin=(depth == 0),
-            skip_uv=on_pallas, pred=pred,
+            skip_uv=on_pallas,
         )
-        if use_pred and depth >= 1:
-            # remember the superblock that resolved each lane (hash recomputed
-            # from the SORTED origins — elementwise, matches `pred`'s keys)
-            hit_cache = _hc_update(
-                hit_cache,
-                _hc_hash(scene, origin, direction, hit_cache.shape[0]),
-                hit.prim // sb_size,
-                alive & (hit.prim >= 0),
-            )
         # curve (hair) primitives: dense round-cone sweep, closest wins
         is_curve = jnp.zeros(n, bool)
         chit = None
@@ -937,7 +863,7 @@ def trace_paths(
         if collect_stats
         else None
     )
-    return radiance, first_event, hit_cache, stats
+    return radiance, first_event, stats
 
 
 def render_launch(
@@ -1021,9 +947,8 @@ def render_launch(
         # tan(fov_y/2)); drives mip selection in texture lookups
         cone_spread=2.0 * jnp.abs(params.clip_to_view[1, 1]) / fh,
         collect_stats=collect_stats,
-        hit_cache=state.hit_cache,
     )
-    radiance, first_event, new_hit_cache, stats = out
+    radiance, first_event, stats = out
     # [spl*n] components -> [spl, n] -> reduce over samples
     rad = Vec3(*[c.reshape(spl, n) for c in radiance])
     fe = first_event.reshape(spl, n)
@@ -1097,7 +1022,6 @@ def render_launch(
         diffuse_counter=new_dcount,
         specular=new_specular,
         specular_counter=new_scount,
-        hit_cache=new_hit_cache,
     )
     if collect_stats:
         return new_state, image, stats

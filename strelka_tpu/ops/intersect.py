@@ -369,17 +369,12 @@ def _p1_tile() -> int:
 
 
 def _open_partition(open_, directions):
-    """Open-first stable partition; with tuned p2_octant the open segment is
-    additionally grouped by direction octant (sched_sim.py: octant-pure
-    phase-2 tiles shrink the W union another ~10%). Returns (perm, pos)."""
-    if _tuned.get_bool("p2_octant", False):
-        from strelka_tpu.ops.bucket_sort import bucket_sort_perm
+    """Open-first stable partition. Returns (perm, pos).
 
-        key = jnp.where(open_, V.octant(directions), 8)
-        perm = bucket_sort_perm(key, 9, use_pallas=True)
-        n = open_.shape[0]
-        pos = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        return perm, pos
+    (An octant sub-grouping of the open segment via a pallas counting sort
+    was built in r3 and FALSIFIED on hardware — 2221 ms vs 1723 baseline,
+    NOTES fact #33 — and removed with the bucket-sort machinery in r4.)"""
+    del directions
     return _partition_perm(open_)
 
 
@@ -548,112 +543,6 @@ def _closest_twopass(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, 
     )
 
 
-def _closest_predicted(scene, use_mxu, origins, directions, tmin, tmax,
-                       ray_mask, exclude, pred):
-    """Residual two-pass with a prediction-AUGMENTED phase 1 (ops/hitcache.py).
-
-    pred: [N] i32 predicted superblock per lane (-1 unknown). Phase 1 sweeps
-    the K nearest superblocks per tile (K = PRED_K, smaller than the
-    unpredicted two-pass's RESIDUAL_K) PLUS each tile's predicted blocks via
-    one work-list pass with tmax primed by the K-nearest result. The two
-    roles are complementary: the predicted block supplies the TIGHT bound
-    (the actual hit, when the cache is right), while the near blocks are the
-    ones whose entry distance precedes that hit — exactly the set the open
-    test needs swept before it can CLOSE the lane. The wavefront arrives
-    sorted predicted-block-major, so the predicted work list stays a few
-    entries per tile. Phase 2 (residual open lanes) is unchanged:
-    correctness never depends on the predictions."""
-    from strelka_tpu.ops.hitcache import PRED_CAP, PRED_K
-    from strelka_tpu.ops.pallas_intersect import (
-        build_worklist,
-        pallas_intersect_closest_wl,
-        pallas_intersect_closest_wl_mxu,
-        pallas_open_w,
-        super_bounds_jnp,
-        tile_sweep_order_k,
-    )
-
-    tile = SUPER_PATH_TILE
-    n = tmin.shape[0]
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    nsb = sbounds.shape[1]
-    n_tiles = -(-n // tile)
-
-    # --- phase 1a: K nearest superblocks per tile (K < RESIDUAL_K). The
-    # fused kernel's in-pass open flag uses the pre-1b bound and swept set;
-    # the tighter post-1b open test below replaces it (discarded here).
-    if PRED_K > 0:
-        k = min(PRED_K, nsb)
-        order_k, r2t, d2 = tile_sweep_order_k(origins, sbounds, tile, k)
-        t1, prim1, _open_1a = _run_phase1_closest(
-            scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-            order_k, sbounds, d2, r2t,
-        )
-    else:  # pure prediction (scan option): nothing swept yet
-        from strelka_tpu.ops.pallas_intersect import tile_box_d2
-
-        d2 = tile_box_d2(origins, sbounds, tile)
-        r2t = jnp.full(n_tiles, 1e-30, jnp.float32)  # nothing inside the ball
-        t1 = jnp.full(n, _BIG, jnp.float32)
-        prim1 = jnp.full(n, -1, jnp.int32)
-
-    # --- phase 1b: predicted blocks, work-listed, tmax primed by phase 1a.
-    # per-tile predicted-superblock matrix: one [N] scatter (invalid lanes
-    # drop out of bounds)
-    lane_tile = (jnp.arange(n, dtype=jnp.int32) // tile).astype(jnp.int32)
-    valid = pred >= 0
-    Wp = jnp.zeros((n_tiles, nsb), jnp.int32).at[
-        jnp.where(valid, lane_tile, n_tiles), jnp.clip(pred, 0, nsb - 1)
-    ].set(1, mode="drop")
-    cap1 = n_tiles * PRED_CAP
-    wl1, count1, visited1 = build_worklist(
-        Wp > 0, jnp.where(Wp > 0, 0.0, 1e30), cap1
-    )
-    fits = count1 <= cap1
-    bound1 = jnp.minimum(t1, tmax)
-
-    def phase1b(_):
-        if _wl_use_mxu(scene, use_mxu):
-            t1p, prim1p = pallas_intersect_closest_wl_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl1,
-                origins, directions, tmin, bound1,
-                ray_mask, exclude=exclude,
-                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local,
-            )
-        else:
-            t1p, prim1p = pallas_intersect_closest_wl(
-                scene.tris_packed, scene.tri_bounds, wl1,
-                origins, directions, tmin, bound1,
-                ray_mask, exclude=exclude,
-                tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-            )
-        vis_ray = jnp.repeat(visited1, tile)[:n]
-        prim1p = jnp.where(vis_ray, prim1p, -1)
-        return jnp.where(prim1p >= 0, t1p, _BIG), prim1p
-
-    def no_phase1b(_):
-        return jnp.full(n, _BIG, jnp.float32), jnp.full(n, -1, jnp.int32)
-
-    t1b, prim1b = jax.lax.cond(fits, phase1b, no_phase1b, None)
-    better = prim1b >= 0  # phase-1b hits are < bound1 by construction
-    t1m = jnp.where(better, t1b, t1)
-    prim1m = jnp.where(better, prim1b, prim1)
-
-    # open test: swept = the K-nearest ball (d2 < r2t) OR the tile's
-    # predicted set (its d2 forced to 0). On work-list overflow the predicted
-    # pass was skipped: leave d2 untouched so only the ball counts as swept.
-    d2_open = jnp.where((Wp > 0) & fits, 0.0, d2)
-    bound = jnp.minimum(t1m, tmax)
-    open_, _, _ = pallas_open_w(
-        origins, directions, tmin, bound, sbounds, d2_open, r2t, tile
-    )
-    return _closest_finish(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        sbounds, t1m, prim1m, open_,
-    )
-
-
 def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
     """Single work-list ANY sweep (no K-nearest phase 1): grouped shadow
     rays are direction-coherent (each tile's rays aim at one light), so the
@@ -766,82 +655,6 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
     return occ1 | occ2
 
 
-def _wl_sweep_fns(scene, use_mxu, ray_mask, tile):
-    """Work-list sweep callbacks (closest, any) for the grouped-rounds
-    scheduler — the same kernels the two-pass phase 2 uses."""
-    from strelka_tpu.ops.pallas_intersect import (
-        pallas_intersect_any_wl,
-        pallas_intersect_any_wl_mxu,
-        pallas_intersect_closest_wl,
-        pallas_intersect_closest_wl_mxu,
-    )
-
-    mxu = _wl_use_mxu(scene, use_mxu)
-    tb, sp = scene.kernel_tblk, scene.kernel_super
-
-    def sweep_closest(wl, o, d, tmin, tmax, excl):
-        if mxu:
-            return pallas_intersect_closest_wl_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
-                o, d, tmin, tmax, ray_mask, exclude=excl,
-                tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
-            )
-        return pallas_intersect_closest_wl(
-            scene.tris_packed, scene.tri_bounds, wl, o, d, tmin, tmax,
-            ray_mask, exclude=excl, tile=tile, tblk=tb, super_=sp,
-        )
-
-    def sweep_any(wl, o, d, tmin, tmax, excl):
-        if mxu:
-            return pallas_intersect_any_wl_mxu(
-                scene.tris_feats, scene.tris_mask, scene.tri_bounds, wl,
-                o, d, tmin, tmax, ray_mask, exclude=excl,
-                tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
-            )
-        return pallas_intersect_any_wl(
-            scene.tris_packed, scene.tri_bounds, wl, o, d, tmin, tmax,
-            ray_mask, exclude=excl, tile=tile, tblk=tb, super_=sp,
-        )
-
-    return sweep_closest, sweep_any
-
-
-def _closest_rounds(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
-    """Per-ray grouped-rounds closest sweep (ops/rounds.py) + residual
-    finish for lanes the round budget left open."""
-    from strelka_tpu.ops.pallas_intersect import super_bounds_jnp
-    from strelka_tpu.ops.rounds import rounds_traverse
-
-    tile = SUPER_PATH_TILE
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    sc, sa = _wl_sweep_fns(scene, use_mxu, ray_mask, tile)
-    t1, prim1, open_ = rounds_traverse(
-        sc, sa, sbounds, origins, directions, tmin, tmax, exclude,
-        tile=tile, mode="closest",
-    )
-    return _closest_finish(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        sbounds, t1, prim1, open_,
-    )
-
-
-def _any_rounds(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude):
-    from strelka_tpu.ops.pallas_intersect import super_bounds_jnp
-    from strelka_tpu.ops.rounds import rounds_traverse
-
-    tile = SUPER_PATH_TILE
-    sbounds = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
-    sc, sa = _wl_sweep_fns(scene, use_mxu, ray_mask, tile)
-    occ1, open_ = rounds_traverse(
-        sc, sa, sbounds, origins, directions, tmin, tmax, exclude,
-        tile=tile, mode="any",
-    )
-    return _any_finish(
-        scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude,
-        sbounds, occ1, open_,
-    )
-
-
 def _tile_starts(scene, origins):
     """Per-ray-tile near-to-far sweep order (None when unavailable).
 
@@ -884,7 +697,6 @@ def intersect_closest(
     exclude: jnp.ndarray | None = None,
     shared_origin: bool = False,  # accepted for API stability; scheduling is uniform
     skip_uv: bool = False,  # caller recomputes barycentrics from its own attr gather
-    pred: jnp.ndarray | None = None,  # [N] i32 predicted superblock (hitcache)
 ) -> Hit:
     """Dispatch: Pallas dense kernel on TPU, BVH traversal when the scene has
     one, else jnp brute force. origins/directions: Vec3 (or [N,3]).
@@ -941,24 +753,9 @@ def intersect_closest(
                 )
         elif _use_residual(scene):
             if shared_origin:
-                if _tuned.get_bool("ray_rounds_camera", False):
-                    t, prim = _closest_rounds(
-                        scene, use_mxu, origins, directions, tmin, tmax,
-                        ray_mask, exclude
-                    )
-                else:
-                    t, prim = _closest_wl_single(
-                        scene, use_mxu, origins, directions, tmin, tmax,
-                        ray_mask, exclude
-                    )
-            elif pred is not None:
-                t, prim = _closest_predicted(
-                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
-                    exclude, pred
-                )
-            elif _tuned.get_bool("ray_rounds", False):
-                t, prim = _closest_rounds(
-                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
+                t, prim = _closest_wl_single(
+                    scene, use_mxu, origins, directions, tmin, tmax,
+                    ray_mask, exclude
                 )
             else:
                 t, prim = _closest_twopass(
@@ -1053,10 +850,6 @@ def intersect_any(
         if _use_residual(scene):
             if _tuned.get_bool("shadow_single", False):
                 return _any_wl_single(
-                    scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
-                )
-            if _tuned.get_bool("ray_rounds_any", False):
-                return _any_rounds(
                     scene, use_mxu, origins, directions, tmin, tmax, ray_mask, exclude
                 )
             return _any_twopass(

@@ -20,8 +20,6 @@ from strelka_tpu.ops.integrator import FrameState
 
 def save_checkpoint(path: str, state: FrameState, subframe_index: int, meta: Optional[dict] = None) -> None:
     """Persist the accumulation state + spp counter."""
-    # hit_cache (optional last field) is a scheduling heuristic, not render
-    # state — dropped on save, rebuilt cold on resume (images unaffected)
     arrays = {
         f"state_{i}": np.asarray(x) for i, x in enumerate(state[:5])
     }
@@ -39,11 +37,8 @@ def load_checkpoint(path: str) -> Tuple[FrameState, int]:
     """Restore (FrameState, subframe_index)."""
     import jax.numpy as jnp
 
-    from strelka_tpu.ops import hitcache
-
     with np.load(path) as data:
         fields = [jnp.asarray(data[f"state_{i}"]) for i in range(5)]
         subframe = int(data["subframe_index"])
     log.info("Checkpoint loaded: {} ({} spp)", path, subframe)
-    cache = hitcache.make_cache() if hitcache.enabled() else None
-    return FrameState(*fields, cache), subframe
+    return FrameState(*fields), subframe
