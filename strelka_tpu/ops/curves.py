@@ -498,38 +498,45 @@ def _cone_any_kernel(
                 occ_ref[0, :] = occ_ref[0, :] | jnp.any(valid, axis=0)
 
 
-# fused-K phase-1 cone kernels: one grid step per ray tile sweeps all K of
-# the tile's nearest cone superblocks (K prefetch-indexed inputs, register
-# accumulation) — same rationale as the triangle fused-K kernels
-# (ops/pallas_intersect.py): no t_ref round trips between the K steps, no
-# per-sub-block when-guards on near blocks that almost always pass, and a
-# tile-level dead guard for the sorted tail.
+# fused-K phase-1 cone kernels: grid dim 0 walks ray tiles, grid dim 1
+# walks the tile's K-nearest-superblock schedule CHUNK superblocks at a
+# time (prefetch-indexed inputs, register accumulation within a step,
+# t/cone accumulated across steps through the output refs) — same design
+# as the triangle fused-K kernels (ops/pallas_intersect.py). Full-K
+# register fusion unrolled K*super_=128 cone blocks and spilled 135MB of
+# registers at hair_long scale (r4_stage2.log) — the same VMEM-bound
+# failure the triangle kernels hit at K=16, fixed the same way.
 
 
-def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
+def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, chunk: int,
                                 nsb_pad: int):
     from strelka_tpu.ops.pallas_intersect import _fused_open_epilogue
 
     starts_ref, rays_ref, sb_ref, d2_ref, r2_ref = refs[0:5]
-    cones_refs = refs[5 : 5 + k_fused]
-    t_ref, cone_ref, open_ref = refs[5 + k_fused : 8 + k_fused]
+    cones_refs = refs[5 : 5 + chunk]
+    t_ref, cone_ref, open_ref = refs[5 + chunk : 8 + chunk]
     r = pl.program_id(0)
+    kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(kc == 0)
+    def _init():
+        t_ref[:, :] = rays_ref[7, :][None, :]
+        cone_ref[:, :] = jnp.full_like(cone_ref[:, :], -1)
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
+
     rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    t_ref[0, :] = rays[7, :]
-    cone_ref[0, :] = jnp.full((tile,), -1, jnp.int32)
-    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
-        best_t = rays[7, :]
-        best_c = jnp.full((tile,), -1, jnp.int32)
-        for kk in range(k_fused):
-            sb = starts_ref[kk, r]
+        best_t = t_ref[0, :]
+        best_c = cone_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[kc * chunk + i, r]
             for j in range(super_):
                 blk = sb * super_ + j
                 t, valid = _cone_block(
-                    rays, cones_refs[kk][:, j * tblk : (j + 1) * tblk],
+                    rays, cones_refs[i][:, j * tblk : (j + 1) * tblk],
                     tmax_row=best_t,
                 )
                 t_masked = jnp.where(valid, t, _BIG)
@@ -540,42 +547,54 @@ def _cone_closest_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
                 best_c = jnp.where(better, blk * tblk + blk_arg, best_c)
         t_ref[0, :] = best_t
         cone_ref[0, :] = best_c
-        open_ref[0, :] = _fused_open_epilogue(
-            rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
-        )
+
+        @pl.when(kc == last)
+        def _open():
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, best_t, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
 
 
-def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, k_fused: int,
+def _cone_any_kernel_fusedk(*refs, tblk: int, super_: int, chunk: int,
                             nsb_pad: int):
     from strelka_tpu.ops.pallas_intersect import _fused_open_epilogue
 
     starts_ref, rays_ref, sb_ref, d2_ref, r2_ref = refs[0:5]
-    cones_refs = refs[5 : 5 + k_fused]
-    occ_ref, open_ref = refs[5 + k_fused : 7 + k_fused]
+    cones_refs = refs[5 : 5 + chunk]
+    occ_ref, open_ref = refs[5 + chunk : 7 + chunk]
     r = pl.program_id(0)
+    kc = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(kc == 0)
+    def _init():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+        open_ref[:, :] = jnp.zeros_like(open_ref[:, :])
+
     rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    occ_ref[0, :] = jnp.zeros((tile,), jnp.bool_)
-    open_ref[0, :] = jnp.zeros((tile,), jnp.int32)
 
     @pl.when(jnp.any(rays[7, :] > rays[6, :]))
     def _live():
-        occ = jnp.zeros((tile,), jnp.bool_)
-        for kk in range(k_fused):
-            sb = starts_ref[kk, r]
+        occ = occ_ref[0, :]
+        for i in range(chunk):
+            sb = starts_ref[kc * chunk + i, r]
             for j in range(super_):
                 _, valid = _cone_block(
-                    rays, cones_refs[kk][:, j * tblk : (j + 1) * tblk]
+                    rays, cones_refs[i][:, j * tblk : (j + 1) * tblk]
                 )
                 occ = occ | jnp.any(valid, axis=0)
         occ_ref[0, :] = occ
-        bound = jnp.where(occ, 0.0, rays[7, :])
-        open_ref[0, :] = _fused_open_epilogue(
-            rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
-        )
+
+        @pl.when(kc == last)
+        def _open():
+            bound = jnp.where(occ, 0.0, rays[7, :])
+            open_ref[0, :] = _fused_open_epilogue(
+                rays, bound, sb_ref, d2_ref, r2_ref, nsb_pad=nsb_pad
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
+@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "chunk",
+                                              "interpret", "any_hit"))
 def pallas_intersect_cones_fusedk(
     cones_packed: jnp.ndarray,  # [12, M]
     order_k: jnp.ndarray,  # [n_tiles, K] i32
@@ -589,31 +608,37 @@ def pallas_intersect_cones_fusedk(
     tile: int = 1024,
     tblk: int = CONE_TBLK,
     super_: int = CONE_SUPER,
+    chunk: int = 1,  # superblocks per grid step (VMEM/register bound)
     interpret: bool = False,
     any_hit: bool = False,
 ):
-    """Fused-K phase-1 cone sweep with the residual open test fused
+    """Fused-K phase-1 cone sweep (CHUNK superblocks per grid step, K walked
+    by grid dim 1) with the residual open test fused at the last step
     -> (t, cone, open) or (occ, open); t/cone/occ bit-compatible with the
     rectangular sweep over the same order table, open with pallas_open_w."""
-    from strelka_tpu.ops.pallas_intersect import _pack_rays, _pad_open_inputs
+    from strelka_tpu.ops.pallas_intersect import (
+        _pack_rays, _pad_open_inputs, _pad_order_chunk,
+    )
 
     n = tmin.shape[0]
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     step = tblk * super_
+    order_k = _pad_order_chunk(order_k, chunk)
     k_fused = int(order_k.shape[1])
+    n_steps = k_fused // chunk
     n_tiles = n_pad // tile
     sbounds, d2r, nsb_pad = _pad_open_inputs(sbounds, d2, n_tiles)
     in_specs = [
-        pl.BlockSpec((8, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, nsb_pad), lambda r, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nsb_pad), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda r, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nsb_pad), lambda r, kc, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsb_pad), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda r, kc, *_: (r, 0, 0), memory_space=pltpu.VMEM),
     ]
-    for kk in range(k_fused):
+    for i in range(chunk):
         in_specs.append(
             pl.BlockSpec(
                 (12, step),
-                (lambda kk: lambda r, starts: (0, starts[kk, r]))(kk),
+                (lambda i: lambda r, kc, starts: (0, starts[kc * chunk + i, r]))(i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -621,46 +646,48 @@ def pallas_intersect_cones_fusedk(
         # [K, n_tiles]: SMEM pads the MINOR dim to 128, so the transposed
         # order table is K/128ths the footprint of [n_tiles, K]
         order_k.astype(jnp.int32).T, rays, sbounds, d2r, r2t.reshape(-1, 1, 1),
-        *([cones_packed] * k_fused),
+        *([cones_packed] * chunk),
     )
     if any_hit:
         kernel = functools.partial(
-            _cone_any_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused,
+            _cone_any_kernel_fusedk, tblk=tblk, super_=super_, chunk=chunk,
             nsb_pad=nsb_pad,
         )
         occ, open_out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=(n_tiles, n_steps),
                 in_specs=in_specs,
                 out_specs=[
-                    pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
                 ],
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
                 jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             ],
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
             interpret=interpret,
         )(*operands)
         return occ[0, :n], open_out[0, :n] != 0
     kernel = functools.partial(
-        _cone_closest_kernel_fusedk, tblk=tblk, super_=super_, k_fused=k_fused,
+        _cone_closest_kernel_fusedk, tblk=tblk, super_=super_, chunk=chunk,
         nsb_pad=nsb_pad,
     )
     t_out, cone_out, open_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(n_tiles, n_steps),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda r, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda r, kc, *_: (0, r), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
@@ -668,7 +695,9 @@ def pallas_intersect_cones_fusedk(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*operands)
     t = t_out[0, :n]
