@@ -30,9 +30,9 @@ FLAGS = [
     # guard below rejects it if the numerics drift (oracle also checks)
     ("mxu_big", "box:48", False),
 ]
-# integer-choice knobs: (name, scene, default, alternatives). sched_sim.py
-# backs the candidates: phase-2 tile 256 cuts the open-union work ~29%,
-# phase-1 tile 512 tightens the K-ball (open 0.34 -> 0.19).
+# integer-choice knobs: (name, scene, default, alternatives). Candidates are
+# direct hardware A/Bs only — the r3 work-unit simulator's predictions were
+# falsified e2e (NOTES fact #33) and the simulator was removed.
 CHOICE_FLAGS = [
     ("p2_tile", "box:32", 1024, [256, 512]),
     ("p1_tile", "box:32", 1024, [512, 256]),
