@@ -21,9 +21,8 @@ sys.path.insert(0, ".")
 FLAGS = [
     # (name, scene, baked-in default). r4 hardware A/Bs settled and REMOVED
     # hit_predict / sort_once / ray_rounds (all lost e2e, r4_stage2.log);
-    # phase1_fused and shadow grouping lost too and their defaults flipped.
-    ("phase1_fused", "box:48", False),
-    ("no_shadow_group", "box:48", True),
+    # phase1_fused and shadow grouping lost too and their defaults flipped
+    # (r4_bisect.log) — not re-probed here.
     ("shadow_single", "box:48", False),
     ("flat_compact", "cornell", False),
     # flips big scenes to the MXU local-feats intersector; the mean-image
@@ -34,12 +33,13 @@ FLAGS = [
 # direct hardware A/Bs only — the r3 work-unit simulator's predictions were
 # falsified e2e (NOTES fact #33) and the simulator was removed.
 CHOICE_FLAGS = [
-    ("p2_tile", "box:32", 1024, [256, 512]),
-    ("p1_tile", "box:32", 1024, [512, 256]),
-    # superblocks per fused-K grid step: 1 is the VMEM-safe default (full-K
-    # fusion OOM'd the scoped stack); 2/4 trade stack headroom for fewer
-    # grid steps and longer t_ref accumulation chains
-    ("p1_chunk", "box:32", 1, [2, 4]),
+    # phase-1 sweeps K nearest superblocks per tile and its cost is linear
+    # in K; smaller K pushes more lanes into the phase-2 work list. Scan
+    # directly on the bench config (box:48 — r3 tuned on box:32 and its
+    # "wins" did not transfer, VERDICT r3 weak #1/#2).
+    ("residual_k", "box:48", 16, [8, 12, 24]),
+    ("p2_tile", "box:48", 1024, [256, 512]),
+    ("p1_tile", "box:48", 1024, [512]),
 ]
 POST_FLAGS = []
 MARGIN = 0.98  # challenger must be >=2% faster than the incumbent default

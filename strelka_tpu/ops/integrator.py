@@ -51,6 +51,7 @@ from strelka_tpu import tuned as _tuned
 # perf-bisection toggles (scripts/bisect_probe.py) — read once at import
 _NO_EMISSION = _os.environ.get("STRELKA_NO_EMISSION") == "1"
 _NO_CUTOUT = _os.environ.get("STRELKA_NO_CUTOUT") == "1"
+_NO_TEX = _os.environ.get("STRELKA_NO_TEX") == "1"  # perf-attribution A/B only
 
 Dim = S.SampleDimension
 
@@ -384,6 +385,16 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         # direction-octant-major: tiles become direction-pure, so blocks
         # behind a tile fail every slab test (halves+ the touched set)
         return (octant << 24) | morton
+    mid = int(_os.environ.get("STRELKA_KEY_OCT_MID", "0"))
+    if mid:
+        # octant-MID key: coarse position major (top 24-mid Morton bits),
+        # then octant, then fine position. Tiles stay position-coherent at
+        # the coarse-cell level AND become direction-pure, so the per-tile
+        # sub-block OR-guards can reject blocks behind the whole tile —
+        # the middle ground between the falsified octant-major (NOTES #17)
+        # and the current position-only key (octant in noise-level low bits).
+        lo_bits = morton & jnp.uint32((1 << mid) - 1)
+        return ((morton >> mid) << (mid + 3)) | (octant << mid) | lo_bits
     return (morton << 3) | octant
 
 
@@ -642,7 +653,7 @@ def trace_paths(
         if chit is not None:
             t_eff = jnp.where(is_curve, chit.t, hit.t)
         t_hit = t_total + jnp.where(alive & ~missed, t_eff, 0.0)
-        if scene.textures is not None:
+        if scene.textures is not None and not _NO_TEX:
             lod_uv = None
             if cone_spread is not None:
                 lod_uv = jnp.log2(jnp.maximum(cone_spread * t_hit, 1e-20)) + uv_density_log2

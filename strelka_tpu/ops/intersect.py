@@ -104,6 +104,8 @@ FLAT_KERNEL_MAX_TRIS = 65536  # below this the flat single-pass kernels win
 SMALL_MXU_MAX = 8192  # whole-scene-in-VMEM MXU kernels (cornell-class)
 import os as _os
 
+from strelka_tpu import tuned as _tuned
+
 # superblock-path ray tile (incoherent bounce tiles cull better when small;
 # overridable for tuning)
 SUPER_PATH_TILE = int(_os.environ.get("STRELKA_SUPER_TILE", "1024"))
@@ -119,7 +121,7 @@ def _use_flat(scene) -> bool:
 # open remainder is stable-partitioned to the front (compaction) and swept
 # against the full near-to-far order with tmax primed by phase 1. One
 # incoherent lane no longer drags its whole 1024-ray tile through the scene.
-RESIDUAL_K = int(_os.environ.get("STRELKA_RESIDUAL_K", "16"))
+RESIDUAL_K = _tuned.get_int("residual_k", 16)
 _NO_RESIDUAL = _os.environ.get("STRELKA_NO_RESIDUAL") == "1"
 
 
@@ -215,8 +217,6 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
 # (K prefetch-indexed inputs, register accumulation — no t_ref read->write
 # serialization between the K steps, no per-sub-block when-guards, which on
 # phase-1 NEAR blocks almost always pass). VPU path only; A/B toggle.
-from strelka_tpu import tuned as _tuned
-
 # default OFF since the r4 hardware A/B: the fused-K phase 1 LOST 558 ms on
 # box_field 512^2/2spp/4d (2548 vs 1991 ms, bit-identical image) — the K
 # scalar-prefetch-indexed inputs + register accumulation serialize worse than
