@@ -60,10 +60,17 @@ def probe(scene_name: str) -> None:
     if scene_name == "cornell":
         sh = TS.cornell_box(light_intensity=5000.0, metal_box=True, glass_sphere=True)
         spp = 4
-    else:
+        width = height = 512
+    elif scene_name.startswith("box:"):
         sh = TS.box_field(grid=int(scene_name.split(":")[1]))
         spp = 2
-    width = height = 512
+        width = height = 512
+    else:  # any bench scene (kitchen, hair_patch, ...) at its bench config
+        import bench
+
+        sh = bench.build_host_scene(scene_name)
+        spp = 2
+        width = height = 384 if scene_name.startswith("hair") else 512
     scene = build_device_scene(sh)
     cam = sh.get_camera(0)
     cam.update_aspect_ratio(1.0)

@@ -363,6 +363,37 @@ def _spread3(v):
     return v
 
 
+def _nearest_block_along_ray(scene: DeviceScene, position: Vec3, direction: Vec3):
+    """Per-ray id of the first superblock the ray can enter (slab tnear
+    argmin over valid blocks), nsb for rays that hit nothing. One [N, nsb]
+    elementwise pass — the per-RAY analogue of the per-tile order table."""
+    from strelka_tpu.ops.pallas_intersect import super_bounds_jnp
+
+    sb = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)  # [8, nsb]
+    nsb = sb.shape[1]
+    tnear = jnp.zeros((position.x.shape[0], 1), jnp.float32)
+    tfar = jnp.full_like(tnear, 1e30)
+    valid = jnp.ones((1, nsb), bool)
+    for c, (pc, dc) in enumerate(
+        ((position.x, direction.x), (position.y, direction.y), (position.z, direction.z))
+    ):
+        inv = 1.0 / jnp.where(jnp.abs(dc) > 1e-20, dc, 1e-20)
+        lo = sb[c][None, :]
+        hi = sb[3 + c][None, :]
+        t0 = (lo - pc[:, None]) * inv[:, None]
+        t1 = (hi - pc[:, None]) * inv[:, None]
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+        valid = valid & (lo <= hi)  # inverted pad blocks never match
+    cand = (tnear <= tfar) & (tfar >= 0.0) & valid
+    tn = jnp.where(cand, tnear, 1e30)
+    best = tn.min(axis=1, keepdims=True)
+    blk = jnp.where(
+        (tn == best) & (best < 1e30), jnp.arange(nsb, dtype=jnp.int32)[None, :], nsb
+    )
+    return jnp.min(blk, axis=1).astype(jnp.uint32), jnp.uint32(nsb)
+
+
 def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
     """Spatial sort key: 24-bit position Morton (static world bounds) with
     the direction octant in the low 3 bits. Rays sorted by this key form
@@ -385,6 +416,15 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         # direction-octant-major: tiles become direction-pure, so blocks
         # behind a tile fail every slab test (halves+ the touched set)
         return (octant << 24) | morton
+    if _os.environ.get("STRELKA_KEY_NEAREST_BLOCK") == "1" and getattr(
+        scene, "block_cents", None
+    ) is not None:
+        # schedule-pure tiles: group lanes by the FIRST superblock their ray
+        # can enter (origin AND direction coherence — per-ray analogue of
+        # the tile order table), coarse position Morton as the minor key so
+        # same-block groups stay origin-local for the near-to-far sweep.
+        blk, _nsb = _nearest_block_along_ray(scene, position, direction)
+        return (jnp.minimum(blk, 1023) << 14) | (morton >> 10)
     mid = int(_os.environ.get("STRELKA_KEY_OCT_MID", "0"))
     if mid:
         # octant-MID key: coarse position major (top 24-mid Morton bits),
