@@ -305,15 +305,14 @@ class TextureManager:
         )
 
 
-def _sample_rect_rows(atlas: TextureAtlas, r, uv):
-    """Bilinear lookup given pre-gathered rect rows r [9, N] i32.
-    uv: [N,2]. -> [N,4] f32 linear. u8 sheets decode each texel (sRGB or
-    scale) BEFORE the bilinear blend, like hardware decode-then-filter.
-    V flipped (row 0 = v 1, GL convention)."""
-    import jax
+def _texel_setup(r, uv):
+    """Shared bilinear addressing math for rect rows r [9, N] i32 + uv [N,2].
+    Returns (xb, yb, tx, ty, addr) where (xb, yb) is the base texel, (tx, ty)
+    the (optionally smootherstep-warped) filter fractions [N], and addr the
+    per-rect wrap/clamp address function. V flipped (row 0 = v 1, GL)."""
     import jax.numpy as jnp
 
-    x0, y0, w, h = r[RC_X0], r[RC_Y0], r[RC_W], r[RC_H]
+    w, h = r[RC_W], r[RC_H]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
     u = uv[..., 0]
@@ -325,8 +324,8 @@ def _sample_rect_rows(atlas: TextureAtlas, r, uv):
     fv = vv * hf - 0.5
     xb = jnp.floor(fu)
     yb = jnp.floor(fv)
-    tx = (fu - xb)[..., None]
-    ty = (fv - yb)[..., None]
+    tx = fu - xb
+    ty = fv - yb
     if SMOOTHERSTEP:
         # quintic warp of the texel fraction (APPLY_SMOOTHERSTEP_FILTER,
         # texture_support_cuda.h:265-280)
@@ -338,33 +337,62 @@ def _sample_rect_rows(atlas: TextureAtlas, r, uv):
         clamped = jnp.clip(i, 0, extent - 1)
         return jnp.where(clamp, clamped, wrapped)
 
-    x0i = addr(xb.astype(jnp.int32), w)
-    y0i = addr(yb.astype(jnp.int32), h)
-    x1i = addr(xb.astype(jnp.int32) + 1, w)
-    y1i = addr(yb.astype(jnp.int32) + 1, h)
+    return xb.astype(jnp.int32), yb.astype(jnp.int32), tx, ty, addr
 
-    is_u8 = atlas.data.dtype == jnp.uint8
+
+def _decode_fetch(atlas: TextureAtlas, r, yi, xi):
+    """One texel fetch at rect-local (yi, xi), decoded to linear f32 [N,4].
+    u8 sheets decode (sRGB or scale) per texel, like hardware decode-then-
+    filter (texture_support_cuda.h)."""
+    import jax
+    import jax.numpy as jnp
+
+    c = atlas.data[r[RC_Y0] + yi, r[RC_X0] + xi]
+    if atlas.data.dtype != jnp.uint8:
+        return c
     srgb = ((r[RC_FLAGS] & FLAG_SRGB) != 0)[..., None]
     scale = jax.lax.bitcast_convert_type(r[RC_SCALE], jnp.float32)[..., None]
+    cf = c.astype(jnp.float32) * (1.0 / 255.0)
+    lin = jnp.where(cf <= 0.04045, cf / 12.92, ((cf + 0.055) / 1.055) ** 2.4)
+    out = jnp.where(srgb, lin, cf * scale)
+    # alpha is stored linear even for sRGB rects
+    alpha = jnp.where(srgb[..., 0], cf[..., 3], cf[..., 3] * scale[..., 0])
+    return jnp.concatenate([out[..., :3], alpha[..., None]], axis=-1)
 
-    def fetch(yi, xi):
-        c = atlas.data[y0 + yi, x0 + xi]
-        if not is_u8:
-            return c
-        cf = c.astype(jnp.float32) * (1.0 / 255.0)
-        lin = jnp.where(cf <= 0.04045, cf / 12.92, ((cf + 0.055) / 1.055) ** 2.4)
-        out = jnp.where(srgb, lin, cf * scale)
-        # alpha is stored linear even for sRGB rects
-        alpha = jnp.where(srgb[..., 0], cf[..., 3], cf[..., 3] * scale[..., 0])
-        return jnp.concatenate([out[..., :3], alpha[..., None]], axis=-1)
 
-    c00 = fetch(y0i, x0i)
-    c10 = fetch(y0i, x1i)
-    c01 = fetch(y1i, x0i)
-    c11 = fetch(y1i, x1i)
+def _sample_rect_rows(atlas: TextureAtlas, r, uv):
+    """Bilinear lookup given pre-gathered rect rows r [9, N] i32.
+    uv: [N,2]. -> [N,4] f32 linear. u8 sheets decode each texel (sRGB or
+    scale) BEFORE the bilinear blend, like hardware decode-then-filter.
+    V flipped (row 0 = v 1, GL convention)."""
+    w, h = r[RC_W], r[RC_H]
+    xb, yb, tx, ty, addr = _texel_setup(r, uv)
+    tx = tx[..., None]
+    ty = ty[..., None]
+    x0i = addr(xb, w)
+    y0i = addr(yb, h)
+    x1i = addr(xb + 1, w)
+    y1i = addr(yb + 1, h)
+    c00 = _decode_fetch(atlas, r, y0i, x0i)
+    c10 = _decode_fetch(atlas, r, y0i, x1i)
+    c01 = _decode_fetch(atlas, r, y1i, x0i)
+    c11 = _decode_fetch(atlas, r, y1i, x1i)
     top = c00 * (1 - tx) + c10 * tx
     bot = c01 * (1 - tx) + c11 * tx
     return top * (1 - ty) + bot * ty
+
+
+def _sample_rect_rows_stochastic(atlas: TextureAtlas, r, uv, rx, ry):
+    """ONE-texel stochastic bilinear: picks the x1/y1 neighbor with
+    probability equal to its filter weight (rx, ry: [N] uniforms), so
+    E[result] == _sample_rect_rows exactly (decode is per-texel in both).
+    1 sheet gather instead of 4 — the TPU path's gathers are the texture
+    pipeline's entire cost, and the variance folds into path-tracing noise."""
+    w, h = r[RC_W], r[RC_H]
+    xb, yb, tx, ty, addr = _texel_setup(r, uv)
+    xi = addr(xb + (rx < tx).astype(xb.dtype), w)
+    yi = addr(yb + (ry < ty).astype(yb.dtype), h)
+    return _decode_fetch(atlas, r, yi, xi)
 
 
 def sample_bilinear(atlas: TextureAtlas, tex_id, uv):
@@ -411,6 +439,42 @@ def sample_trilinear(atlas: TextureAtlas, tex_id, uv, lod_uv):
     a = _sample_rect_rows(atlas, gather_rows_t(atlas.rects, ridx0), uv)
     b = _sample_rect_rows(atlas, gather_rows_t(atlas.rects, ridx1), uv)
     out = a * (1.0 - frac) + b * frac
+    return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
+
+
+def sample_trilinear_stochastic(atlas: TextureAtlas, tex_id, uv, lod_uv, rnd3):
+    """ONE-texel stochastic trilinear: the mip level is drawn with
+    probability equal to its blend weight and the bilinear footprint is
+    sampled with one texel (see _sample_rect_rows_stochastic), so
+    E[result] == sample_trilinear while touching 1 sheet texel per lane
+    instead of 8 and gathering 1 rect-row set instead of 3.
+
+    This is the default filtered-lookup path on TPU: per-lane HBM gathers
+    are ~the whole cost of the reference's hardware tex fetch here
+    (texture_support_cuda.h:287-528 reads filtered cudaArray for free), and
+    a path tracer re-draws every lookup each subframe — filter variance
+    converges with spp exactly like every other Monte-Carlo dimension.
+
+    rnd3: 3 x [N] f32 uniforms (level pick, x pick, y pick), decorrelated
+    from the BSDF/light dims (integrator hashes them per lookup slot).
+    """
+    import jax.numpy as jnp
+
+    from strelka_tpu.ops.vec import gather_rows_t
+
+    tid = jnp.clip(tex_id, 0, atlas.rects.shape[0] - 1)
+    r0 = gather_rows_t(atlas.rects, tid)  # level-0 rows carry count/base
+    dim = jnp.maximum(r0[RC_W], r0[RC_H]).astype(jnp.float32)
+    count = r0[RC_COUNT]
+    lod = lod_uv + jnp.log2(jnp.maximum(dim, 1.0))
+    lod = jnp.clip(lod, 0.0, count.astype(jnp.float32) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = lod - l0
+    li = l0.astype(jnp.int32) + (rnd3[0] < frac).astype(jnp.int32)
+    li = jnp.minimum(li, count - 1)
+    ridx = jnp.where(li == 0, tid, r0[RC_BASE] + li - 1)
+    r = gather_rows_t(atlas.rects, ridx)
+    out = _sample_rect_rows_stochastic(atlas, r, uv, rnd3[1], rnd3[2])
     return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
 
 

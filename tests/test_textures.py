@@ -388,3 +388,56 @@ def test_cubemap_lookup():
         np.asarray(sample_cube(atlas, jnp.full(1, tid, jnp.int32), d2))[0, :3],
         colors[0], atol=1e-6,
     )
+
+
+def test_stochastic_trilinear_expectation_matches_exact():
+    """E[one-texel stochastic lookup] == exact trilinear (decode-then-filter
+    on both sides), on a u8 sRGB atlas with wrap addressing and a fractional
+    mip level — averaged over a stratified grid of the 3 filter uniforms."""
+    import jax.numpy as jnp
+
+    from strelka_tpu.textures import sample_trilinear, sample_trilinear_stochastic
+
+    rng = np.random.default_rng(7)
+    tm = TextureManager(atlas_size=64)
+    tid = tm.add_array(rng.random((16, 16, 3)).astype(np.float32))
+    atlas = tm.build_atlas()  # u8 + mips
+    # filter fractions pinned to quarters at level 0 (-> eighths at level 1,
+    # half the resolution) so a k=8 stratified-midpoint grid integrates each
+    # {rnd < frac} indicator EXACTLY (#mids below frac == 8*frac):
+    # uv -> fu = uu*16 - 0.5 with fractional part .25/.75; lod = 1.25/1.75
+    uv = jnp.asarray(
+        [[(3 + 0.75) / 16.0, 1.0 - (5 + 0.25) / 16.0],
+         [(9 + 0.25) / 16.0, 1.0 - (1 + 0.75) / 16.0]],
+        jnp.float32,
+    )
+    tids = jnp.full(2, tid, jnp.int32)
+    lod = jnp.asarray([1.25 - 4.0, 1.75 - 4.0], jnp.float32)  # log2(16) = 4
+    exact = np.asarray(sample_trilinear(atlas, tids, uv, lod))
+    # k=16 mids resolve the coarsest straddled level's sixteenth-aligned
+    # fractions exactly; one vectorized call over the full (level, x, y) grid
+    k = 16
+    grid = ((np.arange(k) + 0.5) / k).astype(np.float32)
+    ga, gb, gc = [g.ravel() for g in np.meshgrid(grid, grid, grid, indexing="ij")]
+    m = ga.size
+    uv_b = jnp.asarray(np.repeat(np.asarray(uv), m, axis=0))
+    tid_b = jnp.asarray(np.repeat(np.asarray(tids), m))
+    lod_b = jnp.asarray(np.repeat(np.asarray(lod), m))
+    r3 = (
+        jnp.asarray(np.tile(ga, 2)),
+        jnp.asarray(np.tile(gb, 2)),
+        jnp.asarray(np.tile(gc, 2)),
+    )
+    all_out = np.asarray(
+        sample_trilinear_stochastic(atlas, tid_b, uv_b, lod_b, r3)
+    ).reshape(2, m, 4)
+    acc = all_out.mean(axis=1)
+    np.testing.assert_allclose(acc, exact, atol=1e-4)
+    # negative id still -> ones regardless of uniforms
+    none = np.asarray(
+        sample_trilinear_stochastic(
+            atlas, jnp.array([-1, -1], jnp.int32), uv, lod,
+            (jnp.zeros(2), jnp.zeros(2), jnp.zeros(2)),
+        )
+    )
+    np.testing.assert_allclose(none, 1.0)
