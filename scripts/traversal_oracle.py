@@ -26,6 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon tunnel IGNORES the env var
 import jax.numpy as jnp
 
 grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
