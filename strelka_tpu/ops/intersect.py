@@ -808,6 +808,11 @@ def intersect_any(
     With the exclude-prim guard (reject the origin primitive by id), shadow
     rays can ride the fast MXU kernel too: the bf16x3 t error only ever
     produced SELF-hits (acne), which the id rejection removes exactly.
+    CAVEAT (r4): the id guard cannot reject COPLANAR-NEIGHBOR false hits —
+    bf16 u/v error on a shadow ray grazing the tri next to its origin tri
+    darkens pixels (coffeetable TPU-vs-CPU SSIM 0.9800 MXU vs 0.9999 VPU).
+    `shadow_f32` (tuned) forces the f32 VPU kernels for occlusion sweeps
+    only, keeping the MXU closest-hit speed.
     """
     origins = _as_vec3(origins)
     directions = _as_vec3(directions)
@@ -820,6 +825,8 @@ def intersect_any(
         if active is not None:
             tmax = jnp.where(active, tmax, 0.0)
         use_mxu = getattr(scene, "intersector", "mxu") == "mxu" and scene.tris_feats is not None
+        if use_mxu and _tuned.get_bool("shadow_f32", False):
+            use_mxu = False
         if _use_flat(scene):
             from strelka_tpu.ops.pallas_intersect import (
                 pallas_intersect_any_flat,
