@@ -50,6 +50,9 @@ tmax = jnp.where(alive, 1e16, 0.0).astype(jnp.float32)
 state = jnp.stack(o + d + [tmin, tmax], axis=1)  # [N, 8] packed ray rows
 
 
+STAGE = int(os.environ.get("PAIR_STAGE", "4"))  # 1 demand, 2 +sort, 3 +gather, 4 full
+
+
 @jax.jit
 def schedule(o0, o1, o2, d0, d1, d2, tmin, tmax, state):
     # --- 1. demand matrix + per-pair tnear, chunked over blocks ---------
@@ -74,6 +77,9 @@ def schedule(o0, o1, o2, d0, d1, d2, tmin, tmax, state):
         tn_cols.append(jnp.where((tn <= tf) & (tn < tmax[:, None]) & vb, tn, jnp.inf))
     tn_all = jnp.concatenate(tn_cols, axis=1)  # [N, nsb], inf = no demand
     D = jnp.isfinite(tn_all)
+    if STAGE == 1:
+        z = D.sum()
+        return z, z.astype(jnp.float32), z
 
     # --- 2. block-grouped chunk-padded pair slots -----------------------
     Di = D.astype(jnp.int32)
@@ -89,10 +95,14 @@ def schedule(o0, o1, o2, d0, d1, d2, tmin, tmax, state):
     tn_of_pair = jnp.full(P_CAP + 1, jnp.inf, jnp.float32)
     tn_of_pair = tn_of_pair.at[pos.reshape(-1)].set(tn_all.reshape(-1))[:P_CAP]
     n_pairs = padded.sum()
+    if STAGE == 2:
+        return n_pairs, tn_of_pair.sum(), ray_of_pair.sum()
 
     # --- 3. packed row-gather of ray state into pair order --------------
     state_pad = jnp.concatenate([state, jnp.zeros((1, state.shape[1]), state.dtype)])
     pair_state = state_pad[jnp.minimum(ray_of_pair, N)]  # [P_CAP, 8]
+    if STAGE == 3:
+        return n_pairs, pair_state.sum(), ray_of_pair.sum()
 
     # --- 4. scatter-min combine back to rays (t, then prim by equality) -
     fake_t = tn_of_pair + pair_state[:, 7] * 0.0  # consume the gather

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-TILE = 1024
+TILE = 1024  # sampling granularity; sims also evaluate sub-tiles of it
 R1 = int(os.environ.get("ORACLE_R1", "4"))
 
 rays = np.load("/tmp/bounce_rays_%d.npz" % grid)
@@ -126,14 +126,19 @@ def block_t(v0b, e1b, e2b, excl0):
     return t_best
 
 
+cache = "/tmp/oracle_tb_%d_%d.npz" % (grid, n_sample)
 excl = jnp.asarray(rays["excl"][sel]) if "excl" in rays.files else jnp.full(M, -1)
-tb = np.full((M, nsb), np.float32(1e16))
-for b in range(nsb):
-    s0, s1 = b * step, min((b + 1) * step, v0.shape[0])
-    if s0 >= v0.shape[0]:
-        break
-    ex = excl - s0  # excl is a global prim id; block pass uses local ids
-    tb[:, b] = np.asarray(block_t(v0[s0:s1], e1[s0:s1], e2[s0:s1], ex))
+if os.path.exists(cache):
+    tb = np.load(cache)["tb"]
+else:
+    tb = np.full((M, nsb), np.float32(1e16))
+    for b in range(nsb):
+        s0, s1 = b * step, min((b + 1) * step, v0.shape[0])
+        if s0 >= v0.shape[0]:
+            break
+        ex = excl - s0  # excl is a global prim id; block pass uses local ids
+        tb[:, b] = np.asarray(block_t(v0[s0:s1], e1[s0:s1], e2[s0:s1], ex))
+    np.savez_compressed(cache, tb=tb)
 t_exact = tb.min(axis=1)
 hit_frac = float(((t_exact < 1e15) & aS).sum() / max(aS.sum(), 1))
 print(f"exact t computed; hit frac of alive: {hit_frac:.3f}")
@@ -145,19 +150,27 @@ demand_t = demand.reshape(T, TILE, nsb)
 tb_t = tb.reshape(T, TILE, nsb)
 
 # --- A: per-tile dynamic sweep (near-to-far + rolling whole-tile guard) -----
-costA = 0
-for ti in range(T):
-    # tile order: min entry distance over the tile's lanes (openw semantics)
-    tn = np.where(demand_t[ti], tnear_t[ti], 1e16)
-    order = np.argsort(tn.min(axis=0))
-    best = np.full(TILE, 1e16, np.float32)
-    for b in order:
-        guard = demand_t[ti][:, b] & (tnear_t[ti][:, b] < best)
-        if not guard.any():
-            continue
-        costA += TILE  # whole tile sweeps the block
-        best = np.minimum(best, tb_t[ti][:, b])
-costA_perray = costA / max(aS.sum(), 1)
+# evaluated at several tile widths (sub-tiles of the sampled 1024 blocks):
+# quantifies how much of the per-ray gap (B below) SMALLER TILES recover
+# within the existing per-tile sweep machinery
+costA_at = {}
+for sub in (1024, 512, 256, 128, 64):
+    costA = 0
+    for ti in range(T):
+        for s0 in range(0, TILE, sub):
+            sl = slice(s0, s0 + sub)
+            dem = demand_t[ti][sl]
+            tn_l = tnear_t[ti][sl]
+            tn = np.where(dem, tn_l, 1e16)
+            order = np.argsort(tn.min(axis=0))
+            best = np.full(sub, 1e16, np.float32)
+            for b in order:
+                guard = dem[:, b] & (tn_l[:, b] < best)
+                if not guard.any():
+                    continue
+                costA += sub  # whole sub-tile sweeps the block
+                best = np.minimum(best, tb_t[ti][sl, b])
+    costA_at[sub] = costA
 
 # --- B: pair expansion, no pruning ------------------------------------------
 costB = int(demand.sum())
@@ -176,7 +189,8 @@ costC = costC1 + costC2
 alive_n = int(aS.sum())
 print("\n== lane-block sweep work (1 unit = 1 lane x 1 superblock of "
       f"{step} tris), per ALIVE ray ==")
-print(f"A dynamic per-tile sweep : {costA / alive_n:8.2f}")
+for sub, c in costA_at.items():
+    print(f"A dynamic per-tile sweep @tile {sub:5d}: {c / alive_n:8.2f}")
 print(f"B pairs, no pruning      : {costB / alive_n:8.2f}")
 print(f"C pairs, 2 rounds (R1={R1}) : {costC / alive_n:8.2f}"
       f"   (round1 {costC1 / alive_n:.2f} + round2 {costC2 / alive_n:.2f})")

@@ -350,6 +350,13 @@ def build_device_scene(
         use_pallas = _jax.default_backend() not in ("cpu",)
     except Exception:  # noqa: BLE001
         use_pallas = False
+    import os as _os2
+
+    if _os2.environ.get("STRELKA_FORCE_PALLAS_LAYOUT") == "1":
+        # CPU analysis scripts (scripts/traversal_oracle.py) need the packed
+        # tri layout + block bounds the TPU kernels see; rendering such a
+        # scene on CPU would dispatch pallas kernels — analysis only.
+        use_pallas = True
     tris_feats = tris_mask = tri_bounds = blk_cents = None
     tris_local = False
     if use_pallas:
