@@ -118,18 +118,23 @@ def schedule(o0, o1, o2, d0, d1, d2, tmin, tmax, state):
     return n_pairs, best[:N], prim[:N]
 
 
+def _sync(x):
+    a = np.asarray(x)
+    return a if a.ndim == 0 else a.ravel()[0]
+
+
 args = o + d + [tmin, tmax, state]
 t0 = time.perf_counter()
 n_pairs, best, prim = schedule(*args)
-np.asarray(best[0])
+_sync(best)
 print(f"compile+first {time.perf_counter() - t0:.1f}s", flush=True)
 times = []
 for _ in range(6):
     t0 = time.perf_counter()
     n_pairs, best, prim = schedule(*args)
-    np.asarray(best[0])
+    _sync(best)
     times.append(time.perf_counter() - t0)
-npairs = int(np.asarray(n_pairs))
+npairs = int(np.asarray(n_pairs)) if STAGE >= 2 else -1
 alive_n = int(np.asarray(alive).sum())
 print(f"pairs={npairs} ({npairs / alive_n:.1f}/alive ray, cap {P_CAP})")
 print(f"schedule+gather+scatter overhead: {np.mean(times[1:]) * 1e3:.1f} ms/sweep "
