@@ -183,6 +183,7 @@ def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, star
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
             tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
+            precision=_MXU_PREC,
         )
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -205,6 +206,7 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
             tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
+            precision=_MXU_PREC,
         )
     return pallas_intersect_any(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -228,6 +230,13 @@ _PHASE1_FUSED = _tuned.get_bool("phase1_fused", False)
 # expected ~3x less MT lane work on incoherent bounce wavefronts. Default OFF
 # until the hardware A/B (tunnel was down when it landed).
 _SWEEP_COMPACT = _tuned.get_bool("sweep_compact", False)
+# f32-exact MXU fidelity mode (NOTES fact #45): the default bf16x3 matmul
+# passes pick the wrong prim on borderline closest-hit ties, flipping whole
+# specular paths vs the f32 CPU render (cornell SSIM 0.9877, coffeetable
+# 0.9739). Precision.HIGHEST (bf16x6 == f32-exact) restores bit-parity at
+# ~2x the matmul cost; knob so the fidelity/speed point is per-host tunable.
+_MXU_HIGHP = _tuned.get_bool("mxu_highp", False)
+_MXU_PREC = jax.lax.Precision.HIGHEST if _MXU_HIGHP else None
 # superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
 # MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
 # 2 borderline; the tuner may scan upward
@@ -251,6 +260,7 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
+                precision=_MXU_PREC,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
@@ -282,6 +292,7 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
+                precision=_MXU_PREC,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
 
@@ -454,7 +465,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local,
+                local=scene.tris_local, precision=_MXU_PREC,
             )
         else:
             t, prim = pallas_intersect_closest_wl(
@@ -502,7 +513,7 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local,
+                local=scene.tris_local, precision=_MXU_PREC,
             )
         else:
             t2p, prim2p = pallas_intersect_closest_wl(
@@ -575,7 +586,7 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local,
+                local=scene.tris_local, precision=_MXU_PREC,
             )
         else:
             occ = pallas_intersect_any_wl(
@@ -638,7 +649,7 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local,
+                local=scene.tris_local, precision=_MXU_PREC,
             )
         else:
             occ2p = pallas_intersect_any_wl(
@@ -743,13 +754,14 @@ def intersect_closest(
                 t, prim = pallas_intersect_closest_mxu_small(
                     scene.tris_feats, scene.tris_mask, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
-                    tblk=scene.kernel_tblk,
+                    tblk=scene.kernel_tblk, precision=_MXU_PREC,
                 )
             elif use_mxu:
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk, local=scene.tris_local,
+                    precision=_MXU_PREC,
                 )
             else:
                 t, prim = pallas_intersect_closest_flat(
@@ -847,13 +859,14 @@ def intersect_any(
                 return pallas_intersect_any_mxu_small(
                     scene.tris_feats, scene.tris_mask, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
-                    tblk=scene.kernel_tblk,
+                    tblk=scene.kernel_tblk, precision=_MXU_PREC,
                 )
             if use_mxu:
                 return pallas_intersect_any_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk, local=scene.tris_local,
+                    precision=_MXU_PREC,
                 )
             return pallas_intersect_any_flat(
                 scene.tris_packed, scene.tri_bounds, origins, directions,
