@@ -217,6 +217,19 @@ def _any_kernel(
 COMPACT_W = 128  # compacted sweep width (one VPU lane row)
 
 
+def _row_cumsum_i32(row):
+    """Inclusive prefix sum of an i32 [n] row (Hillis-Steele shift-adds —
+    Mosaic has no cumsum lowering; log2(n) vector adds are near-free)."""
+    x = row.reshape(1, -1)
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([jnp.zeros((1, s), x.dtype), x[:, : n - s]], axis=1)
+        x = x + shifted
+        s *= 2
+    return x[0]
+
+
 def _compact_round_gather(rays, t_row, excl_row, oh, tile):
     """One [11, tile] @ [tile, cw] f32 matmul: rays (8 rows) + current best
     + exclude-id + liveness, gathered into compacted slots. Returns
@@ -276,7 +289,7 @@ def _closest_kernel_compact(
         tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
     demand = (tnear <= tfar) & (sbounds_ref[0, sb] <= sbounds_ref[3, sb])
     di = demand.astype(jnp.int32)
-    rank = jnp.cumsum(di.reshape(1, tile), axis=1)[0] - 1
+    rank = _row_cumsum_i32(di) - 1
     total = jnp.sum(di)
     excl_row = excl_ref[0, :]
     for rd in range(tile // cw):
@@ -349,7 +362,7 @@ def _any_kernel_compact(
     # dead/occluded lanes have tmax 0: demand only when the segment is real
     demand = (tnear <= tfar) & (tfar > 0.0) & (sbounds_ref[0, sb] <= sbounds_ref[3, sb])
     di = demand.astype(jnp.int32)
-    rank = jnp.cumsum(di.reshape(1, tile), axis=1)[0] - 1
+    rank = _row_cumsum_i32(di) - 1
     total = jnp.sum(di)
     excl_row = excl_ref[0, :]
     for rd in range(tile // cw):
