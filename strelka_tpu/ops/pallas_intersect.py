@@ -219,13 +219,15 @@ COMPACT_W = 128  # compacted sweep width (one VPU lane row)
 
 def _row_cumsum_i32(row):
     """Inclusive prefix sum of an i32 [n] row (Hillis-Steele shift-adds —
-    Mosaic has no cumsum lowering; log2(n) vector adds are near-free)."""
+    Mosaic lowers neither cumsum nor offset concatenates; pltpu.roll + an
+    iota mask gives log2(n) vector adds)."""
     x = row.reshape(1, -1)
     n = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     s = 1
     while s < n:
-        shifted = jnp.concatenate([jnp.zeros((1, s), x.dtype), x[:, : n - s]], axis=1)
-        x = x + shifted
+        shifted = pltpu.roll(x, s, 1)  # rotate right; wrapped lanes masked
+        x = x + jnp.where(col >= s, shifted, 0)
         s *= 2
     return x[0]
 
