@@ -114,6 +114,20 @@ def generate_camera_rays(params: LaunchParams, px, py, jx, jy, width, height):
     return origin, direction
 
 
+def _oct_decode24(code: jnp.ndarray) -> Vec3:
+    """[N] f32 of 24-bit (12:12) octahedral codes -> unit Vec3 (the decode
+    half of device_scene._oct_encode24; Cigolle et al. clamp-fold form)."""
+    qu = jnp.floor(code * (1.0 / 4096.0))
+    qv = code - qu * 4096.0
+    u = qu * (2.0 / 4095.0) - 1.0
+    v = qv * (2.0 / 4095.0) - 1.0
+    z = 1.0 - jnp.abs(u) - jnp.abs(v)
+    t = jnp.maximum(-z, 0.0)
+    x = u + jnp.where(u >= 0.0, -t, t)
+    y = v + jnp.where(v >= 0.0, -t, t)
+    return V.normalize(Vec3(x, y, z))
+
+
 def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None):
     """fillTriangleGeomData (cu:365-421): interpolate attributes at the hit.
 
@@ -128,7 +142,7 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
     prim = jnp.maximum(hit.prim, 0)
     from strelka_tpu.ops.pallas_gather import gather_rows_t_auto
 
-    # [36, N]: MXU one-hot contraction for VMEM-sized scenes (emits the
+    # [ATTR_COLS(+joined), N]: MXU one-hot contraction for VMEM-sized scenes (emits the
     # component-major layout directly, no transpose), else gather+transpose
     rows = gather_rows_t_auto(scene.attr_table, prim, getattr(scene, "use_pallas", False))
     if ray_o is not None:
@@ -149,21 +163,28 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
         wu = hit.u
         wv = hit.v
     w0 = 1.0 - wu - wv
+    from strelka_tpu.render.device_scene import ATTR_N, ATTR_T, ATTR_UV, ATTR_MAT, ATTR_LIGHT
+
     col = lambda a, b=None: rows[a] if b is None else Vec3(rows[a], rows[a + 1], rows[a + 2])
     v0 = col(0, 3)
     e1 = col(3, 3)
     e2 = col(6, 3)
     position = v0 + e1 * wu + e2 * wv
-    normal = V.normalize(col(9, 3) * w0 + col(12, 3) * wu + col(15, 3) * wv)
-    tangent = V.normalize(col(18, 3) * w0 + col(21, 3) * wu + col(24, 3) * wv)
-    uv_u = rows[27] * w0 + rows[29] * wu + rows[31] * wv
-    uv_v = rows[28] * w0 + rows[30] * wu + rows[32] * wv
+    # normals/tangents ride as 12:12 octahedral 24-bit codes (packed attr
+    # layout, device_scene.py — the reference's 10:10:12 packed vertex
+    # equivalent); decode is a handful of VPU ops on [N]
+    n0d, n1d, n2d = (_oct_decode24(rows[ATTR_N + i]) for i in range(3))
+    t0d, t1d, t2d = (_oct_decode24(rows[ATTR_T + i]) for i in range(3))
+    normal = V.normalize(n0d * w0 + n1d * wu + n2d * wv)
+    tangent = V.normalize(t0d * w0 + t1d * wu + t2d * wv)
+    uv_u = rows[ATTR_UV + 0] * w0 + rows[ATTR_UV + 2] * wu + rows[ATTR_UV + 4] * wv
+    uv_v = rows[ATTR_UV + 1] * w0 + rows[ATTR_UV + 3] * wu + rows[ATTR_UV + 5] * wv
     gcross = V.cross(e1, e2)
     # per-prim UV density for mip selection: log2 sqrt(uv_area / world_area)
     # (both areas share the 1/2 factor, so the parallelogram ratio is exact)
     uv_area2 = jnp.abs(
-        (rows[29] - rows[27]) * (rows[32] - rows[28])
-        - (rows[31] - rows[27]) * (rows[30] - rows[28])
+        (rows[ATTR_UV + 2] - rows[ATTR_UV + 0]) * (rows[ATTR_UV + 5] - rows[ATTR_UV + 1])
+        - (rows[ATTR_UV + 4] - rows[ATTR_UV + 0]) * (rows[ATTR_UV + 3] - rows[ATTR_UV + 1])
     )
     world_area2 = V.length(gcross)
     uv_density_log2 = 0.5 * (
@@ -175,8 +196,8 @@ def _gather_surface(scene: DeviceScene, hit: Hit, inside, ray_o=None, ray_d=None
     geom_normal = geom_normal * flip
     binormal = V.cross(normal, tangent)
     frame = B.ShadingFrame(normal=normal, tangent_u=tangent, tangent_v=binormal, geom_normal=geom_normal)
-    material_id = rows[33].astype(jnp.int32)
-    light_id = rows[34].astype(jnp.int32)
+    material_id = rows[ATTR_MAT].astype(jnp.int32)
+    light_id = rows[ATTR_LIGHT].astype(jnp.int32)
     return position, (uv_u, uv_v), frame, material_id, light_id, uv_density_log2, rows
 
 
@@ -680,16 +701,20 @@ def trace_paths(
             ray_o=origin if on_pallas else None,
             ray_d=direction if on_pallas else None,
         )
-        # material/light rows joined into the attr table ([T, 80], see
-        # device_scene) ride the SAME one-hot gather — no extra fat gathers
-        joined = scene.attr_table is not None and scene.attr_table.shape[1] >= 80
+        # material/light rows joined into the attr table ([T, ATTR_JOINED],
+        # see device_scene) ride the SAME one-hot gather — no extra fat gathers
+        from strelka_tpu.render.device_scene import (
+            ATTR_JOINED, ATTR_LIGHT_ROW, ATTR_MAT_ROW,
+        )
+
+        joined = scene.attr_table is not None and scene.attr_table.shape[1] >= ATTR_JOINED
         prim_light_id = jnp.where(hit.prim >= 0, raw_light_id, -1)
         hit_light = alive & ~missed & (prim_light_id >= 0) & ~is_curve
         hit_surface = alive & ~missed & ~hit_light
 
         # ---- __closesthit__light (cu:315-341)
         if num_lights > 0:
-            lp = _light_from_rows(attr_rows[60:80]) if joined else _gather_light(scene, prim_light_id)
+            lp = _light_from_rows(attr_rows[ATTR_LIGHT_ROW:ATTR_JOINED]) if joined else _gather_light(scene, prim_light_id)
             hit_point_l = origin + direction * hit.t
             light_n = LS.calc_light_normal(lp, hit_point_l)
             cos_l = -V.dot(direction, light_n)
@@ -703,7 +728,7 @@ def trace_paths(
 
         # ---- __closesthit__radiance (surface shading)
         if joined:
-            mat, mat_rows = _material_from_rows(attr_rows[36:60])
+            mat, mat_rows = _material_from_rows(attr_rows[ATTR_MAT_ROW:ATTR_LIGHT_ROW])
         else:
             mat, mat_rows = _gather_material_by_id(scene, jnp.maximum(mat_id, 0))
         # advance the ray cone to this hit (curve hits use the cone t too)

@@ -240,8 +240,12 @@ def _compact_round_gather(rays, t_row, excl_row, oh, tile):
     src = jnp.concatenate(
         [rays, t_row.reshape(1, tile), excl_row.reshape(1, tile).astype(jnp.float32), ones]
     )  # [11, tile]
+    # HIGHEST is mandatory: the hardware MXU default (bf16x3) loses low
+    # mantissa bits of the gathered f32 ray values — exact selection needs
+    # the bf16x6 passes (same rule as gather_rows_t one-hot gathers)
     g = jax.lax.dot_general(
-        src, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        src, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [11, cw]
     live_c = g[10, :] > 0.5
     # dead slots (no source lane) decode to all-zero rays whose slab test
@@ -254,10 +258,14 @@ def _compact_round_gather(rays, t_row, excl_row, oh, tile):
 
 
 def _scatter_row(row_c, oh):
-    """[cw] -> [tile] through the transposed one-hot (disjoint columns)."""
+    """[cw] -> [tile] through the transposed one-hot (disjoint columns).
+
+    HIGHEST for the same reason as the gather: bf16x3 would round the
+    scattered f32 t values (and any payload above 2^16)."""
     return jax.lax.dot_general(
         row_c.reshape(1, -1), oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
 
 

@@ -56,6 +56,45 @@ class DeviceCurves(NamedTuple):
     material_id: jnp.ndarray  # [S] int32
 
 
+# Packed attr_table column layout (per-tri; the reference packs vertices to
+# 32 bytes via 10:10:12 normals/tangents + 16:16 uv, scene.h:80-89 — here
+# normals/tangents are 12:12 octahedral 24-bit codes riding as exact f32
+# values so both gather paths move them losslessly):
+ATTR_N = 9  # 9:12  oct normal code per corner
+ATTR_T = 12  # 12:15 oct tangent code per corner
+ATTR_UV = 15  # 15:21 uv f32 (f16 pairs would bitcast into subnormal flushes)
+ATTR_MAT = 21
+ATTR_LIGHT = 22
+ATTR_MASK = 23
+ATTR_COLS = 24
+ATTR_MAT_ROW = 24  # 24:48 joined per-prim material row
+ATTR_LIGHT_ROW = 48  # 48:68 joined emissive-hit light row
+ATTR_JOINED = 68
+_OCT_Q = 4095.0  # 12-bit quantizer per octahedral axis
+
+
+def _oct_encode24(v: np.ndarray) -> np.ndarray:
+    """[M,3] vectors -> [M] f32 of 24-bit (12:12) octahedral codes.
+
+    Zero vectors encode as the +Z axis (degenerate tangents were already
+    normalize-guarded downstream). Axis-aligned unit vectors round-trip
+    exactly (u,v hit the quantizer midpoints)."""
+    norm = np.linalg.norm(v, axis=1, keepdims=True)
+    n = v / np.maximum(norm, 1e-20)
+    ax = np.abs(n).sum(axis=1)
+    ax = np.maximum(ax, 1e-20)
+    px = n[:, 0] / ax
+    py = n[:, 1] / ax
+    south = n[:, 2] < 0.0
+    sx = np.where(px >= 0.0, 1.0, -1.0)
+    sy = np.where(py >= 0.0, 1.0, -1.0)
+    fx = np.where(south, (1.0 - np.abs(py)) * sx, px)
+    fy = np.where(south, (1.0 - np.abs(px)) * sy, py)
+    qu = np.rint((fx + 1.0) * 0.5 * _OCT_Q)
+    qv = np.rint((fy + 1.0) * 0.5 * _OCT_Q)
+    return (qu * 4096.0 + qv).astype(np.float32)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -100,7 +139,7 @@ class DeviceScene:
     # scalar gathers; element gathers are ~100x slower on TPU):
     tri_bounds: Optional[jnp.ndarray] = None  # [8, n_blocks] per-block AABBs
     block_cents: Optional[jnp.ndarray] = None  # [n_blocks, 3] block centers
-    attr_table: Optional[jnp.ndarray] = None  # [T, 36] surface attributes
+    attr_table: Optional[jnp.ndarray] = None  # [T, ATTR_COLS] packed surface attrs
     mat_table: Optional[jnp.ndarray] = None  # [M, 24] material params
     light_table: Optional[jnp.ndarray] = None  # [L, 20] light params
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -435,18 +474,26 @@ def build_device_scene(
             # the flat path has no superblocks and no ordering
             blk_cents = block_centroids(super_bounds(tri_bounds))
 
-    # fat gather tables
+    # fat gather tables — PACKED attribute layout (the TPU equivalent of the
+    # reference's 32-byte packed vertex, scene.h:80-89 10:10:12 + 16:16):
+    # shading normals/tangents ride as 12:12 octahedral codes, one 24-bit
+    # integer per corner stored as an exact f32 VALUE (<= 2^24, so both the
+    # row-gather and the MXU one-hot gather move it losslessly — a BITCAST
+    # int would hit NaN lanes in the one-hot matmul and subnormal flushes in
+    # the gather+transpose). 36 -> 24 attr cols = 96B/tri geometry+attrs,
+    # byte parity with the reference's 3x32B packed corners; uv stays f32
+    # (f16 pairs would ride bitcast -> subnormal-flush hazard).
     num_pad = p.shape[0]
-    attr_table = np.zeros((num_pad, 36), np.float32)
+    attr_table = np.zeros((num_pad, ATTR_COLS), np.float32)
     attr_table[:, 0:3] = p[:, 0]
     attr_table[:, 3:6] = p[:, 1] - p[:, 0]
     attr_table[:, 6:9] = p[:, 2] - p[:, 0]
-    attr_table[:, 9:18] = n.reshape(num_pad, 9)
-    attr_table[:, 18:27] = t.reshape(num_pad, 9)
-    attr_table[:, 27:33] = uv.reshape(num_pad, 6)
-    attr_table[:, 33] = material_id
-    attr_table[:, 34] = light_id
-    attr_table[:, 35] = geom_mask
+    attr_table[:, ATTR_N : ATTR_N + 3] = _oct_encode24(n.reshape(num_pad * 3, 3)).reshape(num_pad, 3)
+    attr_table[:, ATTR_T : ATTR_T + 3] = _oct_encode24(t.reshape(num_pad * 3, 3)).reshape(num_pad, 3)
+    attr_table[:, ATTR_UV : ATTR_UV + 6] = uv.reshape(num_pad, 6)
+    attr_table[:, ATTR_MAT] = material_id
+    attr_table[:, ATTR_LIGHT] = light_id
+    attr_table[:, ATTR_MASK] = geom_mask
 
     tbl = table  # jnp MaterialTable
     mat_table = jnp.concatenate(
@@ -511,7 +558,7 @@ def build_device_scene(
     )
 
     # Join the per-prim material row (24 cols) and hit-light row (20 cols)
-    # into the attr table -> [T, 80]. The shade epilogue's one-hot gather
+    # into the attr table -> [T, ATTR_JOINED]. The shade epilogue's one-hot gather
     # pads its contraction to 128 lanes anyway, so the wider table is FREE
     # and eliminates two of the three per-bounce fat gathers (the material
     # row and the emissive-hit light row ride along with the attributes).
@@ -607,12 +654,12 @@ def rejoin_attr_tables(scene: "DeviceScene") -> "DeviceScene":
     import dataclasses
 
     at = scene.attr_table
-    if at is None or at.shape[1] < 80:
+    if at is None or at.shape[1] < ATTR_JOINED:
         return scene
-    mid = jnp.clip(at[:, 33].astype(jnp.int32), 0, scene.mat_table.shape[0] - 1)
-    lid = jnp.clip(at[:, 34].astype(jnp.int32), 0, scene.light_table.shape[0] - 1)
-    at = at.at[:, 36:60].set(scene.mat_table[mid])
-    at = at.at[:, 60:80].set(scene.light_table[lid])
+    mid = jnp.clip(at[:, ATTR_MAT].astype(jnp.int32), 0, scene.mat_table.shape[0] - 1)
+    lid = jnp.clip(at[:, ATTR_LIGHT].astype(jnp.int32), 0, scene.light_table.shape[0] - 1)
+    at = at.at[:, ATTR_MAT_ROW:ATTR_LIGHT_ROW].set(scene.mat_table[mid])
+    at = at.at[:, ATTR_LIGHT_ROW:ATTR_JOINED].set(scene.light_table[lid])
     return dataclasses.replace(scene, attr_table=at)
 
 
