@@ -17,8 +17,8 @@ tmin = jnp.zeros(n, jnp.float32); tmax = jnp.full(n, 1e16, jnp.float32)
 if which == "compact":
     from strelka_tpu.ops.pallas_intersect import (
         pack_tris, block_bounds, pallas_intersect_closest, pallas_intersect_any,
-        RAY_MASK_PRIMARY,
     )
+    from strelka_tpu.render.device_scene import RAY_MASK_PRIMARY
     m = 4096
     v0 = rng.uniform(-5, 5, (m, 3)).astype(np.float32)
     e1 = rng.normal(0, 0.3, (m, 3)).astype(np.float32)

@@ -21,4 +21,7 @@ echo "rc=$?" >> "$LOG"
 echo "=== hair STRELKA_CONE_COMPACT=1 ===" >> "$LOG"
 env STRELKA_CONE_COMPACT=1 timeout 2400 python scripts/hair_probe.py >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== cornell STRELKA_MXU_HIGHP=1 ===" >> "$LOG"
+env STRELKA_MXU_HIGHP=1 timeout 2400 python scripts/perf_probe.py cornell >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "CHAIN3 DONE" >> "$LOG"

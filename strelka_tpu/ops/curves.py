@@ -320,8 +320,14 @@ import functools
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CONE_TBLK = 256  # cones per culled sub-block
-CONE_SUPER = 8  # sub-blocks per streamed superblock
+from strelka_tpu import tuned as _tuned_k
+
+# Cone block granularity (tunable): hair is see-through 1D geometry — a
+# 256-cone Morton cell's AABB is fat relative to the strands inside it, so
+# finer sub-blocks sharpen both the slab culling and the lane-compacted
+# demand. Pack (device_scene) and dispatch read the SAME constants.
+CONE_TBLK = _tuned_k.get_int("cone_tblk", 256)  # cones per culled sub-block
+CONE_SUPER = _tuned_k.get_int("cone_super", 8)  # sub-blocks per superblock
 
 
 def morton_sort_cones(cones: FlatCones) -> np.ndarray:
