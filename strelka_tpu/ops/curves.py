@@ -472,167 +472,6 @@ def _cone_closest_kernel(
                 cone_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, cone_ref[0, :])
 
 
-# Lane-compacted cone kernels (r4): hair is see-through — most lanes in a
-# 1024-ray tile MISS any given 256-cone sub-block's AABB (thin Morton cells),
-# yet the full-width sweep pays every lane. Same one-hot-MXU compaction as
-# the triangle compact kernels (pallas_intersect.py) but at SUB-BLOCK
-# granularity: the round-cone test is ~3x the flops of Moller-Trumbore and
-# hair demand is sharpest per 256-cone cell, so the extra gather matmuls
-# (~2.6 MFLOP each, MXU) amortize. Bit-compatible (interpret tests).
-
-
-def _cone_closest_kernel_compact(
-    sbounds_ref, bounds_ref, starts_ref, rays_ref, cones_ref, t_ref, cone_ref,
-    *, tblk: int, super_: int, cw: int,
-):
-    from strelka_tpu.ops.pallas_intersect import (
-        _block_of,
-        _compact_round_gather,
-        _row_cumsum_i32,
-        _scatter_row,
-        _tile_hits_block,
-    )
-
-    r = pl.program_id(0)
-    k = pl.program_id(1)
-    nsb = pl.num_programs(1)
-    sb = _block_of(starts_ref, r, k, nsb)
-
-    @pl.when(k == 0)
-    def _init():
-        t_ref[:, :] = rays_ref[7, :][None, :]
-        cone_ref[:, :] = jnp.full_like(cone_ref[:, :], -1)
-
-    rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    zeros_row = jnp.zeros((tile,), jnp.int32)
-    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=t_ref[0, :])
-
-    @pl.when(super_hit)
-    def _super():
-        for j in range(super_):
-            blk = sb * super_ + j
-            # per-LANE slab demand vs this sub-block, capped by current best
-            tnear = rays[6, :]
-            tfar = jnp.minimum(t_ref[0, :], rays[7, :])
-            for c in range(3):
-                o = rays[c, :]
-                d = rays[3 + c, :]
-                inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-                t0 = (bounds_ref[c, blk] - o) * inv
-                t1 = (bounds_ref[3 + c, blk] - o) * inv
-                tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-                tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-            demand = (tnear <= tfar) & (bounds_ref[0, blk] <= bounds_ref[3, blk])
-            di = demand.astype(jnp.int32)
-            rank = _row_cumsum_i32(di) - 1
-            total = jnp.sum(di)
-            for rd in range(tile // cw):
-                lo = rd * cw
-
-                @pl.when(total > lo)
-                def _round(lo=lo, j=j, blk=blk, rank=rank, demand=demand):
-                    sel = demand & (rank >= lo)
-                    slot = jnp.where(sel, rank - lo, -1)
-                    oh = (
-                        jax.lax.broadcasted_iota(jnp.int32, (cw, tile), 0)
-                        == slot[None, :]
-                    ).astype(jnp.float32)
-                    rays_c, best_c, _excl, _live = _compact_round_gather(
-                        rays, t_ref[0, :], zeros_row, oh, tile
-                    )
-                    t, valid = _cone_block(
-                        rays_c, cones_ref[:, j * tblk : (j + 1) * tblk],
-                        tmax_row=best_c,
-                    )
-                    t_masked = jnp.where(valid, t, _BIG)
-                    blk_best = jnp.min(t_masked, axis=0)
-                    blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-                    better = blk_best < best_c
-                    # cone id rides as id+1 in f32 (exact below 2^24 cones)
-                    p1 = jnp.where(
-                        better, (blk * tblk + blk_arg + 1).astype(jnp.float32), 0.0
-                    )
-                    t_new = _scatter_row(jnp.where(better, blk_best, 0.0), oh)
-                    p1_new = _scatter_row(p1, oh).astype(jnp.int32)
-                    improved = (p1_new > 0) & (t_new < t_ref[0, :])
-                    t_ref[0, :] = jnp.where(improved, t_new, t_ref[0, :])
-                    cone_ref[0, :] = jnp.where(improved, p1_new - 1, cone_ref[0, :])
-
-
-def _cone_any_kernel_compact(
-    sbounds_ref, bounds_ref, starts_ref, rays_ref, cones_ref, occ_ref,
-    *, tblk: int, super_: int, cw: int,
-):
-    from strelka_tpu.ops.pallas_intersect import (
-        _block_of,
-        _compact_round_gather,
-        _row_cumsum_i32,
-        _scatter_row,
-        _tile_hits_block,
-    )
-
-    r = pl.program_id(0)
-    k = pl.program_id(1)
-    nsb = pl.num_programs(1)
-    sb = _block_of(starts_ref, r, k, nsb)
-
-    @pl.when(k == 0)
-    def _init():
-        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
-
-    rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    zeros_row = jnp.zeros((tile,), jnp.int32)
-    live_tmax0 = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
-    super_hit = _tile_hits_block(rays, sbounds_ref, sb, tmax_row=live_tmax0)
-
-    @pl.when(super_hit)
-    def _super():
-        for j in range(super_):
-            blk = sb * super_ + j
-            live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
-            tnear = rays[6, :]
-            tfar = live_tmax
-            for c in range(3):
-                o = rays[c, :]
-                d = rays[3 + c, :]
-                inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-                t0 = (bounds_ref[c, blk] - o) * inv
-                t1 = (bounds_ref[3 + c, blk] - o) * inv
-                tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-                tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-            demand = (
-                (tnear <= tfar)
-                & (tfar > 0.0)
-                & (bounds_ref[0, blk] <= bounds_ref[3, blk])
-            )
-            di = demand.astype(jnp.int32)
-            rank = _row_cumsum_i32(di) - 1
-            total = jnp.sum(di)
-            for rd in range(tile // cw):
-                lo = rd * cw
-
-                @pl.when(total > lo)
-                def _round(lo=lo, j=j, rank=rank, demand=demand,
-                           live_tmax=live_tmax):
-                    sel = demand & (rank >= lo)
-                    slot = jnp.where(sel, rank - lo, -1)
-                    oh = (
-                        jax.lax.broadcasted_iota(jnp.int32, (cw, tile), 0)
-                        == slot[None, :]
-                    ).astype(jnp.float32)
-                    rays_c, best_c, _excl, _live = _compact_round_gather(
-                        rays, live_tmax, zeros_row, oh, tile
-                    )
-                    _, valid = _cone_block(
-                        rays_c, cones_ref[:, j * tblk : (j + 1) * tblk],
-                        tmax_row=best_c,
-                    )
-                    hit_c = jnp.any(valid, axis=0).astype(jnp.float32)
-                    occ_ref[0, :] = occ_ref[0, :] | (_scatter_row(hit_c, oh) > 0.5)
-
-
 def _cone_any_kernel(
     sbounds_ref, bounds_ref, starts_ref, rays_ref, cones_ref, occ_ref,
     *, tblk: int, super_: int,
@@ -1007,7 +846,7 @@ def pallas_intersect_cones_wl(
     return jnp.where(cone >= 0, t, _BIG), cone
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit", "compact"))
+@functools.partial(jax.jit, static_argnames=("tile", "tblk", "super_", "interpret", "any_hit"))
 def pallas_intersect_cones(
     cones_packed: jnp.ndarray,  # [12, M] (pack_cones)
     bounds: jnp.ndarray,  # [8, nb]
@@ -1021,14 +860,11 @@ def pallas_intersect_cones(
     interpret: bool = False,
     any_hit: bool = False,
     starts: jnp.ndarray | None = None,  # [n_tiles, K] per-tile sweep order
-    compact: bool = False,
 ):
     """Dense block-culled cone sweep -> (t [N], cone [N] i32) or occ [N].
 
     starts: optional [n_tiles, K] i32 order table; K < nsb sweeps only each
-    tile's K scheduled superblocks (phase 1 of the cone residual two-pass).
-    compact=True: lane-compacted sub-block sweeps (see the compact-kernel
-    block comment) — bit-compatible, aimed at see-through hair demand."""
+    tile's K scheduled superblocks (phase 1 of the cone residual two-pass)."""
     from strelka_tpu.ops.pallas_intersect import _pack_rays
 
     n = tmin.shape[0]
@@ -1070,13 +906,8 @@ def pallas_intersect_cones(
             memory_space=pltpu.VMEM,
         ),
     ]
-    cw = min(128, tile)
     if any_hit:
-        kernel = (
-            functools.partial(_cone_any_kernel_compact, tblk=tblk, super_=super_, cw=cw)
-            if compact
-            else functools.partial(_cone_any_kernel, tblk=tblk, super_=super_)
-        )
+        kernel = functools.partial(_cone_any_kernel, tblk=tblk, super_=super_)
         occ = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1090,11 +921,7 @@ def pallas_intersect_cones(
             interpret=interpret,
         )(sbounds, bounds, starts, rays, cones_packed)
         return occ[0, :n]
-    kernel = (
-        functools.partial(_cone_closest_kernel_compact, tblk=tblk, super_=super_, cw=cw)
-        if compact
-        else functools.partial(_cone_closest_kernel, tblk=tblk, super_=super_)
-    )
+    kernel = functools.partial(_cone_closest_kernel, tblk=tblk, super_=super_)
     t_out, cone_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1184,7 +1011,7 @@ def _cones_sweep(scene, origins, directions, tmin, tmax, any_hit: bool):
     nsb = m_total // (CONE_TBLK * CONE_SUPER)
     rect = lambda _=None: pallas_intersect_cones(
         scene.cones_packed, scene.cone_bounds, origins, directions, tmin, tmax,
-        any_hit=any_hit, compact=_CONE_COMPACT,
+        any_hit=any_hit,
     )
     if nsb < _CONE_WL_MIN_NSB:
         return rect()
@@ -1224,11 +1051,6 @@ def _cones_sweep(scene, origins, directions, tmin, tmax, any_hit: bool):
 # ops/intersect.py:_closest_twopass)
 CONE_RESIDUAL_K = int(__import__("os").environ.get("STRELKA_CONE_K", "16"))
 _CONE_NO_TWOPASS = __import__("os").environ.get("STRELKA_CONE_NO_TWOPASS") == "1"
-# lane-compacted rectangular cone sweeps (hair demand is sparse per
-# sub-block); default off pending the hardware A/B on hair_patch/hair_long
-from strelka_tpu import tuned as _tuned
-
-_CONE_COMPACT = _tuned.get_bool("cone_compact", False)
 
 
 def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
@@ -1294,7 +1116,6 @@ def _cones_twopass(scene, origins, directions, tmin, tmax, any_hit: bool,
         return pallas_intersect_cones(
             scene.cones_packed, scene.cone_bounds, o2, d2v, tmin2, tmax2p,
             any_hit=any_hit, starts=starts2, tile=fb_tile, tblk=tblk, super_=super_,
-            compact=_CONE_COMPACT,
         )
 
     vis_ray = jnp.repeat(visited, tile2)[:n]

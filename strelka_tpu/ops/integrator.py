@@ -119,8 +119,8 @@ def _oct_decode24(code: jnp.ndarray) -> Vec3:
     half of device_scene._oct_encode24; Cigolle et al. clamp-fold form)."""
     qu = jnp.floor(code * (1.0 / 4096.0))
     qv = code - qu * 4096.0
-    u = qu * (2.0 / 4095.0) - 1.0
-    v = qv * (2.0 / 4095.0) - 1.0
+    u = qu * (2.0 / 4094.0) - 1.0
+    v = qv * (2.0 / 4094.0) - 1.0
     z = 1.0 - jnp.abs(u) - jnp.abs(v)
     t = jnp.maximum(-z, 0.0)
     x = u + jnp.where(u >= 0.0, -t, t)

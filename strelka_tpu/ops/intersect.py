@@ -188,7 +188,7 @@ def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, star
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
         ray_mask, exclude=exclude, starts=starts,
-        tile=tile, tblk=tb, super_=sp, compact=_SWEEP_COMPACT,
+        tile=tile, tblk=tb, super_=sp,
     )
 
 
@@ -211,7 +211,7 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
     return pallas_intersect_any(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
         ray_mask, exclude=exclude, starts=starts,
-        tile=tile, tblk=tb, super_=sp, compact=_SWEEP_COMPACT,
+        tile=tile, tblk=tb, super_=sp,
     )
 
 
@@ -224,12 +224,6 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
 # scalar-prefetch-indexed inputs + register accumulation serialize worse than
 # the rectangular K-sweep's read->write round trips it was built to remove.
 _PHASE1_FUSED = _tuned.get_bool("phase1_fused", False)
-# lane-compacted dense sweeps (pallas_intersect.py compact kernels, NOTES
-# facts #43/#46/#47): demanding lanes pulled to width-128 vectors per swept
-# superblock through one-hot MXU matmuls — bit-compatible (interpret tests),
-# expected ~3x less MT lane work on incoherent bounce wavefronts. Default OFF
-# until the hardware A/B (tunnel was down when it landed).
-_SWEEP_COMPACT = _tuned.get_bool("sweep_compact", False)
 # f32-exact MXU fidelity mode (NOTES fact #45): the default bf16x3 matmul
 # passes pick the wrong prim on borderline closest-hit ties, flipping whole
 # specular paths vs the f32 CPU render (cornell SSIM 0.9877, coffeetable

@@ -197,216 +197,6 @@ def _any_kernel(
 
 
 # ---------------------------------------------------------------------------
-# Lane-compacted dense kernels (r4, NOTES facts #43/#46/#47): on a vector
-# machine the per-tile sweep's cost is (swept blocks) x (tile width), and the
-# oracle measured only ~108 of 1024 lanes DEMANDING each swept superblock on
-# the box_field bounce wavefront (per-ray demand 9.8 blocks vs 43.4 paid).
-# Fixing that at the XLA level (per-ray pair lists) costs 680 ms/sweep of
-# scatters (fact #46) — so the compaction happens INSIDE the kernel instead:
-# each (tile, superblock) step ranks its demanding lanes with a local cumsum,
-# pulls them into width-CW vectors through a one-hot f32 MXU matmul (sums
-# with exactly one nonzero term — exact selection), runs the MT sub-block
-# sweep at width CW (1/8 tile), and returns results through the transposed
-# one-hot (prim rides as prim+1 in f32, exact below 2^24 triangles). Rounds
-# of CW lanes handle overflow; empty rounds and empty sub-blocks skip via
-# the usual when-guards. Expected sweep-lane work ~max(9.8, quantization)
-# vs 43.4 full-width (oracle units) at the price of ~3 small matmuls per
-# swept (tile, block).
-# ---------------------------------------------------------------------------
-
-COMPACT_W = 128  # compacted sweep width (one VPU lane row)
-
-
-def _row_cumsum_i32(row):
-    """Inclusive prefix sum of an i32 [n] row (Hillis-Steele shift-adds —
-    Mosaic lowers neither cumsum nor offset concatenates; pltpu.roll + an
-    iota mask gives log2(n) vector adds)."""
-    x = row.reshape(1, -1)
-    n = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    s = 1
-    while s < n:
-        shifted = pltpu.roll(x, s, 1)  # rotate right; wrapped lanes masked
-        x = x + jnp.where(col >= s, shifted, 0)
-        s *= 2
-    return x[0]
-
-
-def _compact_round_gather(rays, t_row, excl_row, oh, tile):
-    """One [11, tile] @ [tile, cw] f32 matmul: rays (8 rows) + current best
-    + exclude-id + liveness, gathered into compacted slots. Returns
-    (rays_c [8, cw] with NaN-poisoned dead slots, best_c, excl_c, live_c)."""
-    ones = jnp.ones((1, tile), jnp.float32)
-    src = jnp.concatenate(
-        [rays, t_row.reshape(1, tile), excl_row.reshape(1, tile).astype(jnp.float32), ones]
-    )  # [11, tile]
-    # HIGHEST is mandatory: the hardware MXU default (bf16x3) loses low
-    # mantissa bits of the gathered f32 ray values — exact selection needs
-    # the bf16x6 passes (same rule as gather_rows_t one-hot gathers)
-    g = jax.lax.dot_general(
-        src, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [11, cw]
-    live_c = g[10, :] > 0.5
-    # dead slots (no source lane) decode to all-zero rays whose slab test
-    # degenerates to 0 <= 0 = pass; poison them with NaN so every compare
-    # (slab guards AND Moller-Trumbore) rejects them
-    rays_c = g[0:8, :] + jnp.where(live_c, 0.0, jnp.nan)[None, :]
-    best_c = jnp.where(live_c, g[8, :], 0.0)
-    excl_c = g[9, :].astype(jnp.int32)
-    return rays_c, best_c, excl_c, live_c
-
-
-def _scatter_row(row_c, oh):
-    """[cw] -> [tile] through the transposed one-hot (disjoint columns).
-
-    HIGHEST for the same reason as the gather: bf16x3 would round the
-    scattered f32 t values (and any payload above 2^16)."""
-    return jax.lax.dot_general(
-        row_c.reshape(1, -1), oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
-
-
-def _closest_kernel_compact(
-    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref,
-    t_ref, prim_ref, tc_ref, pc_ref,
-    *, ray_mask: int, tblk: int, super_: int, cw: int,
-):
-    r = pl.program_id(0)
-    k = pl.program_id(1)
-    nsb = pl.num_programs(1)
-    sb = _block_of(starts_ref, r, k, nsb)
-
-    @pl.when(k == 0)
-    def _init():
-        t_ref[:, :] = rays_ref[7, :][None, :]
-        prim_ref[:, :] = jnp.full_like(prim_ref[:, :], -1)
-
-    rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    # per-LANE demand: slab test vs superblock sb capped by the current best
-    tnear = rays[6, :]
-    tfar = jnp.minimum(t_ref[0, :], rays[7, :])
-    for c in range(3):
-        o = rays[c, :]
-        d = rays[3 + c, :]
-        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-        t0 = (sbounds_ref[c, sb] - o) * inv
-        t1 = (sbounds_ref[3 + c, sb] - o) * inv
-        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-    demand = (tnear <= tfar) & (sbounds_ref[0, sb] <= sbounds_ref[3, sb])
-    di = demand.astype(jnp.int32)
-    rank = _row_cumsum_i32(di) - 1
-    total = jnp.sum(di)
-    excl_row = excl_ref[0, :]
-    for rd in range(tile // cw):
-        lo = rd * cw
-
-        @pl.when(total > lo)
-        def _round(lo=lo):
-            sel = demand & (rank >= lo)  # rank < lo+cw enforced by the iota eq
-            slot = jnp.where(sel, rank - lo, -1)
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (cw, tile), 0) == slot[None, :]
-            ).astype(jnp.float32)
-            rays_c, best_c, excl_c, _live = _compact_round_gather(
-                rays, t_ref[0, :], excl_row, oh, tile
-            )
-            tc_ref[0, :] = best_c
-            pc_ref[0, :] = jnp.full((cw,), -1, jnp.int32)
-            for j in range(super_):
-                blk = sb * super_ + j
-                sub_hit = _tile_hits_block(rays_c, bounds_ref, blk, tmax_row=tc_ref[0, :])
-
-                @pl.when(sub_hit)
-                def _work(j=j, blk=blk):
-                    t, valid = _mt_block(
-                        rays_c, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask,
-                        tmax_row=tc_ref[0, :],
-                    )
-                    valid = valid & (_prim_ids(blk, tblk, cw) != excl_c[None, :])
-                    t_masked = jnp.where(valid, t, _BIG)
-                    blk_best = jnp.min(t_masked, axis=0)
-                    blk_arg = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-                    better = blk_best < tc_ref[0, :]
-                    tc_ref[0, :] = jnp.where(better, blk_best, tc_ref[0, :])
-                    pc_ref[0, :] = jnp.where(better, blk * tblk + blk_arg, pc_ref[0, :])
-
-            t_new = _scatter_row(tc_ref[0, :], oh)
-            p1_new = _scatter_row((pc_ref[0, :] + 1).astype(jnp.float32), oh).astype(jnp.int32)
-            improved = (p1_new > 0) & (t_new < t_ref[0, :])
-            t_ref[0, :] = jnp.where(improved, t_new, t_ref[0, :])
-            prim_ref[0, :] = jnp.where(improved, p1_new - 1, prim_ref[0, :])
-
-
-def _any_kernel_compact(
-    sbounds_ref, bounds_ref, starts_ref, rays_ref, excl_ref, tris_ref,
-    occ_ref, oc_ref,
-    *, ray_mask: int, tblk: int, super_: int, cw: int,
-):
-    r = pl.program_id(0)
-    k = pl.program_id(1)
-    nsb = pl.num_programs(1)
-    sb = _block_of(starts_ref, r, k, nsb)
-
-    @pl.when(k == 0)
-    def _init():
-        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
-
-    rays = rays_ref[:, :]
-    tile = rays.shape[1]
-    live_tmax = jnp.where(occ_ref[0, :], 0.0, rays[7, :])
-    tnear = rays[6, :]
-    tfar = live_tmax
-    for c in range(3):
-        o = rays[c, :]
-        d = rays[3 + c, :]
-        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-        t0 = (sbounds_ref[c, sb] - o) * inv
-        t1 = (sbounds_ref[3 + c, sb] - o) * inv
-        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-    # dead/occluded lanes have tmax 0: demand only when the segment is real
-    demand = (tnear <= tfar) & (tfar > 0.0) & (sbounds_ref[0, sb] <= sbounds_ref[3, sb])
-    di = demand.astype(jnp.int32)
-    rank = _row_cumsum_i32(di) - 1
-    total = jnp.sum(di)
-    excl_row = excl_ref[0, :]
-    for rd in range(tile // cw):
-        lo = rd * cw
-
-        @pl.when(total > lo)
-        def _round(lo=lo):
-            sel = demand & (rank >= lo)
-            slot = jnp.where(sel, rank - lo, -1)
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (cw, tile), 0) == slot[None, :]
-            ).astype(jnp.float32)
-            rays_c, best_c, excl_c, _live = _compact_round_gather(
-                rays, live_tmax, excl_row, oh, tile
-            )
-            oc_ref[0, :] = jnp.zeros((cw,), jnp.int32)
-            for j in range(super_):
-                blk = sb * super_ + j
-                oc_tmax = jnp.where(oc_ref[0, :] > 0, 0.0, best_c)
-                sub_hit = _tile_hits_block(rays_c, bounds_ref, blk, tmax_row=oc_tmax)
-
-                @pl.when(sub_hit)
-                def _work(j=j, blk=blk):
-                    _, valid = _mt_block(
-                        rays_c, tris_ref[:, j * tblk : (j + 1) * tblk], ray_mask,
-                    )
-                    valid = valid & (_prim_ids(blk, tblk, cw) != excl_c[None, :])
-                    oc_ref[0, :] = oc_ref[0, :] | jnp.any(valid, axis=0).astype(jnp.int32)
-
-            hit_new = _scatter_row(oc_ref[0, :].astype(jnp.float32), oh) > 0.5
-            occ_ref[0, :] = occ_ref[0, :] | hit_new
-
-
-# ---------------------------------------------------------------------------
 # Fused-K phase-1 kernels: ONE grid step per ray tile sweeps all K of the
 # tile's nearest superblocks, passed as K scalar-prefetch-indexed inputs so
 # the automatic pipeline prefetches them together (K * 2048 tris * 48 B =
@@ -2422,7 +2212,7 @@ def pack_tris(v0, e1, e2, geom_mask, tblk: int = DEFAULT_TBLK, super_: int = DEF
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "compact")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
 )
 def pallas_intersect_closest(
     tris_packed: jnp.ndarray,  # [12, T] (pack_tris)
@@ -2438,15 +2228,8 @@ def pallas_intersect_closest(
     tblk: int = DEFAULT_TBLK,
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
-    compact: bool = False,
 ):
-    """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N]).
-
-    compact=True runs the lane-compacted kernel (demanding lanes pulled to
-    width-COMPACT_W vectors per swept block; see the compact-kernel block
-    comment above) — bit-compatible results, ~1/4 the MT lane work on
-    incoherent bounce wavefronts.
-    """
+    """Dense exact-f32 closest-hit sweep, block-culled -> (t [N], prim [N])."""
     t_total = tris_packed.shape[1]
     step = tblk * super_
     nsb = t_total // step
@@ -2464,18 +2247,7 @@ def pallas_intersect_closest(
     # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
     # the residual two-pass scheme)
     grid = (n_tiles, starts.shape[1])
-    scratch = []
-    if compact:
-        cw = min(COMPACT_W, tile)
-        kernel = functools.partial(
-            _closest_kernel_compact, ray_mask=ray_mask, tblk=tblk, super_=super_, cw=cw
-        )
-        scratch = [
-            pltpu.VMEM((1, cw), jnp.float32),
-            pltpu.VMEM((1, cw), jnp.int32),
-        ]
-    else:
-        kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
+    kernel = functools.partial(_closest_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -2492,7 +2264,6 @@ def pallas_intersect_closest(
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=scratch,
     )
     t_out, prim_out = pl.pallas_call(
         kernel,
@@ -2516,7 +2287,7 @@ def pallas_intersect_closest(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret", "compact")
+    jax.jit, static_argnames=("ray_mask", "tile", "tblk", "super_", "interpret")
 )
 def pallas_intersect_any(
     tris_packed: jnp.ndarray,
@@ -2532,11 +2303,8 @@ def pallas_intersect_any(
     tblk: int = DEFAULT_TBLK,
     super_: int = DEFAULT_SUPER,
     interpret: bool = False,
-    compact: bool = False,
 ):
-    """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool.
-
-    compact=True: lane-compacted variant (see pallas_intersect_closest)."""
+    """Dense any-hit (occlusion) sweep, exact f32, block-culled -> [N] bool."""
     t_total = tris_packed.shape[1]
     step = tblk * super_
     nsb = t_total // step
@@ -2554,15 +2322,7 @@ def pallas_intersect_any(
     # with K < nsb sweeps only each tile's K nearest superblocks (phase 1 of
     # the residual two-pass scheme)
     grid = (n_tiles, starts.shape[1])
-    scratch = []
-    if compact:
-        cw = min(COMPACT_W, tile)
-        kernel = functools.partial(
-            _any_kernel_compact, ray_mask=ray_mask, tblk=tblk, super_=super_, cw=cw
-        )
-        scratch = [pltpu.VMEM((1, cw), jnp.int32)]
-    else:
-        kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
+    kernel = functools.partial(_any_kernel, ray_mask=ray_mask, tblk=tblk, super_=super_)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -2576,7 +2336,6 @@ def pallas_intersect_any(
             ),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda r, t, *_: (0, r), memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
     )
     occ = pl.pallas_call(
         kernel,

@@ -70,7 +70,8 @@ ATTR_COLS = 24
 ATTR_MAT_ROW = 24  # 24:48 joined per-prim material row
 ATTR_LIGHT_ROW = 48  # 48:68 joined emissive-hit light row
 ATTR_JOINED = 68
-_OCT_Q = 4095.0  # 12-bit quantizer per octahedral axis
+_OCT_Q = 4094.0  # 12-bit quantizer (EVEN so f=0 has an exact code: flat
+# axis-aligned normals must not pick up quantization tilt)
 
 
 def _oct_encode24(v: np.ndarray) -> np.ndarray:

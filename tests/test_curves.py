@@ -297,59 +297,3 @@ def test_cone_twopass_matches_rect():
         C.pallas_intersect_cones_wl = orig_wl
         C.pallas_intersect_cones_fusedk = orig_fk
         PI.pallas_open_w = orig_ow
-
-
-def test_pallas_cone_compact_matches_full_width():
-    """Lane-compacted cone kernels (one-hot MXU sub-block compaction) return
-    bit-identical (t, cone) / occlusion to the full-width cone kernels."""
-    import jax.numpy as jnp
-    from strelka_tpu.ops.curves import (
-        FlatCones,
-        morton_sort_cones,
-        pack_cones,
-        pallas_intersect_cones,
-    )
-
-    rng = np.random.default_rng(17)
-    m = 700
-    a = rng.uniform(-5, 5, (m, 3)).astype(np.float32)
-    b = a + rng.normal(0, 0.4, (m, 3)).astype(np.float32)
-    ra = rng.uniform(0.01, 0.15, m).astype(np.float32)
-    rb = rng.uniform(0.01, 0.15, m).astype(np.float32)
-    cones = FlatCones(
-        a=jnp.asarray(a), b=jnp.asarray(b), ra=jnp.asarray(ra), rb=jnp.asarray(rb),
-        seg_id=jnp.arange(m, dtype=jnp.int32),
-        u0=jnp.zeros(m), u1=jnp.ones(m),
-    )
-    perm = morton_sort_cones(cones)
-    cones = FlatCones(*[jnp.asarray(np.asarray(f)[perm]) for f in cones])
-    packed, bounds = pack_cones(cones, tblk=128, super_=2)
-
-    n = 500
-    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    tmin = jnp.zeros(n, jnp.float32)
-    tmax = jnp.full(n, 1e16, jnp.float32)
-    kw = dict(tile=256, tblk=128, super_=2, interpret=True)
-
-    tf, cf = pallas_intersect_cones(
-        packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax, **kw
-    )
-    tc, cc = pallas_intersect_cones(
-        packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
-        compact=True, **kw
-    )
-    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cc))
-    np.testing.assert_array_equal(np.asarray(tf), np.asarray(tc))
-
-    seg_tmax = jnp.full(n, 8.0, jnp.float32)
-    af = pallas_intersect_cones(
-        packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, seg_tmax,
-        any_hit=True, **kw
-    )
-    ac = pallas_intersect_cones(
-        packed, bounds, jnp.asarray(o), jnp.asarray(d), tmin, seg_tmax,
-        any_hit=True, compact=True, **kw
-    )
-    np.testing.assert_array_equal(np.asarray(af), np.asarray(ac))

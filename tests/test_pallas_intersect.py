@@ -868,45 +868,3 @@ def test_build_worklist_row_overflow_forces_fallback():
     np.testing.assert_array_equal(wl2[0, :6], [0, 0, 0, 2, 2, 2])
     np.testing.assert_array_equal(wl2[1, :6], [2, 1, 0, 3, 2, 1])
     np.testing.assert_array_equal(np.asarray(visited2), [True, False, True, False])
-
-
-@pytest.mark.parametrize("ntri,nray", [(1000, 700)])
-def test_compact_kernels_match_full_width(ntri, nray):
-    """Lane-compacted dense kernels (one-hot MXU compaction, facts #43/#47)
-    return bit-identical (t, prim) / occlusion to the full-width kernels,
-    including exclude-prim and geometry masks."""
-    from strelka_tpu.ops.pallas_intersect import block_bounds as _bb
-
-    rng = np.random.default_rng(5)
-    v0, e1, e2, mask = _scene(ntri, rng)
-    o, d = _rays(nray, rng)
-    tmin = jnp.zeros(nray, jnp.float32)
-    tmax = jnp.full(nray, 1e16, jnp.float32)
-    tris = pack_tris(v0, e1, e2, mask, tblk=128)
-    bb = _bb(v0, e1, e2, mask, tblk=128)
-    kw = dict(tile=256, tblk=128, super_=4, interpret=True)
-    t0, p0 = pallas_intersect_closest(
-        tris, bb, jnp.asarray(o), jnp.asarray(d), tmin, tmax, RAY_MASK_PRIMARY, **kw
-    )
-    excl = jnp.where(p0 >= 0, p0, -1)  # re-query excluding the first hit
-    for exc in (None, excl):
-        tf, pf = pallas_intersect_closest(
-            tris, bb, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
-            RAY_MASK_PRIMARY, exclude=exc, **kw
-        )
-        tc, pc = pallas_intersect_closest(
-            tris, bb, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
-            RAY_MASK_PRIMARY, exclude=exc, compact=True, **kw
-        )
-        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pc))
-        np.testing.assert_array_equal(np.asarray(tf), np.asarray(tc))
-    af = pallas_intersect_any(
-        tris, bb, jnp.asarray(o), jnp.asarray(d), tmin,
-        jnp.full(nray, 12.0, jnp.float32), RAY_MASK_SHADOW, exclude=excl, **kw
-    )
-    ac = pallas_intersect_any(
-        tris, bb, jnp.asarray(o), jnp.asarray(d), tmin,
-        jnp.full(nray, 12.0, jnp.float32), RAY_MASK_SHADOW, exclude=excl,
-        compact=True, **kw
-    )
-    np.testing.assert_array_equal(np.asarray(af), np.asarray(ac))

@@ -166,3 +166,31 @@ def test_camera_move_resets_accumulation():
     cam.set_position([0.3, 1.1, 3.5])
     r.render(buf)
     assert ctx.subframe_index == 2, "camera move must restart accumulation"
+
+
+def test_packed_attr_octahedral_roundtrip():
+    """12:12 octahedral attr packing (device_scene._oct_encode24 ->
+    integrator._oct_decode24): max angular error < 0.1 deg on random unit
+    vectors; axis-aligned vectors round-trip exactly (flat walls must not
+    pick up quantization tilt)."""
+    import numpy as np
+
+    from strelka_tpu.ops.integrator import _oct_decode24
+    from strelka_tpu.ops.vec import Vec3  # noqa: F401
+    from strelka_tpu.render.device_scene import _oct_encode24
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(4096, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    axes = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    v = np.concatenate([v, axes])
+    codes = _oct_encode24(v)
+    dec = _oct_decode24(jnp.asarray(codes))
+    out = np.stack([np.asarray(dec.x), np.asarray(dec.y), np.asarray(dec.z)], axis=1)
+    dots = np.clip((out * v).sum(axis=1), -1.0, 1.0)
+    ang = np.degrees(np.arccos(dots))
+    assert ang.max() < 0.1, ang.max()
+    np.testing.assert_allclose(out[-6:], axes, atol=1e-6)
