@@ -25,4 +25,10 @@ echo "rc=$?" >> "$LOG"
 stage hair CONE_TBLK=64
 env STRELKA_CONE_TBLK=64 timeout 2400 python scripts/hair_probe.py >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+stage cornell baseline packed-attrs
+timeout 2400 python scripts/perf_probe.py cornell >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+stage cornell MXU_HIGHP=1
+env STRELKA_MXU_HIGHP=1 timeout 2400 python scripts/perf_probe.py cornell >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "CHAIN4 DONE" >> "$LOG"
