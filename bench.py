@@ -170,10 +170,12 @@ GOLDEN_CONFIGS = {
 }
 
 
-def render_golden_config(name: str):
+def render_golden_config(name: str, launches_mult: int = 1):
     """Render a bench scene at its golden config on the CURRENT backend
     -> [H, W, 3] f32 in [0, 1] (the library-API path, not the bare
-    integrator — the same frames a user's Render produces)."""
+    integrator — the same frames a user's Render produces).
+    launches_mult scales total spp (scripts/ssim_spp_probe.py uses it to
+    measure how cross-backend SSIM converges with sample count)."""
     import numpy as np
 
     from strelka_tpu.render.buffer import BufferDesc, BufferFormat
@@ -181,6 +183,7 @@ def render_golden_config(name: str):
     from strelka_tpu.settings import SharedContext, make_default_settings
 
     w, h, spp, launches = GOLDEN_CONFIGS[name]
+    launches *= launches_mult
     s = make_default_settings(w, h)
     s.set("render/pt/sppTotal", spp * launches)
     s.set("render/pt/spp", spp)
