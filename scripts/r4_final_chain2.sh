@@ -8,7 +8,13 @@ set -u
 cd /root/repo
 LOG=/root/repo/r4_final2.log
 : > "$LOG"
-while ! grep -q "CHAIN DONE" /root/repo/r4_final.log 2>/dev/null; do sleep 20; done
+# Bounded wait: give up after ~40 min if the upstream chain never finishes
+# (a dead chain would otherwise leave this process spinning forever).
+for i in $(seq 1 120); do
+  grep -q "CHAIN DONE" /root/repo/r4_final.log 2>/dev/null && break
+  [ "$i" = 120 ] && { echo "upstream chain never finished; aborting" >> "$LOG"; exit 1; }
+  sleep 20
+done
 probe() {
   echo "=== $* ===" >> "$LOG"
   timeout 1200 "$@" >> "$LOG" 2>&1

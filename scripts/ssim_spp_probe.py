@@ -19,7 +19,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+USAGE = """usage:
+  ssim_spp_probe.py <scene> <launches_mult> <out.png>     render arm
+  PROBE_CPU=1 ssim_spp_probe.py <scene> <mult> <out.png>  CPU arm
+  ssim_spp_probe.py --ssim <a.png> <b.png>                compare"""
+
+
 def main():
+    argc_ok = (len(sys.argv) == 4 and sys.argv[1] == "--ssim") or (
+        len(sys.argv) == 4 and sys.argv[2].isdigit()
+    )
+    if not argc_ok:
+        print(USAGE, file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "--ssim":
         from strelka_tpu.utils.image import read_png, ssim
 

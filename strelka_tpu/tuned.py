@@ -9,6 +9,12 @@ only consulted when the variable is unset.
 
 This replaces hand-maintained per-host constants; the reference has no
 equivalent (OptiX tunes its own BVH/launch parameters inside the driver).
+
+The committed tuned.json is a cross-host BASELINE (the last hardware-validated
+winner set); scripts/tune_defaults.py overwrites it locally with this host's
+own measurements. Reads are memoized on the file's mtime — get_bool sits on
+per-trace paths (e.g. intersect_any), so uncached reads would do file I/O per
+sweep.
 """
 
 from __future__ import annotations
@@ -21,14 +27,26 @@ _PATH = os.environ.get(
     os.path.join(os.path.dirname(__file__), "..", "tuned.json"),
 )
 
+_cache: tuple[float, dict] | None = None  # (mtime, parsed contents)
+
 
 def _load() -> dict:
+    global _cache
+    try:
+        mtime = os.stat(_PATH).st_mtime
+    except OSError:
+        _cache = (-1.0, {})
+        return {}
+    if _cache is not None and _cache[0] == mtime:
+        return _cache[1]
     try:
         with open(_PATH) as f:
             data = json.load(f)
-        return data if isinstance(data, dict) else {}
+        data = data if isinstance(data, dict) else {}
     except Exception:  # noqa: BLE001 — missing/corrupt file = no tuning
-        return {}
+        data = {}
+    _cache = (mtime, data)
+    return data
 
 
 def get_bool(name: str, default: bool) -> bool:
