@@ -105,12 +105,21 @@ def _parse_default(expr: str):
 
 
 def parse_mdl_materials(
-    text: str, bodies: Optional[Dict[str, str]] = None
+    text: str, bodies: Optional[Dict[str, str]] = None,
+    funcs: Optional[Dict[str, object]] = None,
 ) -> Dict[str, Dict[str, object]]:
     """All exported materials in an MDL module -> {name: {param: default}}.
 
     When `bodies` is given, it's filled with {name: body_text} — the `=
     <expr>` after each signature (for df-tree folding, fold_material_body).
+
+    Computed defaults (`float r = base * 0.5`, `= my_fn(x)`, math::
+    intrinsics) are constant-folded at parse time through the expression
+    interpreter in loaders/mdl_expr.py — the load-time equivalent of the
+    reference's class-compilation constant folding
+    (mdlMaterialCompiler.cpp:93-115). Earlier parameters of the same
+    signature are in scope for later defaults, matching MDL semantics.
+    `funcs` is the user-defined function registry (parse_mdl_functions).
     """
     text = _strip_annotations(_strip_comments(text))
     result: Dict[str, Dict[str, object]] = {}
@@ -132,7 +141,13 @@ def parse_mdl_materials(
             pm = re.match(r"(uniform\s+)?(?P<type>\w+(::\w+)*)\s+(?P<name>\w+)\s*(=\s*(?P<default>.*))?$", part, re.DOTALL)
             if not pm:
                 continue
-            default = _parse_default(pm.group("default") or "")
+            dtext = (pm.group("default") or "").strip()
+            default = _parse_default(dtext)
+            if default is None and dtext:
+                # computed default: constant-fold with earlier params in scope
+                from strelka_tpu.loaders import mdl_expr
+
+                default = mdl_expr.eval_default_text(dtext, dict(params), funcs)
             if default is not None:
                 params[pm.group("name")] = default
         result[name] = params
@@ -165,9 +180,11 @@ class MdlModule:
         materials: Dict[str, Dict[str, object]],
         has_hair: bool = False,
         bodies: Optional[Dict[str, str]] = None,
+        funcs: Optional[Dict[str, object]] = None,
     ):
         self.path = path
         self.materials = materials
+        self.funcs = funcs or {}
         # material uses an MDL hair df — the reference switches the link unit
         # to "hair" instead of surface.scattering when the hair expression is
         # non-constant (mdlPtxCodeGen.cpp:143-158)
@@ -181,7 +198,10 @@ class MdlModule:
         if name not in self._folded:
             body = self.bodies.get(name, "")
             self._folded[name] = (
-                fold_material_body(body, self.materials.get(name, {})) if body else {}
+                fold_material_body(body, self.materials.get(name, {}),
+                                   funcs=self.funcs)
+                if body
+                else {}
             )
         return self._folded[name]
 
@@ -198,8 +218,13 @@ def load_mdl_module(file: str, search_paths: List[str]) -> Optional[MdlModule]:
                     text = f.read()
                 has_hair = "hair_bsdf" in text or "df::hair" in text
                 bodies: Dict[str, str] = {}
-                mats = parse_mdl_materials(text, bodies)
-                return MdlModule(cand, mats, has_hair=has_hair, bodies=bodies)
+                from strelka_tpu.loaders import mdl_expr
+
+                funcs = mdl_expr.parse_mdl_functions(text)
+                mats = parse_mdl_materials(text, bodies, funcs=funcs)
+                return MdlModule(
+                    cand, mats, has_hair=has_hair, bodies=bodies, funcs=funcs
+                )
             except OSError as e:
                 log.warning("mdl read failed {}: {}", cand, e)
                 return None
@@ -272,8 +297,17 @@ class _BodyParser:
         return tok
 
     def parse_expr(self):
+        # additive level; parse_term binds * and / tighter (C precedence)
+        node = self.parse_term()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            rhs = self.parse_term()
+            node = _Call("__op" + op, {}, [node, rhs])
+        return node
+
+    def parse_term(self):
         node = self.parse_unary()
-        while self.peek() in ("*", "+", "-", "/"):
+        while self.peek() in ("*", "/"):
             op = self.next()
             rhs = self.parse_unary()
             node = _Call("__op" + op, {}, [node, rhs])
@@ -400,6 +434,14 @@ def _ev(node, env):
     if name == "texture_2d":
         v = _ev(node.pos[0], env) if node.pos else None
         return v
+    # unknown value call: route through the constant-expression interpreter
+    # (math:: intrinsics, user-defined module functions) when a function
+    # registry rode in under the reserved env key
+    funcs = env.get("__funcs__")
+    if funcs is not None:
+        from strelka_tpu.loaders import mdl_expr
+
+        return mdl_expr.eval_const(node, env, funcs)
     return None  # unknown value call
 
 
@@ -581,7 +623,10 @@ def _fold_df(node, env) -> Optional[_Lobes]:
     return None
 
 
-def fold_material_body(body_text: str, defaults: Dict[str, object]) -> Dict[str, object]:
+def fold_material_body(
+    body_text: str, defaults: Dict[str, object],
+    funcs: Optional[Dict[str, object]] = None,
+) -> Dict[str, object]:
     """Fold an MDL material body onto uber-BSDF parameters.
 
     Returns {} when the body has no recognisable df expression (caller keeps
@@ -589,6 +634,10 @@ def fold_material_body(body_text: str, defaults: Dict[str, object]) -> Dict[str,
     aliases): bsdf_kind ('pbr'|'glass'|'hair'), diffuse_color_constant,
     reflection_roughness_constant, metallic_constant, specular_level,
     ior, glass_color, frosting_roughness.
+
+    `funcs` (parse_mdl_functions registry) lets df arguments that call
+    user-defined module functions or math:: intrinsics fold through the
+    constant-expression interpreter (mdl_expr.eval_const).
     """
     try:
         ast, let_env = _parse_body(body_text)
@@ -598,6 +647,8 @@ def fold_material_body(body_text: str, defaults: Dict[str, object]) -> Dict[str,
         return {}
     env = dict(defaults)
     env.update(let_env)
+    if funcs:
+        env["__funcs__"] = funcs
     # locate surface.scattering / hair inside material(...)
     df_node = None
     ior_node = None
