@@ -244,7 +244,9 @@ class UsdLoader:
             return False
         self._base_dir = os.path.dirname(os.path.abspath(path))
         scene.model_path = path
+        self._compose_sublayers(root)
         self._resolve_references(root)
+        self._resolve_inherits(root, root)
         self._root = root
         # bake pass (RenderPass._BakeMeshes equivalent)
         for prim in root.children:
@@ -267,6 +269,79 @@ class UsdLoader:
         if not scene.materials:
             scene.add_material(MaterialDescription(type="mdl", file="default.mdl", name="default"))
         return True
+
+    # ------------------------------------------------------------------
+    def _compose_sublayers(self, root: Prim, depth: int = 0) -> None:
+        """Merge `subLayers = [@a.usda@, ...]` into the root prim tree.
+
+        LIVRPS 'L' step (sublayer composition): the root layer's local
+        opinions are strongest, then sublayers in authored order (first
+        strongest). The reference gets this from UsdStage::Open
+        (hdRunner/main.cpp:566-591); here each sublayer is parsed and merged
+        weaker-under-stronger (attrs/metadata setdefault, prim union)."""
+        if depth > 8:
+            return
+        subs = root.metadata.get("subLayers")
+        if not isinstance(subs, list):
+            return
+        for s in subs:
+            asset = s[1] if isinstance(s, tuple) and s and s[0] == "__asset__" else None
+            if not asset:
+                continue
+            layer = self._load_layer(asset)
+            if layer is None:
+                continue
+            self._compose_sublayers(layer, depth + 1)  # nested sublayers
+            self._merge_weaker(root, layer)
+
+    @staticmethod
+    def _merge_weaker(dst: Prim, src: Prim) -> None:
+        """Merge src's opinions into dst with dst (stronger) winning."""
+        for k, v in src.attrs.items():
+            dst.attrs.setdefault(k, v)
+        for k, v in src.metadata.items():
+            if k != "subLayers":
+                dst.metadata.setdefault(k, v)
+        if not dst.type:
+            dst.type = src.type
+        # an `over` that some weaker layer defines becomes concrete
+        if dst.specifier == "over" and src.specifier in ("def", "class"):
+            dst.specifier = src.specifier
+        index = {c.name: c for c in dst.children}
+        for c in src.children:
+            if c.name in index:
+                UsdLoader._merge_weaker(index[c.name], c)
+            else:
+                dst.children.append(c)
+
+    def _resolve_inherits(self, prim: Prim, root: Prim, depth: int = 0) -> None:
+        """Graft `inherits = </Class/X>` class-prim opinions (LIVRPS 'I':
+        weaker than local/variant, stronger than references)."""
+        if depth > 16:
+            return
+        for key in ("inherits", "prepend inherits", "specializes"):
+            tgt = prim.metadata.get(key)
+            if tgt is None:
+                continue
+            tgts = tgt if isinstance(tgt, list) else [tgt]
+            for t in tgts:
+                path = t[1] if isinstance(t, tuple) and t and t[0] == "__path__" else None
+                if not path:
+                    continue
+                src = root.find(path)
+                if src is None or src is prim:
+                    continue
+                for k, v in src.attrs.items():
+                    prim.attrs.setdefault(k, v)
+                if not prim.type:
+                    prim.type = src.type
+                names = {c.name for c in prim.children}
+                for c in src.children:
+                    if c.name not in names:
+                        c.specifier = "def"  # concrete on the instance side
+                        prim.children.append(c)
+        for c in prim.children:
+            self._resolve_inherits(c, root, depth + 1)
 
     # ------------------------------------------------------------------
     def _resolve_references(self, prim: Prim, depth: int = 0) -> None:
@@ -331,6 +406,8 @@ class UsdLoader:
     def _walk(self, prim: Prim, parent_xf: np.ndarray, scene: Scene) -> None:
         if prim.metadata.get("active") is False:
             return
+        if prim.specifier == "class":
+            return  # abstract class prims never bake (pxr semantics)
         xf = parent_xf @ local_transform(prim)
         t = prim.type
         if t == "Mesh":
@@ -538,6 +615,23 @@ class UsdLoader:
     def _resolve_material(self, prim: Prim, scene: Scene) -> int:
         rel = prim.attrs.get("material:binding")
         if rel is None or not rel.targets:
+            # unbound mesh with an authored displayColor gets a constant
+            # material of that color (the reference's HdStrelkaMesh
+            # displayColor fallback, Mesh.cpp _ConvertColor path)
+            dc = _attr_val(prim, "primvars:displayColor")
+            if dc is not None:
+                col = _vec(dc[0] if isinstance(dc, list) and dc else dc, 3, 1.0)
+                key = "__displayColor_%.5f_%.5f_%.5f" % tuple(col)
+                if key in self._material_ids:
+                    return self._material_ids[key]
+                mid = scene.add_material(
+                    MaterialDescription(
+                        type="mdl", file="default.mdl", name=key[2:],
+                        has_color=True, color=np.asarray(col, np.float32),
+                    )
+                )
+                self._material_ids[key] = mid
+                return mid
             return self._default_material(scene)
         target = rel.targets[0]
         if target in self._material_ids:

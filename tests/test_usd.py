@@ -493,3 +493,154 @@ def Xform "World"
     cat = flatten_scene_geometry(scene)
     assert cat["p"].shape[0] == 1
     np.testing.assert_allclose(cat["p"][0, 0], [2, 0, 0], atol=1e-6)
+
+
+def test_sublayer_composition(tmp_path):
+    """Root-layer subLayers compose: root opinions win, sublayers merge in
+    strength order (first strongest), prims union across layers.
+    Reference bar: pxr sublayer composition (hdRunner/main.cpp:566 stage
+    open composes the full LIVRPS stack)."""
+    (tmp_path / "base.usda").write_text(
+        """#usda 1.0
+(
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def Mesh "ground"
+    {
+        point3f[] points = [(-5, 0, -5), (5, 0, -5), (5, 0, 5), (-5, 0, 5)]
+        int[] faceVertexIndices = [0, 3, 2, 1]
+        int[] faceVertexCounts = [4]
+        color3f[] primvars:displayColor = [(0.2, 0.2, 0.2)]
+    }
+    def SphereLight "lamp"
+    {
+        float inputs:radius = 1.0
+        float inputs:intensity = 5.0
+    }
+}
+"""
+    )
+    (tmp_path / "override.usda").write_text(
+        """#usda 1.0
+def Xform "World"
+{
+    def Mesh "ground"
+    {
+        color3f[] primvars:displayColor = [(0.9, 0.1, 0.1)]
+    }
+    def Mesh "extra"
+    {
+        point3f[] points = [(0, 1, 0), (1, 1, 0), (0, 2, 0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+    }
+}
+"""
+    )
+    # root layer: has its own opinion on the lamp intensity; sublayers ordered
+    # override (strongest) then base
+    (tmp_path / "main.usda").write_text(
+        """#usda 1.0
+(
+    defaultPrim = "World"
+    subLayers = [@override.usda@, @base.usda@]
+)
+over "World"
+{
+    over "lamp"
+    {
+        float inputs:intensity = 42.0
+    }
+}
+"""
+    )
+    scene = Scene()
+    assert UsdLoader().load(str(tmp_path / "main.usda"), scene)
+    # ground (from base) + extra (from override) both present (sphere lights
+    # may add an emissive proxy mesh on top)
+    assert len(scene.meshes) >= 2
+    # root layer's local opinion beats every sublayer (GPU light record
+    # packs intensity into color[3], scene.py updateLight)
+    assert any(abs(float(l.color[3]) - 42.0) < 1e-5 for l in scene.lights)
+    # override layer (stronger sublayer) wins displayColor on ground
+    reds = [m for m in scene.materials if np.allclose(m.color, [0.9, 0.1, 0.1], atol=1e-5)]
+    assert reds, [m.color for m in scene.materials]
+
+
+def test_inherits_composition(tmp_path):
+    """`inherits = </Class/X>` grafts class-prim opinions (weaker than local)."""
+    (tmp_path / "inh.usda").write_text(
+        """#usda 1.0
+(
+    defaultPrim = "World"
+)
+class Xform "Shapes"
+{
+    class Mesh "TriBase"
+    {
+        point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+        color3f[] primvars:displayColor = [(0, 0, 1)]
+    }
+}
+def Xform "World"
+{
+    def Mesh "tri" (
+        inherits = </Shapes/TriBase>
+    )
+    {
+        color3f[] primvars:displayColor = [(1, 1, 0)]
+    }
+}
+"""
+    )
+    scene = Scene()
+    assert UsdLoader().load(str(tmp_path / "inh.usda"), scene)
+    assert len(scene.meshes) == 1  # class prims themselves don't bake
+    # local displayColor opinion wins over the inherited one
+    assert any(np.allclose(m.color, [1, 1, 0], atol=1e-5) for m in scene.materials)
+
+
+def test_pxr_adapter_without_pxr():
+    """Graceful degradation contract when pxr is absent (this env)."""
+    from strelka_tpu.hydra import pxr_adapter as PA
+
+    if PA.pxr_available():
+        pytest.skip("pxr present; covered by test_pxr_stage_flatten")
+    assert PA.open_stage_flattened("/nonexistent.usda") is None
+    assert PA.load_with_pxr("/nonexistent.usda", Scene()) is False
+    assert PA.register() is True
+    plugin = PA.get_renderer_plugin()
+    assert plugin is not None and plugin.is_supported()
+
+
+def test_pxr_stage_flatten(tmp_path):
+    """Real-pxr path: full composition via Usd.Stage.Flatten feeding our own
+    parser (skipped without pxr — the env has none; runs wherever pxr
+    exists, making the Hydra/USD claim falsifiable; VERDICT r4 task 8)."""
+    pytest.importorskip("pxr")
+    from strelka_tpu.hydra import pxr_adapter as PA
+
+    (tmp_path / "sub.usda").write_text(
+        """#usda 1.0
+def Mesh "tri"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    int[] faceVertexIndices = [0, 1, 2]
+    int[] faceVertexCounts = [3]
+}
+"""
+    )
+    (tmp_path / "top.usda").write_text(
+        """#usda 1.0
+(
+    subLayers = [@sub.usda@]
+)
+"""
+    )
+    scene = Scene()
+    assert PA.load_with_pxr(str(tmp_path / "top.usda"), scene)
+    assert len(scene.meshes) == 1
