@@ -1,0 +1,142 @@
+"""Exact swept-B-spline Newton refinement tests (ops/curve_refine.py).
+
+Oracle: a 64-cone flattening of the same cubic (the chord approximation
+converges to the exact envelope as the subdivision grows; VERDICT r4 task 5
+uses the 64-subdiv CPU golden as the quality bar)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strelka_tpu.ops import curves as C
+from strelka_tpu.ops import curve_refine as CR
+from strelka_tpu.ops.vec import Vec3
+
+
+def _flatten_at(p, w, subdiv):
+    """FlatCones of one cubic at a given subdivision."""
+    old = C.CURVE_SUBDIV
+    C.CURVE_SUBDIV = subdiv
+    try:
+        cones = C.flatten_curves_np(
+            {f"p{j}": p[j][None] for j in range(4)} | {f"w{j}": np.full(1, w[j]) for j in range(4)}
+        )
+    finally:
+        C.CURVE_SUBDIV = old
+    return C.FlatCones(*(jnp.asarray(np.asarray(x)) for x in cones))
+
+
+def _rays_toward_curve(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.2 + np.array([0, 0, -4], np.float32)
+    target = rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Vec3(*(jnp.asarray(o[:, i]) for i in range(3))), Vec3(
+        *(jnp.asarray(d[:, i]) for i in range(3))
+    )
+
+
+# one well-behaved wiggly cubic around the origin with varying radius
+_P = np.array(
+    [[-1.0, -0.3, 0.0], [-0.3, 0.4, 0.2], [0.3, -0.4, -0.2], [1.0, 0.3, 0.0]], np.float32
+)
+_W = np.array([0.12, 0.2, 0.16, 0.1], np.float32)
+
+
+class _Curves:
+    p0 = jnp.asarray(_P[0][None])
+    p1 = jnp.asarray(_P[1][None])
+    p2 = jnp.asarray(_P[2][None])
+    p3 = jnp.asarray(_P[3][None])
+    w0 = jnp.asarray(_W[0][None])
+    w1 = jnp.asarray(_W[1][None])
+    w2 = jnp.asarray(_W[2][None])
+    w3 = jnp.asarray(_W[3][None])
+
+
+def test_refinement_beats_coarse_cones():
+    n = 512
+    o, d = _rays_toward_curve(n)
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e9)
+
+    coarse = C.intersect_curves_closest(_flatten_at(_P, _W, 8), o, d, tmin, tmax)
+    oracle = C.intersect_curves_closest(_flatten_at(_P, _W, 64), o, d, tmin, tmax)
+
+    hit = (np.asarray(coarse.seg) >= 0) & (np.asarray(oracle.seg) >= 0)
+    assert hit.sum() > 100  # the rays genuinely hit
+
+    t_ref, u_ref = CR.refine_scene_curve_hit(
+        _Curves, o, d, coarse.t, coarse.seg, coarse.u
+    )
+    t_ref = np.asarray(t_ref)[hit]
+    t_coarse = np.asarray(coarse.t)[hit]
+    t_star = np.asarray(oracle.t)[hit]
+
+    err_coarse = np.abs(t_coarse - t_star)
+    err_ref = np.abs(t_ref - t_star)
+    # refined must be much closer to the exact surface than the 8-cone seed
+    assert np.median(err_ref) < 0.2 * max(np.median(err_coarse), 1e-9)
+    assert np.mean(err_ref) < np.mean(err_coarse)
+
+
+def test_refinement_residual_on_envelope():
+    """Converged lanes satisfy the envelope equations to ~f32 round-off."""
+    n = 512
+    o, d = _rays_toward_curve(n, seed=3)
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e9)
+    coarse = C.intersect_curves_closest(_flatten_at(_P, _W, 8), o, d, tmin, tmax)
+    valid = np.asarray(coarse.seg) >= 0
+
+    ctrl = tuple(Vec3(*(jnp.full(n, _P[j][i]) for i in range(3))) for j in range(4))
+    weights = tuple(jnp.full(n, _W[j]) for j in range(4))
+    res = CR.refine_curve_hit(ctrl, weights, o, d, coarse.t, coarse.u)
+    conv = np.asarray(res.converged) & valid
+    assert conv.sum() > 0.8 * valid.sum()  # the seed is close: most lanes converge
+
+    # check |P-C(u)| == r(u) on converged lanes
+    u = np.asarray(res.u)
+    t = np.asarray(res.t)
+    b = C.bspline_basis(u)
+    cu = sum(np.asarray(b[j])[:, None] * _P[j][None] for j in range(4))
+    r = sum(np.asarray(b[j]) * _W[j] for j in range(4))
+    p = np.stack([np.asarray(o.x) + t * np.asarray(d.x),
+                  np.asarray(o.y) + t * np.asarray(d.y),
+                  np.asarray(o.z) + t * np.asarray(d.z)], 1)
+    dist = np.linalg.norm(p - cu, axis=1)
+    rel = np.abs(dist - r)[conv] / np.maximum(r[conv], 1e-9)
+    assert np.quantile(rel, 0.9) < 1e-3
+
+
+def test_refinement_passthrough_on_miss():
+    n = 8
+    o = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.full(n, -4.0))
+    d = Vec3(jnp.zeros(n), jnp.ones(n), jnp.zeros(n))  # points away
+    t = jnp.full(n, 1e16)
+    seg = jnp.full(n, -1, jnp.int32)
+    u = jnp.zeros(n)
+    t2, u2 = CR.refine_scene_curve_hit(_Curves, o, d, t, seg, u)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
+
+
+def test_coarse_subdiv_with_refinement_matches_oracle():
+    """VERDICT task 5 'done' bar: cone count per cubic reducible 8 -> 4 at
+    equal quality once the exact refinement runs on the winner."""
+    n = 512
+    o, d = _rays_toward_curve(n, seed=7)
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e9)
+    coarse4 = C.intersect_curves_closest(_flatten_at(_P, _W, 4), o, d, tmin, tmax)
+    coarse8 = C.intersect_curves_closest(_flatten_at(_P, _W, 8), o, d, tmin, tmax)
+    oracle = C.intersect_curves_closest(_flatten_at(_P, _W, 64), o, d, tmin, tmax)
+    hit = (np.asarray(coarse4.seg) >= 0) & (np.asarray(oracle.seg) >= 0)
+
+    t4r, _ = CR.refine_scene_curve_hit(_Curves, o, d, coarse4.t, coarse4.seg, coarse4.u)
+    t_star = np.asarray(oracle.t)[hit]
+    err4_refined = np.abs(np.asarray(t4r)[hit] - t_star)
+    err8_plain = np.abs(np.asarray(coarse8.t)[hit] - t_star)
+    # refined 4-cone beats plain 8-cone by a wide margin
+    assert np.median(err4_refined) < 0.5 * max(np.median(err8_plain), 1e-9)
