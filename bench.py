@@ -167,6 +167,10 @@ GOLDEN_CONFIGS = {
     "coffeetable": (64, 64, 4, 16),
     "hair_patch": (64, 64, 4, 16),
     "kitchen": (64, 64, 2, 8),
+    # einar-class curve scale (100k cubic segments) — CPU golden renders the
+    # same jnp cone path as the small scenes, just bigger (VERDICT r4
+    # missing #5: hair_long ran unverified without a golden)
+    "hair_long": (64, 64, 2, 8),
 }
 
 

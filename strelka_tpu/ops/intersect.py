@@ -183,7 +183,7 @@ def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, star
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
             tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
-            precision=_MXU_PREC,
+            precision=_PREC_CLOSEST,
         )
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -206,7 +206,7 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
             tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
-            precision=_MXU_PREC,
+            precision=_PREC_ANY,
         )
     return pallas_intersect_any(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -224,13 +224,22 @@ def _run_super_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, starts,
 # scalar-prefetch-indexed inputs + register accumulation serialize worse than
 # the rectangular K-sweep's read->write round trips it was built to remove.
 _PHASE1_FUSED = _tuned.get_bool("phase1_fused", False)
-# f32-exact MXU fidelity mode (NOTES fact #45): the default bf16x3 matmul
+# f32-exact MXU fidelity mode (NOTES fact #45): the default bf16 matmul
 # passes pick the wrong prim on borderline closest-hit ties, flipping whole
 # specular paths vs the f32 CPU render (cornell SSIM 0.9877, coffeetable
 # 0.9739). Precision.HIGHEST (bf16x6 == f32-exact) restores bit-parity at
 # ~2x the matmul cost; knob so the fidelity/speed point is per-host tunable.
 _MXU_HIGHP = _tuned.get_bool("mxu_highp", False)
 _MXU_PREC = jax.lax.Precision.HIGHEST if _MXU_HIGHP else None
+# SELECTIVE precision split (VERDICT r4 task 2): the SSIM-visible error mode
+# is bf16 CLOSEST-hit prim/t selection (fact #45 — shadow_f32 moved SSIM by
+# only ~0.001); closest_highp upgrades ONLY the closest-sweep MXU kernels to
+# f32-exact, keeping any-hit sweeps at the fast default.
+_CLOSEST_HIGHP = _tuned.get_bool("closest_highp", False)
+_PREC_CLOSEST = (
+    jax.lax.Precision.HIGHEST if (_MXU_HIGHP or _CLOSEST_HIGHP) else None
+)
+_PREC_ANY = _MXU_PREC
 # superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
 # MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
 # 2 borderline; the tuner may scan upward
@@ -254,7 +263,7 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
-                precision=_MXU_PREC,
+                precision=_PREC_CLOSEST,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
@@ -286,7 +295,7 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
-                precision=_MXU_PREC,
+                precision=_PREC_ANY,
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_any_fusedk
 
@@ -459,7 +468,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_MXU_PREC,
+                local=scene.tris_local, precision=_PREC_CLOSEST,
             )
         else:
             t, prim = pallas_intersect_closest_wl(
@@ -507,7 +516,7 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_MXU_PREC,
+                local=scene.tris_local, precision=_PREC_CLOSEST,
             )
         else:
             t2p, prim2p = pallas_intersect_closest_wl(
@@ -580,7 +589,7 @@ def _any_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask, ex
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_MXU_PREC,
+                local=scene.tris_local, precision=_PREC_ANY,
             )
         else:
             occ = pallas_intersect_any_wl(
@@ -643,7 +652,7 @@ def _any_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_MXU_PREC,
+                local=scene.tris_local, precision=_PREC_ANY,
             )
         else:
             occ2p = pallas_intersect_any_wl(
@@ -748,14 +757,14 @@ def intersect_closest(
                 t, prim = pallas_intersect_closest_mxu_small(
                     scene.tris_feats, scene.tris_mask, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
-                    tblk=scene.kernel_tblk, precision=_MXU_PREC,
+                    tblk=scene.kernel_tblk, precision=_PREC_CLOSEST,
                 )
             elif use_mxu:
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk, local=scene.tris_local,
-                    precision=_MXU_PREC,
+                    precision=_PREC_CLOSEST,
                 )
             else:
                 t, prim = pallas_intersect_closest_flat(
@@ -853,14 +862,14 @@ def intersect_any(
                 return pallas_intersect_any_mxu_small(
                     scene.tris_feats, scene.tris_mask, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
-                    tblk=scene.kernel_tblk, precision=_MXU_PREC,
+                    tblk=scene.kernel_tblk, precision=_PREC_ANY,
                 )
             if use_mxu:
                 return pallas_intersect_any_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk, local=scene.tris_local,
-                    precision=_MXU_PREC,
+                    precision=_PREC_ANY,
                 )
             return pallas_intersect_any_flat(
                 scene.tris_packed, scene.tri_bounds, origins, directions,
