@@ -26,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _BIG = 1e16
-CURVE_SUBDIV = 8  # round-cone subsegments per cubic segment
+# round-cone subsegments per cubic segment (broad phase). The exact Newton
+# refinement (ops/curve_refine.py) recovers the true swept envelope from any
+# seed cone, so coarser flattening trades broad-phase sweep cost for seed
+# quality only — the A/B knob for the hair-throughput experiments.
+from strelka_tpu import tuned as _tuned
+
+CURVE_SUBDIV = _tuned.get_int("curve_subdiv", 8)
 
 
 def bspline_basis(u):

@@ -685,6 +685,19 @@ def trace_paths(
                 scene, origin, direction, tmin_mat, tmax_big, active=alive,
                 shared_origin=(depth == 0),
             )
+            if _tuned.get_bool("curve_refine", True):
+                # exact swept-B-spline refinement of the cone candidate
+                # (phantom-style Newton, ops/curve_refine.py): the reference
+                # gets the exact envelope from OptiX's builtin
+                # ROUND_CUBIC_BSPLINE IS (OptixRender.cpp:554-560); here the
+                # cone broad phase seeds per-lane VPU Newton — pure
+                # elementwise jnp, fused by XLA into the shade epilogue
+                from strelka_tpu.ops.curve_refine import refine_scene_curve_hit
+
+                rt, ru = refine_scene_curve_hit(
+                    scene.curves, origin, direction, chit.t, chit.seg, chit.u
+                )
+                chit = chit._replace(t=rt, u=ru)
             is_curve = alive & (chit.seg >= 0) & (chit.t < hit.t)
         missed = alive & (hit.prim < 0) & ~is_curve
 

@@ -236,10 +236,24 @@ _MXU_PREC = jax.lax.Precision.HIGHEST if _MXU_HIGHP else None
 # only ~0.001); closest_highp upgrades ONLY the closest-sweep MXU kernels to
 # f32-exact, keeping any-hit sweeps at the fast default.
 _CLOSEST_HIGHP = _tuned.get_bool("closest_highp", False)
+
+
+def _parse_prec(name: str):
+    """'': kernel default (1-pass bf16), 'high': bf16x3 passes (~f32 for
+    well-conditioned sums), 'highest': bf16x6 (f32-exact)."""
+    s = _tuned.get_str(name, "")
+    return {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }.get(s, None)
+
+
 _PREC_CLOSEST = (
-    jax.lax.Precision.HIGHEST if (_MXU_HIGHP or _CLOSEST_HIGHP) else None
+    jax.lax.Precision.HIGHEST
+    if (_MXU_HIGHP or _CLOSEST_HIGHP)
+    else _parse_prec("closest_prec")
 )
-_PREC_ANY = _MXU_PREC
+_PREC_ANY = _MXU_PREC if _MXU_PREC is not None else _parse_prec("any_prec")
 # superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
 # MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
 # 2 borderline; the tuner may scan upward

@@ -67,6 +67,15 @@ def get_int(name: str, default: int) -> int:
     return int(v)
 
 
+def get_str(name: str, default: str) -> str:
+    """Same resolution order as get_bool, for string-choice knobs."""
+    env = os.environ.get("STRELKA_" + name.upper())
+    if env is not None and env != "":
+        return env
+    v = _load().get(name, default)
+    return str(v)
+
+
 def write(updates: dict) -> None:
     data = _load()
     data.update(updates)
