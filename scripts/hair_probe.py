@@ -52,8 +52,10 @@ def run(name, width=384, height=384, spp=2, depth=4, iters=3):
     dt = (time.perf_counter() - t0) / iters
     rays = width * height * spp * 2 * depth
     img = np.asarray(image)
+    from strelka_tpu.ops.curves import CURVE_SUBDIV
+
     print(
-        f"{name:12s} cones={scene.num_curve_segments * 8:8d} {dt*1e3:8.1f} ms/launch "
+        f"{name:12s} cones={scene.num_curve_segments * CURVE_SUBDIV:8d} {dt*1e3:8.1f} ms/launch "
         f"{rays/dt/1e6:7.2f} Mrays/s compile={compile_s:.0f}s "
         f"mean={img.mean():.5f} finite={np.isfinite(img).all()}"
     )

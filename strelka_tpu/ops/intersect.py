@@ -787,7 +787,10 @@ def intersect_closest(
                     tblk=scene.kernel_tblk,
                 )
         elif _use_residual(scene):
-            if shared_origin:
+            # closest_single: skip the K-nearest phase 1 on BOUNCE sweeps too
+            # (shadow sweeps won that A/B — tuned shadow_single=true); the
+            # phase-1 rect kernels are ~24% of the kitchen launch
+            if shared_origin or _tuned.get_bool("closest_single", False):
                 t, prim = _closest_wl_single(
                     scene, use_mxu, origins, directions, tmin, tmax,
                     ray_mask, exclude
