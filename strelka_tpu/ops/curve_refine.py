@@ -53,6 +53,9 @@ class RefineResult(NamedTuple):
     t: jnp.ndarray  # [N] refined ray parameter
     u: jnp.ndarray  # [N] refined spline parameter in [0,1]
     converged: jnp.ndarray  # [N] bool — envelope residual below tolerance
+    sphere_hit: jnp.ndarray  # [N] bool — ray hits sphere(C(u), r(u)) at the
+    # final u (exact ghost/graze decider when Newton fails to converge)
+    t_sphere: jnp.ndarray  # [N] entry t into that sphere (valid if sphere_hit)
 
 
 def refine_curve_hit(
@@ -127,13 +130,32 @@ def refine_curve_hit(
     F = (w[0] * w[0] + w[1] * w[1] + w[2] * w[2]) - r * r
     rel = jnp.abs(F) / jnp.maximum(r * r, 1e-12)
     converged = (rel < tol) & (t > 0.0) & jnp.isfinite(t)
-    return RefineResult(t=t, u=u, converged=converged)
+    # exact ray-vs-sphere test at the final u: |d|=1, w = o - C(u).
+    # Any point of the swept volume lies in SOME sphere of the family, so a
+    # non-converged lane that still pierces sphere(u) is a true hit (t from
+    # the sphere entry); one that misses it is an inflation ghost.
+    wo = [o[i] - pos[i] for i in range(3)]
+    b = wo[0] * d[0] + wo[1] * d[1] + wo[2] * d[2]
+    cq = (wo[0] * wo[0] + wo[1] * wo[1] + wo[2] * wo[2]) - r * r
+    disc = b * b - cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_sphere = -b - sq
+    sphere_hit = (disc >= 0.0) & (t_sphere > 0.0) & jnp.isfinite(t_sphere)
+    return RefineResult(
+        t=t, u=u, converged=converged, sphere_hit=sphere_hit, t_sphere=t_sphere
+    )
 
 
 def refine_scene_curve_hit(curves, origins: Vec3, directions: Vec3, t, seg, u,
                            iters: int = 5):
-    """Gather the winning segment's control data and refine; misses pass
-    through. curves: DeviceCurves SoA (p0..p3 [S,3], w0..w3 [S])."""
+    """Gather the winning segment's control data and refine.
+
+    Returns (t, u, keep): converged lanes take the Newton root; non-converged
+    lanes fall back to the exact sphere test at the final u (grazing hits
+    keep the sphere-entry t); lanes that miss even that sphere are ghosts
+    admitted only by the broad-phase radius inflation (flatten_curves) and
+    report keep=False — the caller must turn them into misses.
+    curves: DeviceCurves SoA (p0..p3 [S,3], w0..w3 [S])."""
     valid = seg >= 0
     sid = jnp.maximum(seg, 0)
     ctrl = tuple(
@@ -142,5 +164,8 @@ def refine_scene_curve_hit(curves, origins: Vec3, directions: Vec3, t, seg, u,
     )
     weights = tuple(w[sid] for w in (curves.w0, curves.w1, curves.w2, curves.w3))
     res = refine_curve_hit(ctrl, weights, origins, directions, t, u, iters=iters)
-    ok = valid & res.converged
-    return jnp.where(ok, res.t, t), jnp.where(ok, res.u, u)
+    graze = ~res.converged & res.sphere_hit
+    rt = jnp.where(res.converged, res.t, jnp.where(graze, res.t_sphere, t))
+    ru = jnp.where(res.converged | graze, res.u, u)
+    keep = ~valid | res.converged | graze
+    return jnp.where(valid, rt, t), jnp.where(valid, ru, u), keep

@@ -88,7 +88,16 @@ class FlatCones(NamedTuple):
 
 
 def flatten_curves(curves) -> FlatCones:
-    """DeviceCurves -> round-cone list (host/build time, runs under jit too)."""
+    """DeviceCurves -> round-cone list (host/build time, runs under jit too).
+
+    When the exact Newton refinement is enabled (curve_refine, default on),
+    cone radii are INFLATED by the mid-subsegment chord deviation so the
+    swept-cone broad phase COVERS the exact envelope — a chord always
+    undercuts the arc, and at CURVE_SUBDIV <= 4 the sagitta is wide enough
+    to miss silhouette hits the refinement could otherwise recover
+    (hardware fact: subdiv 8->4 shifted hair_patch image mean 8.66->8.90).
+    Ghost candidates the inflation admits are rejected by the seed-residual
+    check in curve_refine.refine_scene_curve_hit."""
     us = jnp.linspace(0.0, 1.0, CURVE_SUBDIV + 1)
     p0, p1, p2, p3 = curves.p0, curves.p1, curves.p2, curves.p3
     w0, w1, w2, w3 = curves.w0, curves.w1, curves.w2, curves.w3
@@ -100,6 +109,18 @@ def flatten_curves(curves) -> FlatCones:
     b = pts[1:].reshape(-1, 3)
     ra = rads[:-1].reshape(-1)
     rb = rads[1:].reshape(-1)
+    if _tuned.get_bool("curve_refine", True):
+        ums = 0.5 * (us[:-1] + us[1:])
+        mid_pts = jax.vmap(lambda u: eval_bspline(p0, p1, p2, p3, jnp.full(s, u)))(ums)
+        mid_rads = jax.vmap(lambda u: eval_bspline_scalar(w0, w1, w2, w3, jnp.full(s, u)))(ums)
+        chord_mid = 0.5 * (pts[:-1] + pts[1:])
+        dev_c = jnp.linalg.norm(mid_pts - chord_mid, axis=-1)
+        dev_r = jnp.maximum(mid_rads - 0.5 * (rads[:-1] + rads[1:]), 0.0)
+        # 4/3 safety: the cubic's max chord deviation is near but not
+        # exactly at the midpoint
+        pad = (4.0 / 3.0) * (dev_c + dev_r).reshape(-1)
+        ra = ra + pad
+        rb = rb + pad
     seg = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (CURVE_SUBDIV, s)).reshape(-1)
     u0 = jnp.broadcast_to(us[:-1, None], (CURVE_SUBDIV, s)).reshape(-1)
     u1 = jnp.broadcast_to(us[1:, None], (CURVE_SUBDIV, s)).reshape(-1)
@@ -117,14 +138,28 @@ def flatten_curves_np(curves_np: dict) -> FlatCones:
     b = bspline_basis(us)  # 4 x [K+1]
     pts = sum(b[j][:, None, None] * p[j][None] for j in range(4))  # [K+1, S, 3]
     rads = sum(b[j][:, None] * w[j][None] for j in range(4))  # [K+1, S]
+    ra = rads[:-1].reshape(-1)
+    rb = rads[1:].reshape(-1)
+    if _tuned.get_bool("curve_refine", True):
+        # envelope-covering radius inflation — see flatten_curves
+        ums = (0.5 * (us[:-1] + us[1:])).astype(np.float32)
+        bm = bspline_basis(ums)
+        mid_pts = sum(bm[j][:, None, None] * p[j][None] for j in range(4))
+        mid_rads = sum(bm[j][:, None] * w[j][None] for j in range(4))
+        chord_mid = 0.5 * (pts[:-1] + pts[1:])
+        dev_c = np.linalg.norm(mid_pts - chord_mid, axis=-1)
+        dev_r = np.maximum(mid_rads - 0.5 * (rads[:-1] + rads[1:]), 0.0)
+        pad = ((4.0 / 3.0) * (dev_c + dev_r)).reshape(-1).astype(np.float32)
+        ra = ra + pad
+        rb = rb + pad
     seg = np.broadcast_to(np.arange(s, dtype=np.int32)[None, :], (CURVE_SUBDIV, s))
     u0 = np.broadcast_to(us[:-1, None], (CURVE_SUBDIV, s))
     u1 = np.broadcast_to(us[1:, None], (CURVE_SUBDIV, s))
     return FlatCones(
         a=pts[:-1].reshape(-1, 3),
         b=pts[1:].reshape(-1, 3),
-        ra=rads[:-1].reshape(-1),
-        rb=rads[1:].reshape(-1),
+        ra=ra,
+        rb=rb,
         seg_id=seg.reshape(-1),
         u0=u0.reshape(-1).astype(np.float32),
         u1=u1.reshape(-1).astype(np.float32),
@@ -325,6 +360,8 @@ import functools
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from strelka_tpu.ops.pallas_intersect import wl_flags, wl_sb, wl_tile
 
 from strelka_tpu import tuned as _tuned_k
 
@@ -729,8 +766,9 @@ def _cone_closest_kernel_wl(
     from strelka_tpu.ops.pallas_intersect import _tile_hits_block
 
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)  # first entry of this tile's run
     def _init():
@@ -765,8 +803,9 @@ def _cone_any_kernel_wl(
     from strelka_tpu.ops.pallas_intersect import _tile_hits_block
 
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)
     def _init():
@@ -791,7 +830,7 @@ def _cone_any_kernel_wl(
 def pallas_intersect_cones_wl(
     cones_packed: jnp.ndarray,  # [12, M]
     bounds: jnp.ndarray,  # [8, nb]
-    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    wl: jnp.ndarray,  # [1, C] packed i32 (build_worklist)
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -810,8 +849,8 @@ def pallas_intersect_cones_wl(
     rays, n_pad = _pack_rays(origins, directions, tmin, tmax, tile)
     step = tblk * super_
     in_specs = [
-        pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, step), lambda i, wl, b: (0, wl_sb(wl[0, i])), memory_space=pltpu.VMEM),
     ]
     if any_hit:
         kernel = functools.partial(_cone_any_kernel_wl, tblk=tblk, super_=super_)
@@ -821,7 +860,7 @@ def pallas_intersect_cones_wl(
                 num_scalar_prefetch=2,
                 grid=(wl.shape[1],),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+                out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
             ),
             out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.bool_),
             compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -836,8 +875,8 @@ def pallas_intersect_cones_wl(
             grid=(wl.shape[1],),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[

@@ -694,10 +694,15 @@ def trace_paths(
                 # elementwise jnp, fused by XLA into the shade epilogue
                 from strelka_tpu.ops.curve_refine import refine_scene_curve_hit
 
-                rt, ru = refine_scene_curve_hit(
+                rt, ru, keep = refine_scene_curve_hit(
                     scene.curves, origin, direction, chit.t, chit.seg, chit.u
                 )
-                chit = chit._replace(t=rt, u=ru)
+                # ghosts admitted by the inflated broad-phase radii -> miss
+                chit = chit._replace(
+                    t=jnp.where(keep, rt, jnp.float32(1e30)),
+                    u=jnp.where(keep, ru, 0.0),
+                    seg=jnp.where(keep, chit.seg, -1),
+                )
             is_curve = alive & (chit.seg >= 0) & (chit.t < hit.t)
         missed = alive & (hit.prim < 0) & ~is_curve
 

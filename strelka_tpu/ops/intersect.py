@@ -239,11 +239,13 @@ _CLOSEST_HIGHP = _tuned.get_bool("closest_highp", False)
 
 
 def _parse_prec(name: str):
-    """'': kernel default (1-pass bf16), 'high': bf16x3 passes (~f32 for
-    well-conditioned sums), 'highest': bf16x6 (f32-exact)."""
+    """'': kernel default (1-pass bf16); 'high'/'highest': bf16x6
+    (f32-exact). Mosaic's dot lowering rejects Precision.HIGH (bf16x3) —
+    hardware fact from the r5 chain4 probes — so 'high' aliases HIGHEST
+    inside Pallas kernels rather than failing to compile."""
     s = _tuned.get_str(name, "")
     return {
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }.get(s, None)
 
@@ -346,10 +348,12 @@ _WL_FULL_NSB = int(_os.environ.get("STRELKA_WL_FULL_NSB", "96"))
 # big scenes whose rectangular-grid crossover picked the VPU.
 _WL_MXU = _os.environ.get("STRELKA_WL_MXU", "")
 # TOTAL work-list entry budget: wl rides the kernel's scalar-prefetch SMEM
-# as [4, C] i32, and SMEM is a fixed 1MB/core — so C must be bounded by a
-# CONSTANT, not per-tile. 46080 entries = 737KB, the proven tile-1024
-# working set (2048 tiles x 48 at p2_tile=256 was 1.57MB -> hardware OOM).
-_WL_ENTRY_BUDGET = int(_os.environ.get("STRELKA_WL_ENTRIES", "46080"))
+# as PACKED [1, C] i32 (tile<<14 | sb<<2 | flags, build_worklist), and SMEM
+# is a fixed 1MB/core — so C must be bounded by a CONSTANT, not per-tile.
+# 184320 entries = 720KB packed; the pre-packing [4, C] layout capped at
+# 46080 (2048 tiles x 48 at p2_tile=256 was 1.57MB -> hardware OOM), which
+# is what forced every small-tile schedule into the rectangular fallback.
+_WL_ENTRY_BUDGET = int(_os.environ.get("STRELKA_WL_ENTRIES", "184320"))
 
 
 def _wl_cap_per_tile(nsb: int, n_tiles: int) -> int:

@@ -839,8 +839,9 @@ def _closest_kernel_wl(
     *, ray_mask: int, tblk: int, super_: int,
 ):
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)  # first entry of this tile's run
     def _init():
@@ -877,8 +878,9 @@ def _any_kernel_wl(
     *, ray_mask: int, tblk: int, super_: int,
 ):
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)
     def _init():
@@ -1064,6 +1066,25 @@ def pallas_open_w(
     return open_out[0, :n] != 0, w_out[:, 0, :nsb] != 0, tn_out[:, 0, :nsb]
 
 
+# Packed work-list entry layout: tile_row << 14 | superblock << 2 | flags.
+# One i32 per (tile, superblock) pair in SMEM — see build_worklist.
+_WL_SB_SHIFT = 2
+_WL_TILE_SHIFT = 14
+_WL_SB_MAX = 1 << (_WL_TILE_SHIFT - _WL_SB_SHIFT)
+
+
+def wl_flags(e):
+    return e & 3
+
+
+def wl_sb(e):
+    return (e >> _WL_SB_SHIFT) & (_WL_SB_MAX - 1)
+
+
+def wl_tile(e):
+    return e >> _WL_TILE_SHIFT
+
+
 def _partition_perm_flat(flag):
     """Stable true-first partition permutation of a flat bool vector.
     Returns (perm, count)."""
@@ -1075,9 +1096,12 @@ def _partition_perm_flat(flag):
 
 
 def build_worklist(W, d2, capacity: int):
-    """Flatten the W matrix into a [4, C] pair list rows (tile, superblock,
-    flags, 0), grouped by tile and near-to-far within each tile. Transposed
-    layout: SMEM lane-pads the minor dim to 128, so [C, 4] would waste 32x.
+    """Flatten the W matrix into a PACKED [1, C] i32 pair list, grouped by
+    tile and near-to-far within each tile. Each entry packs
+    ``tile_row << 14 | superblock << 2 | flags`` — one SMEM word per pair
+    instead of the old [4, C] rows, so the same 1MB SMEM budget holds 4x
+    the entries (the p2_tile=256 hardware OOM of fact #32 was this limit).
+    Decode with wl_tile/wl_sb/wl_flags (kernels and index_maps share them).
 
     flags: bit0 = first entry of its tile run, bit1 = valid. Pad entries
     repeat the last valid tile (no spurious output-block switches).
@@ -1091,6 +1115,10 @@ def build_worklist(W, d2, capacity: int):
     the reported count past capacity and the caller's rectangular
     fallback takes over."""
     n_tiles, nsb = W.shape
+    # packed-field limits (static shapes, checked at trace time): 12-bit
+    # superblock id = 8.4M tris at 2048/superblock, 18-bit tile row
+    assert nsb <= _WL_SB_MAX, f"worklist nsb {nsb} > {_WL_SB_MAX}"
+    assert n_tiles < (1 << 18), f"worklist n_tiles {n_tiles} >= 2^18"
     capacity = min(capacity, n_tiles * nsb)
     kr = min(-(-capacity // n_tiles), nsb)
     # W entries first (near-to-far), non-entries pushed to +inf
@@ -1117,7 +1145,7 @@ def build_worklist(W, d2, capacity: int):
     sb_pad = jnp.where(valid, sb, 0)
     first = valid & ((idxc == 0) | (r_pad != jnp.roll(r_pad, 1)))
     flags = first.astype(jnp.int32) | (valid.astype(jnp.int32) << 1)
-    wl = jnp.stack([r_pad, sb_pad, flags, jnp.zeros_like(flags)], axis=0)
+    wl = ((r_pad << _WL_TILE_SHIFT) | (sb_pad << _WL_SB_SHIFT) | flags)[None, :]
     return wl, count, W.any(axis=1)
 
 
@@ -1127,7 +1155,7 @@ def build_worklist(W, d2, capacity: int):
 def pallas_intersect_closest_wl(
     tris_packed: jnp.ndarray,
     bounds: jnp.ndarray,
-    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    wl: jnp.ndarray,  # [1, C] packed i32 (build_worklist)
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -1151,13 +1179,13 @@ def pallas_intersect_closest_wl(
         num_scalar_prefetch=2,
         grid=(wl.shape[1],),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl_sb(wl[0, i])), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
         ],
     )
     t_out, prim_out = pl.pallas_call(
@@ -1205,11 +1233,11 @@ def pallas_intersect_any_wl(
         num_scalar_prefetch=2,
         grid=(wl.shape[1],),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, step), lambda i, wl, b: (0, wl_sb(wl[0, i])), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
     )
     occ = pl.pallas_call(
         kernel,
@@ -1228,8 +1256,9 @@ def _closest_kernel_wl_mxu(
     *, ray_mask: int, tblk: int, super_: int, precision=None, local: bool = False,
 ):
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)  # first entry of this tile's run
     def _init():
@@ -1271,8 +1300,9 @@ def _any_kernel_wl_mxu(
     *, ray_mask: int, tblk: int, super_: int, precision=None, local: bool = False,
 ):
     i = pl.program_id(0)
-    flags = wl_ref[2, i]
-    sb = wl_ref[1, i]
+    e = wl_ref[0, i]
+    flags = wl_flags(e)
+    sb = wl_sb(e)
 
     @pl.when((flags & 1) != 0)
     def _init():
@@ -1313,7 +1343,7 @@ def pallas_intersect_closest_wl_mxu(
     feats: jnp.ndarray,  # [4, T, 16] (pack_tris_mxu)
     mask: jnp.ndarray,  # [1, T]
     bounds: jnp.ndarray,
-    wl: jnp.ndarray,  # [4, C] i32 (build_worklist)
+    wl: jnp.ndarray,  # [1, C] packed i32 (build_worklist)
     origins,
     directions,
     tmin: jnp.ndarray,
@@ -1345,14 +1375,14 @@ def pallas_intersect_closest_wl_mxu(
         num_scalar_prefetch=2,
         grid=(wl.shape[1],),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl[1, i], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl_sb(wl[0, i]), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl_sb(wl[0, i])), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
         ],
     )
     t_out, prim_out = pl.pallas_call(
@@ -1407,12 +1437,12 @@ def pallas_intersect_any_wl_mxu(
         num_scalar_prefetch=2,
         grid=(wl.shape[1],),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl[1, i], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl[1, i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, step, _FDIM), lambda i, wl, b: (0, wl_sb(wl[0, i]), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step), lambda i, wl, b: (0, wl_sb(wl[0, i])), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl[0, i]), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda i, wl, b: (0, wl_tile(wl[0, i])), memory_space=pltpu.VMEM),
     )
     occ = pl.pallas_call(
         kernel,

@@ -68,9 +68,10 @@ def test_refinement_beats_coarse_cones():
     hit = (np.asarray(coarse.seg) >= 0) & (np.asarray(oracle.seg) >= 0)
     assert hit.sum() > 100  # the rays genuinely hit
 
-    t_ref, u_ref = CR.refine_scene_curve_hit(
+    t_ref, u_ref, keep = CR.refine_scene_curve_hit(
         _Curves, o, d, coarse.t, coarse.seg, coarse.u
     )
+    hit = hit & np.asarray(keep)
     t_ref = np.asarray(t_ref)[hit]
     t_coarse = np.asarray(coarse.t)[hit]
     t_star = np.asarray(oracle.t)[hit]
@@ -118,7 +119,7 @@ def test_refinement_passthrough_on_miss():
     t = jnp.full(n, 1e16)
     seg = jnp.full(n, -1, jnp.int32)
     u = jnp.zeros(n)
-    t2, u2 = CR.refine_scene_curve_hit(_Curves, o, d, t, seg, u)
+    t2, u2, _keep = CR.refine_scene_curve_hit(_Curves, o, d, t, seg, u)
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
 
 
@@ -134,7 +135,8 @@ def test_coarse_subdiv_with_refinement_matches_oracle():
     oracle = C.intersect_curves_closest(_flatten_at(_P, _W, 64), o, d, tmin, tmax)
     hit = (np.asarray(coarse4.seg) >= 0) & (np.asarray(oracle.seg) >= 0)
 
-    t4r, _ = CR.refine_scene_curve_hit(_Curves, o, d, coarse4.t, coarse4.seg, coarse4.u)
+    t4r, _, keep4 = CR.refine_scene_curve_hit(_Curves, o, d, coarse4.t, coarse4.seg, coarse4.u)
+    hit = hit & np.asarray(keep4)
     t_star = np.asarray(oracle.t)[hit]
     err4_refined = np.abs(np.asarray(t4r)[hit] - t_star)
     err8_plain = np.abs(np.asarray(coarse8.t)[hit] - t_star)

@@ -448,17 +448,19 @@ def test_partition_perm_and_worklist_builder():
     W = jnp.asarray([[True, False, True], [False, False, False], [False, True, False]])
     d2 = jnp.asarray([[3.0, 1.0, 2.0], [0.0, 0.0, 0.0], [5.0, 1.0, 9.0]])
     wl, count, visited = build_worklist(W, d2, 6)
-    wl = np.asarray(wl)  # [4, C]
+    from strelka_tpu.ops.pallas_intersect import wl_flags, wl_sb, wl_tile
+
+    wl = np.asarray(wl)[0]  # [C] packed i32
     assert int(count) == 3
     np.testing.assert_array_equal(np.asarray(visited), [True, False, True])
     # tile 0 entries near-to-far by d2: sb2 (d2=2) before sb0 (d2=3)
-    np.testing.assert_array_equal(wl[0, :3], [0, 0, 2])
-    np.testing.assert_array_equal(wl[1, :3], [2, 0, 1])
+    np.testing.assert_array_equal(wl_tile(wl[:3]), [0, 0, 2])
+    np.testing.assert_array_equal(wl_sb(wl[:3]), [2, 0, 1])
     # flags: first-of-run on entries 0 and 2; all three valid
-    np.testing.assert_array_equal(wl[2, :3], [3, 2, 3])
+    np.testing.assert_array_equal(wl_flags(wl[:3]), [3, 2, 3])
     # pad entries: last valid tile, invalid flag
-    np.testing.assert_array_equal(wl[0, 3:], [2, 2, 2])
-    np.testing.assert_array_equal(wl[2, 3:], [0, 0, 0])
+    np.testing.assert_array_equal(wl_tile(wl[3:]), [2, 2, 2])
+    np.testing.assert_array_equal(wl_flags(wl[3:]), [0, 0, 0])
 
 
 def test_pallas_open_w_matches_jnp():
@@ -863,8 +865,10 @@ def test_build_worklist_row_overflow_forces_fallback():
         jnp.asarray(W), jnp.asarray(d2), capacity=16  # kr = 4 >= all rows
     )
     assert int(count2) == 6
-    wl2 = np.asarray(wl2)
+    from strelka_tpu.ops.pallas_intersect import wl_sb, wl_tile
+
+    wl2 = np.asarray(wl2)[0]  # [C] packed i32
     # grouped by tile, near-to-far (d2 decreasing in block id here)
-    np.testing.assert_array_equal(wl2[0, :6], [0, 0, 0, 2, 2, 2])
-    np.testing.assert_array_equal(wl2[1, :6], [2, 1, 0, 3, 2, 1])
+    np.testing.assert_array_equal(wl_tile(wl2[:6]), [0, 0, 0, 2, 2, 2])
+    np.testing.assert_array_equal(wl_sb(wl2[:6]), [2, 1, 0, 3, 2, 1])
     np.testing.assert_array_equal(np.asarray(visited2), [True, False, True, False])
