@@ -265,6 +265,16 @@ def main() -> None:
     alive = head.get("alive_mrays_per_sec", -1.0)
     padded = head.get("mrays_per_sec", 0.0)
     value = (alive if alive >= 0 else padded) / n_chips
+    # north-star row: the converged Kitchen wall-clock measured separately by
+    # scripts/northstar.py (checkpointed multi-hour run; not re-run here)
+    northstar = None
+    ns_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_northstar.json")
+    if os.path.exists(ns_path):
+        try:
+            with open(ns_path) as f:
+                northstar = json.load(f)
+        except Exception:  # noqa: BLE001 — a corrupt row must not sink the bench
+            northstar = None
     print(
         json.dumps(
             {
@@ -298,6 +308,7 @@ def main() -> None:
                     )
                     for k, v in results.items()
                 },
+                **({"northstar": northstar} if northstar else {}),
             }
         )
     )

@@ -14,6 +14,7 @@ per-RAY demand is the perfect-coherence floor (coherence_probe.py measured
     python scripts/wavefront_oracle.py kitchen
     python scripts/wavefront_oracle.py box:48
 """
+import dataclasses
 import os
 import sys
 import time
@@ -42,6 +43,10 @@ from perf_probe import build  # scene builders (kitchen/cornell/box:N)
 
 _, scene, params, state, ntri = build(scene_name, W, H, 1, 1, intersector="auto")
 host = None
+# keep the pallas BLOCK LAYOUT (kernel_super/tri_bounds) for the demand
+# analysis, but trace the bounce wavefront itself through the BVH path —
+# pallas_call has no CPU lowering outside interpret mode
+scene = dataclasses.replace(scene, use_pallas=False)
 print(f"{scene_name}: {ntri} tris", flush=True)
 
 N = W * H
