@@ -141,8 +141,13 @@ def demand_and_entry(sb_np, o, d, tmin_np, tmax_np):
     return D, TN
 
 
-def report(label, o, d, tmin_np, tmax_np, term_t=None):
-    sb = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
+def report(label, o, d, tmin_np, tmax_np, term_t=None, fine=False):
+    """fine=True measures demand at tblk-block granularity (tri_bounds) —
+    the candidate wl_fine schedule (super_=1) — instead of superblocks."""
+    if fine:
+        sb = scene.tri_bounds[:8]
+    else:
+        sb = super_bounds_jnp(scene.tri_bounds, scene.kernel_super)
     sb_np = np.asarray(sb)
     nsb = sb_np.shape[1]
     D, TN = demand_and_entry(sb_np, o, d, tmin_np, tmax_np)
@@ -192,8 +197,11 @@ def report(label, o, d, tmin_np, tmax_np, term_t=None):
 tmax_b = np.where(alive_np, 1e16, 0.0).astype(np.float32)
 d_np = [np.asarray(c)[perm] for c in (nd.x, nd.y, nd.z)]
 report("bounce closest", o_np, d_np, np.zeros(N, np.float32), tmax_b, term_t=t2_np)
+report("bounce closest FINE", o_np, d_np, np.zeros(N, np.float32), tmax_b,
+       term_t=t2_np, fine=True)
 
 sd_np = [np.asarray(c)[perm] for c in (sd.x, sd.y, sd.z)]
 dist_np = np.asarray(dist)[perm]
 tmax_s = np.where(alive_np, dist_np * 0.999, 0.0).astype(np.float32)
 report("shadow any", o_np, sd_np, np.zeros(N, np.float32), tmax_s)
+report("shadow any FINE", o_np, sd_np, np.zeros(N, np.float32), tmax_s, fine=True)
