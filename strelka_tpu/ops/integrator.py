@@ -455,7 +455,7 @@ def _ray_sort_key(scene: DeviceScene, position: Vec3, direction: Vec3):
         # direction-octant-major: tiles become direction-pure, so blocks
         # behind a tile fail every slab test (halves+ the touched set)
         return (octant << 24) | morton
-    if _os.environ.get("STRELKA_KEY_NEAREST_BLOCK") == "1" and getattr(
+    if _tuned.get_bool("key_nearest_block", False) and getattr(
         scene, "block_cents", None
     ) is not None:
         # schedule-pure tiles: group lanes by the FIRST superblock their ray

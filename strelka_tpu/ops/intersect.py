@@ -331,7 +331,7 @@ def _run_phase1_any(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
 
 # work-list capacity per tile for the phase-2 sweep; overflow falls back to
 # the rectangular grid via lax.cond (rare: phase-2 lists measured ~18/tile)
-_WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
+_WL_CAP = _tuned.get_int("wl_cap", 48)
 # scenes with few superblocks take FULL capacity so overflow cannot happen
 # (pad entries skip their body and re-DMA nothing), where a cap just below
 # nsb would bounce dense interior wavefronts to the rectangular grid every
@@ -341,19 +341,19 @@ _WL_CAP = int(_os.environ.get("STRELKA_WL_CAP", "48"))
 # failure mode returns (suspected in fact #33's p2_tile=256 loss); the
 # build_worklist count-vs-cap is logged by scripts/wl_count_probe.py before
 # any small-tile retry.
-_WL_FULL_NSB = int(_os.environ.get("STRELKA_WL_FULL_NSB", "96"))
+_WL_FULL_NSB = _tuned.get_int("wl_full_nsb", 96)
 # work-list sweeps on the MXU: "1" force, "0" never, unset -> follow the
 # scene's intersector choice. Once the work list skips dead pairs the sweep
 # is compute-bound on live steps, where the MXU matmul MT test wins even on
 # big scenes whose rectangular-grid crossover picked the VPU.
-_WL_MXU = _os.environ.get("STRELKA_WL_MXU", "")
+_WL_MXU = _tuned.get_str("wl_mxu", "")
 # TOTAL work-list entry budget: wl rides the kernel's scalar-prefetch SMEM
 # as PACKED [1, C] i32 (tile<<14 | sb<<2 | flags, build_worklist), and SMEM
 # is a fixed 1MB/core — so C must be bounded by a CONSTANT, not per-tile.
 # 184320 entries = 720KB packed; the pre-packing [4, C] layout capped at
 # 46080 (2048 tiles x 48 at p2_tile=256 was 1.57MB -> hardware OOM), which
 # is what forced every small-tile schedule into the rectangular fallback.
-_WL_ENTRY_BUDGET = int(_os.environ.get("STRELKA_WL_ENTRIES", "184320"))
+_WL_ENTRY_BUDGET = _tuned.get_int("wl_entries", 184320)
 
 
 def _wl_cap_per_tile(nsb: int, n_tiles: int) -> int:

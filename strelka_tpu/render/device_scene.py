@@ -423,8 +423,10 @@ def build_device_scene(
         if num_tri <= FLAT_KERNEL_MAX_TRIS:
             pack_tblk, pack_super = DEFAULT_TBLK, 1
         else:
+            from strelka_tpu import tuned as _tuned
+
             pack_tblk = DEFAULT_TBLK
-            pack_super = int(_os.environ.get("STRELKA_PACK_SUPER", DEFAULT_SUPER))
+            pack_super = _tuned.get_int("pack_super", DEFAULT_SUPER)
 
         if num_tri > 2 * DEFAULT_TBLK:
             perm2 = morton_sort_tris(cat["p"])
