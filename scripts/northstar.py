@@ -19,7 +19,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CKPT = "/tmp/northstar_kitchen.npz"
+# durable path: /tmp dies with VM restarts (this round lost a full probe-chain
+# log that way); gitignored explicitly
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".northstar_kitchen.npz")
 OUT_JSON = "BENCH_northstar.json"
 
 
