@@ -183,7 +183,7 @@ def _run_super_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude, star
             scene.tris_feats, scene.tris_mask, scene.tri_bounds, o, d, tmin, tmax,
             ray_mask, exclude=exclude, starts=starts,
             tile=tile, tblk=tb, super_=sp, local=scene.tris_local,
-            precision=_PREC_CLOSEST,
+            precision=_prec_closest(scene),
         )
     return pallas_intersect_closest(
         scene.tris_packed, scene.tri_bounds, o, d, tmin, tmax,
@@ -255,6 +255,23 @@ _PREC_CLOSEST = (
     if (_MXU_HIGHP or _CLOSEST_HIGHP)
     else _parse_prec("closest_prec")
 )
+
+
+def _prec_closest(scene):
+    """Per-scene closest-sweep MXU precision.
+
+    Explicit knobs (mxu_highp / closest_highp / closest_prec) win. Otherwise
+    the DEFAULT is fidelity-by-scene-class (fact #53, hardware-measured):
+    flat-path scenes get f32-exact closest selection (bf16x6 HIGHEST) —
+    cornell golden-SSIM 0.9877 -> 0.9995, coffeetable 0.9799 -> 0.9990 —
+    while superblock scenes (kitchen/box-class) stay 1-pass bf16: their
+    golden SSIM is already >= 0.9999 (the bf16 selection error is below
+    golden noise there) and HIGHEST would 6x their dominant sweep cost."""
+    if _PREC_CLOSEST is not None:
+        return _PREC_CLOSEST
+    if _use_flat(scene) and _tuned.get_bool("closest_highp_flat", True):
+        return jax.lax.Precision.HIGHEST
+    return None
 _PREC_ANY = _MXU_PREC if _MXU_PREC is not None else _parse_prec("any_prec")
 # superblocks per fused-K grid step (VPU): ~0.7MB scoped VMEM per unrolled
 # MT block + ~4MB open epilogue against the 16MB stack limit -> 1 is safe,
@@ -279,7 +296,7 @@ def _run_phase1_closest(scene, use_mxu, o, d, tmin, tmax, ray_mask, exclude,
                 sbounds, d2, r2t, o, d, tmin, tmax, ray_mask,
                 exclude=exclude, tile=tile, tblk=scene.kernel_tblk,
                 super_=scene.kernel_super, local=scene.tris_local,
-                precision=_PREC_CLOSEST,
+                precision=_prec_closest(scene),
             )
         from strelka_tpu.ops.pallas_intersect import pallas_intersect_closest_fusedk
 
@@ -486,7 +503,7 @@ def _closest_wl_single(scene, use_mxu, origins, directions, tmin, tmax, ray_mask
                 origins, directions, tmin, tmax,
                 ray_mask, exclude=exclude,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_PREC_CLOSEST,
+                local=scene.tris_local, precision=_prec_closest(scene),
             )
         else:
             t, prim = pallas_intersect_closest_wl(
@@ -534,7 +551,7 @@ def _closest_finish(scene, use_mxu, origins, directions, tmin, tmax, ray_mask,
                 o2, d2v, tmin2, tmax2p,
                 ray_mask, exclude=excl2,
                 tile=tile, tblk=scene.kernel_tblk, super_=scene.kernel_super,
-                local=scene.tris_local, precision=_PREC_CLOSEST,
+                local=scene.tris_local, precision=_prec_closest(scene),
             )
         else:
             t2p, prim2p = pallas_intersect_closest_wl(
@@ -775,14 +792,14 @@ def intersect_closest(
                 t, prim = pallas_intersect_closest_mxu_small(
                     scene.tris_feats, scene.tris_mask, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=1024,
-                    tblk=scene.kernel_tblk, precision=_PREC_CLOSEST,
+                    tblk=scene.kernel_tblk, precision=_prec_closest(scene),
                 )
             elif use_mxu:
                 t, prim = pallas_intersect_closest_mxu_flat(
                     scene.tris_feats, scene.tris_mask, scene.tri_bounds, origins,
                     directions, tmin, tmax, ray_mask, exclude=exclude, tile=2048,
                     tblk=scene.kernel_tblk, local=scene.tris_local,
-                    precision=_PREC_CLOSEST,
+                    precision=_prec_closest(scene),
                 )
             else:
                 t, prim = pallas_intersect_closest_flat(
