@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--w", type=int, default=1024)
     ap.add_argument("--h", type=int, default=768)
     ap.add_argument("--ckpt-every", type=int, default=64, help="launches")
+    ap.add_argument("--max-seconds", type=float, default=0.0,
+                    help="wall-clock budget; 0 = unbounded. On expiry the run "
+                         "checkpoints and exits cleanly (resume by re-running) "
+                         "— it must NEVER be timeout-killed mid-launch (NOTES "
+                         "fact #18: that wedges the axon tunnel).")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +99,24 @@ def main():
             with open(CKPT + ".meta", "w") as f:
                 json.dump({"elapsed_s": el}, f)
             print(f"launch {i+1}/{n_launches} ({(i+1)*args.spl} spp) elapsed {el:.0f}s", flush=True)
+            # interim north-star row at every checkpoint: a session cut
+            # mid-run still records honest progress (spp_done < spp marks
+            # it in-progress; the completion path below overwrites)
+            done_spp = (i + 1) * args.spl
+            with open(OUT_JSON, "w") as f:
+                json.dump({
+                    "metric": "northstar_kitchen_wall_clock",
+                    "value": round(el, 1),
+                    "unit": "s",
+                    "config": f"{W}x{H} {args.spp}spp depth={args.depth}",
+                    "spp_done": done_spp,
+                    "complete": done_spp >= args.spp,
+                    "projected_total_s": round(el * args.spp / done_spp, 1),
+                    "reference_config": "images/Kitchen_2048i_4d_2048spp_0.png (hdRunner/main.cpp:729-733)",
+                }, f, indent=1)
+            if args.max_seconds and (time.perf_counter() - t0) > args.max_seconds:
+                print(f"wall-clock budget reached at {done_spp} spp; checkpointed — rerun to resume", flush=True)
+                return
 
     img = TM.apply_tonemap_planar(img, TM.ToneMapperType.eReinhard, params.exposure, 2.4)
     out = np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
@@ -106,6 +129,8 @@ def main():
         "value": round(elapsed, 1),
         "unit": "s",
         "config": f"{W}x{H} {args.spp}spp depth={args.depth}",
+        "spp_done": args.spp,
+        "complete": True,
         "padded_mrays_per_sec": round(rays / elapsed / 1e6, 2),
         "image": path,
         "reference_config": "images/Kitchen_2048i_4d_2048spp_0.png (hdRunner/main.cpp:729-733)",
