@@ -169,8 +169,10 @@ GOLDEN_CONFIGS = {
     "kitchen": (64, 64, 2, 8),
     # einar-class curve scale (100k cubic segments) — CPU golden renders the
     # same jnp cone path as the small scenes, just bigger (VERDICT r4
-    # missing #5: hair_long ran unverified without a golden)
-    "hair_long": (64, 64, 2, 8),
+    # missing #5: hair_long ran unverified without a golden). 32x32: the
+    # 64x64/16spp config needs >1h of CPU on this 1-vCPU host (r5s2 timed
+    # out); 800k cones at 32x32/8spp is the affordable cross-backend check
+    "hair_long": (32, 32, 2, 4),
 }
 
 
